@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.catalog.CatalogOps
+
+/** Catalog/registry operator family (SURVEY.md §2: A1, S4, J3-J5, J7, P6/P7,
+  * U1-U5, A14) demonstrated on the driver testdata star schema.
+  *
+  * Role mapping (FIXTURES.md §B): customer≈scenes, orders≈sequences,
+  * lineitem≈fact, part/supplier≈dims.
+  */
+object CatalogQueries extends QueryFamily {
+  import Det._
+
+  def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // A1 — registry statistics: one-pass conditional counts + exact sums
+    // (reference: scene_registry.py:566-605 get_statistics).
+    ("q_registry_stats",
+      (s: SparkSession, d: String) => {
+        CatalogOps.statistics(
+          Tables.orders(s, d),
+          groupCols = Seq("o_orderpriority"),
+          conds = Seq(
+            "n_open"     -> (col("o_orderstatus") === "O"),
+            "n_finished" -> (col("o_orderstatus") === "F")),
+          sums = Seq("sum_price" -> col("o_totalprice").cast("decimal(18,2)")))
+          .withColumn("sum_price", col("sum_price").cast("double"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(COUNT(*) AS BIGINT) AS total,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // S4 — upsert merge with column-level update semantics: latest row per
+    // key wins, but created_at-style columns keep the oldest value
+    // (reference: scene_registry.py:391-404 ON CONFLICT DO UPDATE).
+    ("q_upsert_latest",
+      (s: SparkSession, d: String) => {
+        val orders = Tables.orders(s, d)
+        val existing = orders.filter(col("o_orderkey") % 2 === 0)
+        val updates = orders.filter(col("o_orderkey") % 2 === 1)
+        CatalogOps.upsertLatest(existing, updates,
+            keys = Seq("o_custkey"), version = "o_orderkey",
+            preserveFromExisting = Seq("o_orderdate"))
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("created_day"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn,
+             |    first_value(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS created
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+             |  strftime(created, '%Y-%m-%d') AS created_day
+             |FROM ranked WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // P7 — parents having a qualifying child (left-semi join)
+    // (reference: scene_upload.py:94-117 scenes with ≥1 baked map).
+    ("q_semi_join",
+      (s: SparkSession, d: String) => {
+        CatalogOps.havingChild(
+          Tables.customer(s, d),
+          Tables.orders(s, d).withColumnRenamed("o_custkey", "c_custkey"),
+          key = Seq("c_custkey"),
+          childPred = col("o_orderstatus") === "O")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // U5 — skip-existing difference (left-anti join)
+    // (reference: scene_copy.py:407-422).
+    ("q_anti_join",
+      (s: SparkSession, d: String) => {
+        CatalogOps.missingFrom(
+          Tables.customer(s, d),
+          Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+            .withColumnRenamed("o_custkey", "c_custkey"),
+          key = Seq("c_custkey"))
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J5 — existence-flag sync (reference: scene_registry.py:466-545
+    // bos_exists annotation from an object-store listing).
+    ("q_existence_flag",
+      (s: SparkSession, d: String) => {
+        CatalogOps.annotateExistence(
+          Tables.supplier(s, d),
+          Tables.lineitem(s, d).withColumnRenamed("l_suppkey", "s_suppkey"),
+          key = Seq("s_suppkey"), flagName = "has_shipments")
+          .select("s_suppkey", "s_name", "has_shipments")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name,
+             |  EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey) AS has_shipments
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // J4 — status-preserving merge: left join old state + defaults
+    // (reference: copy_scene_assets.py:92-136).
+    ("q_status_merge",
+      (s: SparkSession, d: String) => {
+        val oldState = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        CatalogOps.statusPreservingMerge(
+          Tables.customer(s, d).select("c_custkey", "c_name"),
+          oldState, key = Seq("c_custkey"),
+          defaults = Map("n_orders" -> lit(0L)))
+          .select("c_custkey", "c_name", "n_orders")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(COALESCE((SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey), 0) AS BIGINT) AS n_orders
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // J3 — FK chain rollup: region←nation←customer←orders in one pass,
+    // collapsing the reference's N+1 per-scene loops into shuffle joins
+    // (reference: scene_scanner.py:554-557; batch_bake.py:81-83).
+    ("q_fk_rollup",
+      (s: SparkSession, d: String) => {
+        val region = Tables.region(s, d)
+        val nation = Tables.nation(s, d)
+        val cust = Tables.customer(s, d)
+        val orders = Tables.orders(s, d)
+        orders
+          .join(cust, orders("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("revenue"))
+          .orderBy("r_name")
+      },
+      Some(s"""SELECT r_name,
+              |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  ${moneySumSql("o_totalprice")} AS revenue
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // U1/A14 — distinct first path segment over a constructed path column
+    // (reference: scene_scanner.py:593-614 BOS folder extraction).
+    ("q_distinct_folders",
+      (s: SparkSession, d: String) => {
+        Tables.lineitem(s, d)
+          .select(concat_ws("/", col("l_returnflag"), col("l_linestatus"),
+            col("l_orderkey").cast("string")).as("key"))
+          .select(element_at(split(col("key"), "/"), 1).as("folder"))
+          .distinct()
+          .orderBy("folder")
+      },
+      Some("""SELECT DISTINCT string_split(concat(l_returnflag, '/', l_linestatus, '/', CAST(l_orderkey AS VARCHAR)), '/')[1] AS folder
+             |FROM lineitem ORDER BY folder""".stripMargin))
+  )
+}
