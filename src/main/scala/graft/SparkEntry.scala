@@ -14,7 +14,10 @@ import graft.queries._
 object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
-    CatalogQueries
+    CatalogQueries,
+    FilterQueries,
+    SpatialQueries,
+    WindowQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

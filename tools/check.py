@@ -39,6 +39,13 @@ def norm(df):
 def compare(name, sp, du):
     if sorted(sp.columns) != sorted(du.columns):
         return f"SCHEMA: spark={sorted(sp.columns)} duck={sorted(du.columns)}"
+    for c in sp.columns:
+        a, b = str(sp[c].dtype), str(du[c].dtype)
+        if a != b and not (a == "object" and b == "object"):
+            ints = ("int32", "int64")
+            if a in ints and b in ints:
+                continue
+            print(f"  [dtype] {name}.{c}: spark={a} duck={b}")
     if len(sp) != len(du):
         return f"ROWS: spark={len(sp)} duck={len(du)}"
     sp, du = norm(sp), norm(du)
