@@ -17,7 +17,9 @@ object SparkEntry {
     CatalogQueries,
     FilterQueries,
     SpatialQueries,
-    WindowQueries
+    WindowQueries,
+    JoinQueries,
+    ScalarFuncQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,32 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from codegen'd
+  * higher-order functions (`zip_with` + `aggregate`) — no UDFs, so the
+  * expressions stay inside whole-stage codegen.
+  *
+  * All folds are sequential left-folds over the array in index order with
+  * double-precision accumulation: deterministic, and bit-identical to any
+  * engine that folds the same way (the DuckDB oracles use
+  * `list_reduce(list_transform(...))`, which matches).
+  */
+object VectorMath {
+
+  /** Cast to array<double> so every product/add is an IEEE double op. */
+  private def d(a: Column): Column = a.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  def euclidean(a: Column, b: Column): Column = sqrt(distSq(a, b))
+}

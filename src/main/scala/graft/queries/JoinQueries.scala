@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.{AsOfJoin, RangeJoin, PrefixJoin}
+import graft.graph.Knn
+
+/** Join family beyond plain equi-joins (SURVEY.md §2.3: J2, J8, J9, J11). */
+object JoinQueries extends QueryFamily {
+
+  def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // J8 — point-in-interval range join, bucketed form (the 100 TB path:
+    // equi-join on bucket + refine, instead of a nested loop)
+    // (reference: worker_create.py:721-743 frame→segment lookup).
+    ("q_range_join",
+      (s: SparkSession, d: String) => {
+        val intervals = Tables.nation(s, d).select(
+          col("n_nationkey").as("seg_id"),
+          (col("n_nationkey") * 4.0).as("lo"),
+          (col("n_nationkey") * 4.0 + 3.99).as("hi"))
+        RangeJoin.bucketedJoin(
+            Tables.events(s, d).select("event_id", "value"),
+            intervals, pointCol = "value", loCol = "lo", hiCol = "hi",
+            bucketWidth = 5.0)
+          .groupBy("seg_id")
+          .agg(count(lit(1)).as("n_points"))
+          .orderBy("seg_id")
+      },
+      Some("""SELECT n_nationkey AS seg_id, CAST(COUNT(*) AS BIGINT) AS n_points
+             |FROM nation JOIN events
+             |  ON value >= n_nationkey*4.0 AND value <= n_nationkey*4.0 + 3.99
+             |GROUP BY n_nationkey ORDER BY seg_id""".stripMargin)),
+
+    // J9 — nearest-key as-of join: each click picks the nearest signup in
+    // time within its user (reference: camera_exporter.py:222-249
+    // per-frame nearest keyframe sampling).
+    ("q_asof_nearest",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+        AsOfJoin.nearest(clicks, signups,
+            partCols = Seq("user_id"), queryTime = "ts", keyTime = "ts",
+            keyValues = Seq("signup_value"))
+          .select("user_id", "event_id", "matched_time", "signup_value")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, event_id, CAST(epoch(ts) AS DOUBLE) AS t, 1 AS isq,
+             |         CAST(NULL AS DOUBLE) AS kt, CAST(NULL AS DOUBLE) AS v
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, NULL, CAST(epoch(ts) AS DOUBLE), 0,
+             |         CAST(epoch(ts) AS DOUBLE), value
+             |  FROM events WHERE event_type = 'signup'),
+             |w AS (
+             |  SELECT *,
+             |    last_value(kt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, isq
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+             |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, isq
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             |    first_value(kt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, isq
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t,
+             |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, isq
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+             |  FROM u)
+             |SELECT user_id, event_id,
+             |  CASE WHEN next_t IS NULL OR (prev_t IS NOT NULL AND (t - prev_t) <= (next_t - t))
+             |       THEN prev_t ELSE next_t END AS matched_time,
+             |  CASE WHEN next_t IS NULL OR (prev_t IS NOT NULL AND (t - prev_t) <= (next_t - t))
+             |       THEN prev_v ELSE next_v END AS signup_value
+             |FROM w WHERE isq = 1 ORDER BY user_id, event_id""".stripMargin)),
+
+    // J2 — sequence→map resolution: strip trailing index, exact match
+    // first, else prefix, else unmatched (reference:
+    // render_engine.py:87-158). Sequences are doc source_docid names; two
+    // sources are removed from the map side to exercise the prefix and
+    // unmatched arms.
+    ("q_prefix_resolve",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val seqs = docs.select(
+          concat(col("source"), lit("_"), col("doc_id")).as("seq_name"))
+        val maps = docs.select(col("source").as("map_name")).distinct()
+          .filter(!col("map_name").isin("src13", "src7"))
+        PrefixJoin.resolveSequenceToMap(seqs, maps, "seq_name", "map_name")
+          .select("seq_name", "map_name", "match_kind")
+          .orderBy("seq_name")
+      },
+      Some("""WITH seqs AS (
+             |  SELECT source || '_' || CAST(doc_id AS VARCHAR) AS seq_name,
+             |         regexp_replace(source || '_' || CAST(doc_id AS VARCHAR), '[_-]?[0-9]+$', '') AS stripped
+             |  FROM documents),
+             |maps AS (
+             |  SELECT DISTINCT source AS map_name FROM documents
+             |  WHERE source NOT IN ('src13','src7')),
+             |cand AS (
+             |  SELECT seq_name, map_name, 0 AS kind_rank, 'exact' AS match_kind
+             |  FROM seqs JOIN maps ON stripped = map_name
+             |  UNION ALL
+             |  SELECT seq_name, map_name, 1, 'prefix'
+             |  FROM seqs JOIN maps ON starts_with(stripped, map_name) AND stripped <> map_name),
+             |best AS (
+             |  SELECT *, row_number() OVER (PARTITION BY seq_name
+             |    ORDER BY kind_rank ASC, length(map_name) DESC, map_name ASC) AS rn
+             |  FROM cand)
+             |SELECT seq_name, map_name, match_kind FROM best WHERE rn = 1
+             |UNION ALL
+             |SELECT seq_name, NULL, NULL FROM seqs
+             |WHERE seq_name NOT IN (SELECT seq_name FROM cand)
+             |ORDER BY seq_name""".stripMargin)),
+
+    // J11 — exact kNN over embeddings (broadcast cross join + windowed
+    // top-k; reference: navmesh_connectivity.py:126-135). Exact-fold
+    // euclidean distance → bit-identical to the oracle's list_reduce.
+    ("q_knn",
+      (s: SparkSession, d: String) => {
+        Knn.bruteForce(
+            Tables.embeddings(s, d).filter(col("vec_id") < 40),
+            idCol = "vec_id", vecCol = "embedding", k = 3)
+          .orderBy("src_id", "rank")
+      },
+      Some("""WITH pts AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id < 40),
+             |pairs AS (
+             |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             |    sqrt(list_reduce(
+             |      list_transform(range(1, len(a.v)+1),
+             |        i -> (a.v[i]-b.v[i])*(a.v[i]-b.v[i])),
+             |      (x,y) -> x+y)) AS dist
+             |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY src_id
+             |    ORDER BY dist ASC, dst_id ASC) AS rank
+             |  FROM pairs)
+             |SELECT src_id, dst_id, dist, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin))
+  )
+}
