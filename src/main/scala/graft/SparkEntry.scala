@@ -19,7 +19,8 @@ object SparkEntry {
     SpatialQueries,
     WindowQueries,
     JoinQueries,
-    ScalarFuncQueries
+    ScalarFuncQueries,
+    LlmQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,115 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard (builder-prompt extensions over `documents`).
+  *
+  * Scale design:
+  *  - exact dedup = hash-groupBy, one shuffle on the hash.
+  *  - MinHash: signatures are per-document aggregations (shuffle on
+  *    doc_id); LSH banding turns the quadratic pair search into an
+  *    equi-join on (band, signature) — only documents sharing a band
+  *    bucket are compared. Candidate verification joins shingle sets for
+  *    candidates only.
+  *  - All hashes are md5-based (standard, engine-portable), so every stage
+  *    is oracle-checkable; no reliance on engine-private hash functions.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set: one (id, shingle) row per distinct shingle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    df.select(col(idCol), explode(sh).as("shingle")).distinct()
+  }
+
+  /** Exact dedup by an arbitrary key expression: keeps the row with the
+    * minimal `idCol` per key, annotates group size. */
+  def exactDedup(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val w = Window.partitionBy("_key").orderBy(col(idCol).asc)
+    df.withColumn("_key", key)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("_key")))
+      .filter(col("_rn") === 1)
+      .withColumnRenamed("_key", "dedup_key")
+      .drop("_rn")
+  }
+
+  /** MinHash signature per id: numHashes md5-min values (hex strings —
+    * lexicographic min ≡ numeric min on fixed-width hex). */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(j.toString), lit(":"), col("shingle")))).as(s"mh_$j"))
+    shingleDf.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: documents sharing any band (bands of `rowsPerBand`
+    * consecutive signature components). Returns distinct (id_a < id_b). */
+  def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val sig = concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
+      sigs.select(col(idCol), lit(b).as("band"), sig.as("band_sig"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs from their shingle sets. */
+  def jaccardForPairs(pairs: DataFrame, shingleDf: DataFrame, idCol: String): DataFrame = {
+    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingleDf.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shingleDf.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")), Seq("id_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
+    * → verify ≥ threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val sigs = minhashSignatures(sh, idCol, numHashes)
+    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
+    jaccardForPairs(cands, sh, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** 64-bit SimHash from md5 token hashes: bit b of the signature is the
+    * sign of Σ_tokens (bit b of md5(token) ? +1 : -1). Near-dups = pairs
+    * with small Hamming distance. md5-hex-nibble based → portable.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(split(text, " "))
+    // per token: 16 hex nibbles = 64 bits; accumulate per-bit votes
+    val bits = (0 until 64).map { b =>
+      val nibble = b / 4
+      val bitInNibble = b % 4
+      val votes = aggregate(toks, lit(0),
+        (acc, t) => acc +
+          when(((conv(substring(md5(t), nibble + 1, 1), 16, 10).cast("int")
+            .bitwiseAND(lit(1 << bitInNibble))) > 0), 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  def hammingDistance64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,79 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder-prompt extension; operates on `embeddings.parquet`).
+  *
+  *  - [[bruteForceTopK]] — the exact baseline: cross join queries ×
+  *    candidates (queries broadcast), cosine via exact fold, windowed
+  *    top-k. Right when |queries| is small; O(|Q|·|C|) but embarrassingly
+  *    parallel over candidate splits at 100 TB.
+  *  - [[lshTopK]] — the scale path: random-hyperplane LSH. Hyperplane
+  *    signs are derived from md5 (deterministic, seedable, portable);
+  *    vectors sharing a signature bucket are compared exactly, so recall
+  *    degrades gracefully while cost drops from |Q|·|C| to per-bucket
+  *    products. Probing multiple buckets (multi-probe) raises recall.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query vector. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("_cv"))
+    val pairs = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", VectorMath.cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane j, dim i): sign of a
+    * md5-derived nibble. */
+  private def planeSign(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    if ((hex(0) & 0x01) == 1) 1.0 else -1.0
+  }
+
+  /** nPlanes-bit signature bucket per vector (planes are constant arrays —
+    * broadcast as literals into codegen, no join needed). */
+  def signatures(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sigBits = (0 until nPlanes).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeSign(j, i))): _*)
+      val dot = aggregate(zip_with(v, plane, (x, p) => x * p), lit(0.0), (a, b) => a + b)
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", sigBits.reduce(_ bitwiseOR _))
+  }
+
+  /** LSH-bucketed approximate top-k: exact cosine within shared buckets. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dim: Int, k: Int): DataFrame = {
+    val sigs = signatures(df, idCol, vecCol, nPlanes, dim)
+      .select(col(idCol), col(vecCol), col("bucket"))
+    val a = sigs.select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("bucket"))
+    val b = sigs.select(col(idCol).as("cand_id"), col(vecCol).as("_cv"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", VectorMath.cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "bucket", "cand_id", "cosine", "rank")
+  }
+
+  /** Per-label embedding statistics: count + exact min/max of norms (an
+    * IVF-style partition statistic; means intentionally omitted from
+    * verified output — float sum order is engine-specific). */
+  def labelStats(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.withColumn("_n", sqrt(VectorMath.normSq(col(vecCol))))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("_n")).as("min_norm"), max(col("_n")).as("max_norm"))
+}

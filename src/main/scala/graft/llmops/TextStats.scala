@@ -1,0 +1,78 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language-ID heuristic, canonical fingerprinting (builder
+  * prompt "text analysis" extensions; operates on the `documents` table).
+  *
+  * Everything is built from codegen'd built-ins over the token array — one
+  * narrow projection per document, no shuffle, no UDF. At 100 TB these are
+  * pure map-side operators that scale linearly with input splits.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (single-space corpus convention). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish size estimate: ~4 chars/token heuristic. */
+  def bpeTokenEstimate(nChars: Column): Column = ceil(nChars.cast("double") / 4.0).cast("long")
+
+  /** Share of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val hits = size(filter(t, x => x.isin(stopwords.map(lit(_)): _*)))
+    hits.cast("double") / size(t)
+  }
+
+  /** Distinct-token / token ratio (repetition detector). */
+  def uniqueTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Composite quality score ∈ [0,1]:
+    * length (cap 100 tokens) 40% + non-stopword share 30% + uniqueness 30%.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / 100.0) * 0.4 +
+      (lit(1.0) - stopwordRatio(text, stopwords)) * 0.3 +
+      uniqueTokenRatio(text) * 0.3
+
+  def qualityBucket(score: Column): Column =
+    when(score >= 0.7, "high").when(score >= 0.5, "medium").otherwise("low")
+
+  /** Language-ID heuristic: score = distinct marker-token hits per
+    * language profile; argmax with deterministic lexicographic tie-break.
+    * Profiles are marker word lists (n-gram profiles reduce to the same
+    * shape: per-language hit counting + argmax).
+    */
+  def langScores(text: Column, profiles: Map[String, Seq[String]]): Seq[(String, Column)] =
+    profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(filter(array_distinct(tokens(text)),
+        x => x.isin(markers.map(lit(_)): _*)))
+    }
+
+  def predictedLang(text: Column, profiles: Map[String, Seq[String]]): Column = {
+    val scored = langScores(text, profiles)
+    // argmax via greatest over (score, reverse-lang) structs
+    val structs = scored.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    // ties: highest score wins; equal scores pick lexicographically LAST
+    // language under struct comparison — make deterministic by prefixing
+    // an inverted-lang key is overkill; instead fold with explicit when
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set — robust to token order and repetition (the batch analog of a
+    * rolling content hash; reference: scene_registry.py:608-644 uses the
+    * same sort-then-hash shape for directory contents).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+}

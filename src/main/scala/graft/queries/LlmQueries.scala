@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.llmops.{TextStats, Dedup, Similarity}
+
+/** Training-data pipeline family (builder-prompt extensions): text
+  * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * embedding similarity search.
+  */
+object LlmQueries extends QueryFamily {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to")
+  private val LangProfiles = Map(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "fr" -> Seq("le", "les", "des", "et"),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // Text statistics: token count, BPE estimate, stopword ratio,
+    // uniqueness ratio — pure map-side projections.
+    ("q_text_stats",
+      (s: SparkSession, d: String) => {
+        Tables.documents(s, d).select(
+            col("doc_id"),
+            TextStats.tokenCount(col("text")).as("n_tokens"),
+            TextStats.bpeTokenEstimate(col("n_chars")).as("bpe_est"),
+            TextStats.stopwordRatio(col("text"), Stopwords).as("stop_ratio"),
+            TextStats.uniqueTokenRatio(col("text")).as("uniq_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(toks) AS INT) AS n_tokens,
+              |  CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS bpe_est,
+              |  CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)
+              |    / len(toks) AS stop_ratio,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Composite quality score + bucket.
+    ("q_quality_score",
+      (s: SparkSession, d: String) => {
+        val score = TextStats.qualityScore(col("text"), Stopwords)
+        Tables.documents(s, d).select(
+            col("doc_id"), score.as("quality"),
+            TextStats.qualityBucket(score).as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |q AS (
+              |  SELECT doc_id,
+              |    least(1.0, CAST(len(toks) AS DOUBLE)/100.0) * 0.4 +
+              |    (1.0 - CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)/len(toks)) * 0.3 +
+              |    CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) * 0.3 AS quality
+              |  FROM t)
+              |SELECT doc_id, quality,
+              |  CASE WHEN quality >= 0.7 THEN 'high'
+              |       WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END AS bucket
+              |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: marker-profile hit counts, earliest-max
+    // argmax. Compared against the ground-truth lang column.
+    ("q_lang_id",
+      (s: SparkSession, d: String) => {
+        val scores = TextStats.langScores(col("text"), LangProfiles)
+        val cols = scores.map { case (l, c) => c.as(s"s_$l") }
+        Tables.documents(s, d).select(
+            (Seq(col("doc_id"), col("lang"),
+              TextStats.predictedLang(col("text"), LangProfiles).as("predicted")) ++ cols): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val profs = LangProfiles.toSeq.sortBy(_._1)
+        val scoreExprs = profs.map { case (l, ws) =>
+          val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"CAST(len(list_filter(list_distinct(toks), x -> list_contains($list, x))) AS INT) AS s_$l"
+        }.mkString(",\n    ")
+        val langs = profs.map(_._1)
+        val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+           |sc AS (
+           |  SELECT doc_id, lang,
+           |    $scoreExprs
+           |  FROM t)
+           |SELECT doc_id, lang, CASE $pick END AS predicted,
+           |  s_de, s_en, s_es, s_fr, s_zh
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    // Exact dedup on the canonical fingerprint (sorted distinct token set
+    // → md5): keeps min doc_id per group; 21 non-trivial groups at sf0.01.
+    ("q_fingerprint_dedup",
+      (s: SparkSession, d: String) => {
+        Dedup.exactDedup(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            idCol = "doc_id",
+            key = TextStats.fingerprint(col("text")))
+          .select("dedup_key", "doc_id", "group_size")
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS dedup_key
+             |  FROM documents),
+             |g AS (
+             |  SELECT dedup_key, min(doc_id) AS doc_id,
+             |    CAST(count(*) AS BIGINT) AS group_size
+             |  FROM fp GROUP BY dedup_key)
+             |SELECT dedup_key, doc_id, group_size FROM g ORDER BY doc_id""".stripMargin)),
+
+    // MinHash + LSH near-dup detection: 3-shingles, 8 md5 min-hashes,
+    // 4 bands × 2 rows, candidates verified by exact Jaccard ≥ 0.8.
+    ("q_minhash_lsh",
+      (s: SparkSession, d: String) => {
+        Dedup.minhashNearDups(
+            Tables.documents(s, d), idCol = "doc_id", textCol = "text",
+            shingleSize = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents),
+             |sig AS (
+             |  SELECT doc_id,
+             |    min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1,
+             |    min(md5('2:' || shingle)) AS mh_2, min(md5('3:' || shingle)) AS mh_3,
+             |    min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5,
+             |    min(md5('6:' || shingle)) AS mh_6, min(md5('7:' || shingle)) AS mh_7
+             |  FROM sh GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 AS band_sig FROM sig
+             |  UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+             |  UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+             |  UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+             |  FROM cand c
+             |  JOIN sh x ON x.doc_id = c.id_a
+             |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+             |  GROUP BY c.id_a, c.id_b)
+             |SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+             |FROM inter i
+             |JOIN sizes sa ON sa.doc_id = i.id_a
+             |JOIN sizes sb ON sb.doc_id = i.id_b
+             |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Exact n-gram Jaccard among a bounded candidate window (doc_id < 300):
+    // the exact-answer baseline the LSH path approximates.
+    ("q_ngram_jaccard",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+        val pairs = sh.select(col("doc_id").as("id_a")).distinct()
+          .join(sh.select(col("doc_id").as("id_b")).distinct(), col("id_a") < col("id_b"))
+        Dedup.jaccardForPairs(pairs, sh, "doc_id")
+          .filter(col("jaccard") >= 0.3)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents WHERE doc_id < 300),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+             |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT i.id_a, i.id_b,
+             |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+             |FROM inter i
+             |JOIN sizes sa ON sa.doc_id = i.id_a
+             |JOIN sizes sb ON sb.doc_id = i.id_b
+             |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Brute-force cosine top-k similarity search (exact ANN baseline).
+    ("q_embedding_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 10), emb,
+            idCol = "vec_id", vecCol = "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, e,
+             |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM v),
+             |pairs AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_reduce(list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i]), (x,y) -> x+y)
+             |      / (q.nrm * c.nrm) AS cosine
+             |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM pairs)
+             |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // Per-label embedding statistics (IVF partition stats): exact-fold
+    // norms, min/max only (float-sum means are engine-order-dependent).
+    ("q_embedding_label_stats",
+      (s: SparkSession, d: String) => {
+        Similarity.labelStats(Tables.embeddings(s, d), "label", "embedding")
+          .orderBy("label")
+      },
+      Some("""WITH n AS (
+             |  SELECT label,
+             |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM embeddings)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             |  min(nrm) AS min_norm, max(nrm) AS max_norm
+             |FROM n GROUP BY label ORDER BY label""".stripMargin)),
+
+    // SimHash near-dup pairs (rows-only: 64-bit × per-token SQL mirror is
+    // impractical; covered by DedupSpec planted-duplicate tests).
+    ("q_simhash_neardup",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+        val a = docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .withColumn("hamming", Dedup.hammingDistance64(col("sig_a"), col("sig_b")))
+          .filter(col("hamming") <= 6)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // LSH-bucketed cosine top-k (the approximate scale path; rows-only:
+    // recall vs brute force is asserted in SimilaritySpec).
+    ("q_lsh_cosine_topk",
+      (s: SparkSession, d: String) => {
+        Similarity.lshTopK(Tables.embeddings(s, d),
+            idCol = "vec_id", vecCol = "embedding", nPlanes = 8, dim = 64, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      None)
+  )
+}
