@@ -20,7 +20,8 @@ object SparkEntry {
     WindowQueries,
     JoinQueries,
     ScalarFuncQueries,
-    LlmQueries
+    LlmQueries,
+    TrajectoryQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

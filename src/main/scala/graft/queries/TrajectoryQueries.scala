@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.trajectory.{TrajectoryOps, BehaviorGenerator, Extrinsics}
+import graft.graph.{Knn, ConnectedComponents}
+
+/** Trajectory + graph family (SURVEY.md §2.5 W7/W8, §2.10 generator/CC). */
+object TrajectoryQueries extends QueryFamily {
+
+  def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // W7 — rate-clamp recurrence (depends on previous OUTPUT → sorted
+    // per-group scan, not a window; reference: transform_track.py:215-262).
+    // Oracle: the same recurrence as a recursive CTE.
+    ("q_rate_clamp",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val indexed = Tables.events(s, d)
+          .withColumn("idx", row_number().over(w))
+          .select(col("user_id"), col("idx"), col("value"))
+        TrajectoryOps.rateClamp(indexed, "user_id", "idx", "value", maxDelta = 5.0)
+          .orderBy("seq", "idx")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS seq,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS idx,
+             |    value AS target
+             |  FROM events),
+             |r(seq, idx, target, clamped) AS (
+             |  SELECT seq, idx, target, target FROM t WHERE idx = 1
+             |  UNION ALL
+             |  SELECT t.seq, t.idx, t.target,
+             |    r.clamped + greatest(least(t.target - r.clamped, 5.0), -5.0)
+             |  FROM r JOIN t ON t.seq = r.seq AND t.idx = r.idx + 1)
+             |SELECT seq, idx, target, clamped FROM r ORDER BY seq, idx""".stripMargin)),
+
+    // W8 — arc-length-uniform resample to 5 points per sequence with
+    // linear interpolation (reference: nav_utils.py:233-271). lineitem
+    // quantities are the segment lengths, extendedprice the sampled value.
+    ("q_resample",
+      (s: SparkSession, d: String) => {
+        val pts = graft.operators.Windows.cumSum(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+            .filter(col("l_orderkey") < 2000),
+          part = Seq("l_orderkey"),
+          order = Seq(col("l_linenumber"), col("l_quantity")),
+          v = col("l_quantity"), as = "cum_dist")
+        TrajectoryOps.resampleByCount(pts, "l_orderkey", "l_extendedprice", n = 5)
+          .orderBy("seq", "sample_idx")
+      },
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT l_orderkey AS seq,
+             |    SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    l_extendedprice AS v
+             |  FROM lineitem WHERE l_orderkey < 2000),
+             |totals AS (SELECT seq, max(cum) AS total FROM pts GROUP BY seq),
+             |targets AS (
+             |  SELECT seq, i AS sample_idx, i * total / 4.0 AS t,
+             |    CAST(NULL AS DOUBLE) AS cum, CAST(NULL AS DOUBLE) AS v, 1 AS isq
+             |  FROM totals, generate_series(0, 4) g(i)),
+             |puni AS (
+             |  SELECT seq, CAST(NULL AS INT) AS sample_idx, cum AS t, cum, v, 0 AS isq FROM pts
+             |  UNION ALL SELECT * FROM targets),
+             |ann AS (
+             |  SELECT *,
+             |    last_value(cum IGNORE NULLS) OVER (PARTITION BY seq ORDER BY t, isq
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+             |    last_value(v IGNORE NULLS) OVER (PARTITION BY seq ORDER BY t, isq
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    first_value(cum IGNORE NULLS) OVER (PARTITION BY seq ORDER BY t, isq
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+             |    first_value(v IGNORE NULLS) OVER (PARTITION BY seq ORDER BY t, isq
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+             |  FROM puni)
+             |SELECT seq, CAST(sample_idx AS INT) AS sample_idx, t AS target_dist,
+             |  CASE WHEN pc IS NULL THEN nv
+             |       WHEN nc IS NULL THEN pv
+             |       WHEN nc = pc THEN pv
+             |       ELSE pv + (nv - pv) * (t - pc) / (nc - pc) END AS value
+             |FROM ann WHERE isq = 1 ORDER BY seq, sample_idx""".stripMargin)),
+
+    // E15/A9 — connected components over kNN edges + island ratios
+    // (reference: navmesh_connectivity.py:157-207). Oracle: recursive-CTE
+    // min-label closure.
+    ("q_connected_components",
+      (s: SparkSession, d: String) => {
+        val edges = Knn.bruteForce(
+            Tables.embeddings(s, d).filter(col("vec_id") < 40),
+            idCol = "vec_id", vecCol = "embedding", k = 3)
+          .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        ConnectedComponents.labelPropagation(edges)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id < 40),
+             |pairs AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst,
+             |    sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+             |      i -> (a.v[i]-b.v[i])*(a.v[i]-b.v[i])), (x,y) -> x+y)) AS dist
+             |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+             |knn AS (
+             |  SELECT src, dst FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+             |    FROM pairs) WHERE rn <= 3),
+             |edges AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+             |cc(node, label) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node)
+             |SELECT node, min(label) AS component FROM cc GROUP BY node ORDER BY node""".stripMargin)),
+
+    ("q_island_ratios",
+      (s: SparkSession, d: String) => {
+        val edges = Knn.bruteForce(
+            Tables.embeddings(s, d).filter(col("vec_id") < 40),
+            idCol = "vec_id", vecCol = "embedding", k = 3)
+          .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        ConnectedComponents.islandRatios(
+            ConnectedComponents.labelPropagation(edges), minRatio = 0.10)
+      },
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id < 40),
+             |pairs AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst,
+             |    sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+             |      i -> (a.v[i]-b.v[i])*(a.v[i]-b.v[i])), (x,y) -> x+y)) AS dist
+             |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+             |knn AS (
+             |  SELECT src, dst FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+             |    FROM pairs) WHERE rn <= 3),
+             |edges AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+             |cc(node, label) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+             |comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM comp)
+             |SELECT component, CAST(count(*) AS BIGINT) AS size,
+             |  count(*) / (SELECT n FROM tot) AS ratio
+             |FROM comp GROUP BY component
+             |HAVING count(*) / (SELECT n FROM tot) >= 0.10
+             |ORDER BY size DESC, component ASC""".stripMargin)),
+
+    // E5/E6 — seeded behavior-trajectory generation (UDTF via
+    // flatMapGroups; reference: behavior_executor.py:638-857). Rows-only:
+    // determinism + invariants covered by BehaviorGeneratorSpec.
+    ("q_behavior_trajectory",
+      (s: SparkSession, d: String) => {
+        val jobs = Tables.nation(s, d).select(
+          concat(lit("seq_"), col("n_nationkey")).as("sequence_id"),
+          (col("n_nationkey") + 10001L).as("seed"))
+        val samples = BehaviorGenerator.generateAll(jobs)
+        val withDist = TrajectoryOps.cumArcLength(samples, "sequence_id", "frame",
+          col("x"), col("y"), col("z"))
+        withDist.groupBy("sequence_id")
+          .agg(count(lit(1)).as("n_frames"),
+            round(max(col("cum_dist")), 3).as("path_length_cm"),
+            countDistinct(col("segment_idx")).as("n_segments"),
+            round(min(col("pitch")), 3).as("min_pitch"),
+            round(max(col("pitch")), 3).as("max_pitch"))
+          .orderBy("sequence_id")
+      },
+      None),
+
+    // E8 — extrinsic matrix export rows (frame, m00..m33; reference:
+    // camera_exporter.py:383-437). Rows-only: orthonormality + golden
+    // values covered by ExtrinsicsSpec.
+    ("q_extrinsic_export",
+      (s: SparkSession, d: String) => {
+        val jobs = Tables.nation(s, d).filter(col("n_nationkey") < 3)
+          .select(concat(lit("seq_"), col("n_nationkey")).as("sequence_id"),
+            (col("n_nationkey") + 10001L).as("seed"))
+        val samples = BehaviorGenerator.generateAll(jobs)
+          .withColumn("roll", lit(0.0))
+        Extrinsics.extrinsicRows(samples, "frame", "x", "y", "z",
+            "roll", "pitch", "yaw")
+          .orderBy("frame")
+      },
+      None)
+  )
+}

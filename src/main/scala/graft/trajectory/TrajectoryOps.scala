@@ -1,0 +1,133 @@
+package graft.trajectory
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Trajectory window chain (SURVEY.md §2.5: W2-W8; reference:
+  * sequence/worker_create.py, keyframe/transform_track.py,
+  * navigation/nav_utils.py).
+  *
+  * Partitioning contract: every operator shuffles once on the sequence id
+  * and processes each trajectory as an ordered group — one sequence ≈
+  * a few thousand frames, so per-group state always fits in memory even
+  * when the table holds millions of sequences (the 100 TB layout:
+  * partition count scales with sequences, group size stays constant).
+  */
+object TrajectoryOps {
+
+  /** Per-segment 3-D distance + running arc length (W2; reference:
+    * nav_utils.py:239-242). Adds `seg_dist` and `cum_dist`. */
+  def cumArcLength(df: DataFrame, seqCol: String, orderCol: String,
+      x: Column, y: Column, z: Column): DataFrame = {
+    val w = Window.partitionBy(seqCol).orderBy(orderCol)
+    val dx = x - lag(x, 1).over(w)
+    val dy = y - lag(y, 1).over(w)
+    val dz = z - lag(z, 1).over(w)
+    df.withColumn("seg_dist",
+        coalesce(sqrt(dx * dx + dy * dy + dz * dz), lit(0.0)))
+      .withColumn("cum_dist", sum(col("seg_dist")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** W4 — yaw from consecutive points: degrees(atan2(dy,dx)) of
+    * (p[i], p[i+1]); last row reuses the previous pair's yaw
+    * (reference: transform_track.py:10-24, worker_create.py:936-940). */
+  def yawFromPoints(df: DataFrame, seqCol: String, orderCol: String,
+      x: Column, y: Column): DataFrame = {
+    val w = Window.partitionBy(seqCol).orderBy(orderCol)
+    val yawNext = degrees(atan2(lead(y, 1).over(w) - y, lead(x, 1).over(w) - x))
+    df.withColumn("yaw", coalesce(yawNext, lag(yawNext, 1).over(w)))
+  }
+
+  /** W5 — pitch from slope, clamped (reference: transform_track.py:27-53). */
+  def pitchFromSlope(df: DataFrame, seqCol: String, orderCol: String,
+      x: Column, y: Column, z: Column, minPitch: Double, maxPitch: Double): DataFrame = {
+    val w = Window.partitionBy(seqCol).orderBy(orderCol)
+    val dx = lead(x, 1).over(w) - x
+    val dy = lead(y, 1).over(w) - y
+    val dz = lead(z, 1).over(w) - z
+    val pitchNext = degrees(atan2(dz, sqrt(dx * dx + dy * dy)))
+    df.withColumn("pitch",
+      greatest(least(coalesce(pitchNext, lag(pitchNext, 1).over(w)),
+        lit(maxPitch)), lit(minPitch)))
+  }
+
+  /** W7 — rate-clamp recurrence: out(i) = out(i-1) + clamp(target(i) −
+    * out(i-1), ±maxDelta). Depends on the previous *output*, so it is not
+    * a window function; implemented as a sorted per-group scan
+    * (`groupByKey.flatMapGroups`) — the idiomatic Dataset form for
+    * sequential kernels (reference: transform_track.py:215-262).
+    *
+    * Input columns: (seqCol: string-able, idxCol: long-able, targetCol:
+    * double). Output: (seq, idx, target, clamped).
+    */
+  def rateClamp(df: DataFrame, seqCol: String, idxCol: String,
+      targetCol: String, maxDelta: Double): DataFrame = {
+    val spark = df.sparkSession
+    val rowEnc = Encoders.row(StructType(Seq(
+      StructField("seq", StringType), StructField("idx", LongType),
+      StructField("target", DoubleType), StructField("clamped", DoubleType))))
+    val prepared = df.select(
+      col(seqCol).cast("string").as("seq"),
+      col(idxCol).cast("long").as("idx"),
+      col(targetCol).cast("double").as("target"))
+    implicit val enc = rowEnc
+    prepared
+      .groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroups { (seq: String, rows: Iterator[Row]) =>
+        val sorted = rows.toArray.sortBy(_.getLong(1))
+        var out = Double.NaN
+        sorted.iterator.map { r =>
+          val target = r.getDouble(2)
+          out =
+            if (out.isNaN) target
+            else out + math.max(math.min(target - out, maxDelta), -maxDelta)
+          Row(seq, r.getLong(1), target, out)
+        }
+      }
+  }
+
+  /** W8 — arc-length-uniform resample to `n` points per sequence
+    * (reference: nav_utils.py:233-271). Implemented as target generation
+    * (`sequence` + `explode`) + a single ordered-window pass (union of
+    * targets and source points, last/first ignoreNulls) + linear
+    * interpolation — the as-of join form, one shuffle on the sequence id.
+    *
+    * Input: df with (seqCol, cum_dist ascending per seq, valCol).
+    * Output: (seq, sample_idx, target_dist, value).
+    */
+  def resampleByCount(df: DataFrame, seqCol: String, valCol: String, n: Int): DataFrame = {
+    val totals = df.groupBy(col(seqCol).as("seq"))
+      .agg(max(col("cum_dist")).as("_total"))
+    val targets = totals
+      .withColumn("sample_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("_t", col("sample_idx") * col("_total") / (n - 1).toDouble)
+      .select(col("seq"), col("sample_idx"), col("_t"), lit(null).cast("double").as("_cum"),
+        lit(null).cast("double").as("_v"), lit(1).as("_isq"))
+    val points = df.select(col(seqCol).as("seq"),
+        lit(null).cast("int").as("sample_idx"),
+        col("cum_dist").as("_t"), col("cum_dist").as("_cum"),
+        col(valCol).cast("double").as("_v"), lit(0).as("_isq"))
+    val all = targets.unionByName(points)
+    val ord = Seq(col("_t").asc, col("_isq").asc)
+    val wPrev = Window.partitionBy("seq").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("seq").orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val annotated = all
+      .withColumn("_pc", last(col("_cum"), ignoreNulls = true).over(wPrev))
+      .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(wPrev))
+      .withColumn("_nc", first(col("_cum"), ignoreNulls = true).over(wNext))
+      .withColumn("_nv", first(col("_v"), ignoreNulls = true).over(wNext))
+      .filter(col("_isq") === 1)
+    annotated.withColumn("value",
+        when(col("_pc").isNull, col("_nv"))
+          .when(col("_nc").isNull, col("_pv"))
+          .when(col("_nc") === col("_pc"), col("_pv"))
+          .otherwise(col("_pv") +
+            (col("_nv") - col("_pv")) * (col("_t") - col("_pc")) / (col("_nc") - col("_pc"))))
+      .select(col("seq"), col("sample_idx"), col("_t").as("target_dist"), col("value"))
+  }
+}
