@@ -21,7 +21,8 @@ object SparkEntry {
     JoinQueries,
     ScalarFuncQueries,
     LlmQueries,
-    TrajectoryQueries
+    TrajectoryQueries,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

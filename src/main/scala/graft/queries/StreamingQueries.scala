@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Batch-mode analogs of the queue/monitor semantics (SURVEY.md §2.9) —
+  * the streaming forms (flatMapGroupsWithState, ProcessingTimeTimeout)
+  * are covered by StreamingSpec; these verify the same logic as
+  * deterministic batch queries the DuckDB oracle can check.
+  */
+object StreamingQueries extends QueryFamily {
+
+  def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // Q2 batch — latest task state per key (the `task:{id}` hash):
+    // argmax by (ts, event_id) + event counts.
+    ("q_task_latest_state",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("_rn", row_number().over(w))
+          .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")))
+          .filter(col("_rn") === 1)
+          .select(col("user_id"), col("event_type").as("last_status"),
+            unix_micros(col("ts")).as("last_ts_us"), col("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+             |  FROM events)
+             |SELECT user_id, event_type AS last_status,
+             |  epoch_us(ts) AS last_ts_us, n_events
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Q3 batch — heartbeat TTL: workers whose last beat is older than
+    // (global max − 30 min) are dead (reference: structure.md TTL=60s).
+    ("q_stale_heartbeat",
+      (s: SparkSession, d: String) => {
+        val lastBeat = Tables.events(s, d)
+          .groupBy("user_id").agg(max(unix_micros(col("ts"))).as("last_ts_us"))
+        val now = lastBeat.agg(max(col("last_ts_us")).as("_now"))
+        lastBeat.crossJoin(broadcast(now))
+          .withColumn("stale", col("last_ts_us") < col("_now") - 1800L * 1000000L)
+          .select("user_id", "last_ts_us", "stale")
+          .orderBy("user_id")
+      },
+      Some("""WITH lb AS (
+             |  SELECT user_id, max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY user_id)
+             |SELECT user_id, last_ts_us,
+             |  last_ts_us < (SELECT max(last_ts_us) FROM lb) - 1800000000 AS stale
+             |FROM lb ORDER BY user_id""".stripMargin)),
+
+    // Q5 — "silence ⇒ done" as a native event-time session window
+    // (session ends after 10 min without events;
+    // reference: run_render_job_headless.py:318-325).
+    ("q_session_silence",
+      (s: SparkSession, d: String) => {
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n_frames"),
+            unix_micros(min(col("ts"))).as("session_start_us"))
+          .select("user_id", "session_start_us", "n_frames")
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    SUM(CASE WHEN gap IS NULL OR gap >= 600000000 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g)
+             |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+             |  CAST(count(*) AS BIGINT) AS n_frames
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_us""".stripMargin))
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.CatalogOps
+import graft.operators.Filters
+
+class CatalogOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsertLatest keeps newest row but preserves created_at from oldest") {
+    val existing = Seq(("s1", 1L, "old-meta", "2024-01-01"), ("s2", 1L, "keep", "2024-02-01"))
+      .toDF("key", "v", "meta", "created")
+    val updates = Seq(("s1", 2L, "new-meta", "2024-03-01"))
+      .toDF("key", "v", "meta", "created")
+    val out = CatalogOps.upsertLatest(existing, updates,
+      keys = Seq("key"), version = "v", preserveFromExisting = Seq("created"))
+      .orderBy("key").collect()
+    assert(out.length == 2)
+    val s1 = out(0)
+    assert(s1.getAs[String]("meta") == "new-meta")     // updated column
+    assert(s1.getAs[String]("created") == "2024-01-01") // preserved column
+    assert(out(1).getAs[String]("meta") == "keep")
+  }
+
+  test("upsertLatest update wins over existing at equal version") {
+    val existing = Seq(("s1", 5L, "e")).toDF("key", "v", "meta")
+    val updates = Seq(("s1", 5L, "u")).toDF("key", "v", "meta")
+    val out = CatalogOps.upsertLatest(existing, updates, Seq("key"), "v")
+    assert(out.collect().head.getAs[String]("meta") == "u")
+  }
+
+  test("statusPreservingMerge keeps survivor state, defaults new") {
+    val newItems = Seq("a", "b", "c").toDF("k")
+    val oldState = Seq(("a", true), ("z", true)).toDF("k", "flag")
+    val out = CatalogOps.statusPreservingMerge(newItems, oldState, Seq("k"),
+      Map("flag" -> lit(false))).orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("a", true), ("b", false), ("c", false))) // z dropped, b/c defaulted
+  }
+
+  test("statistics computes conditional counts in one pass") {
+    val df = Seq(("x", 1), ("x", 5), ("y", 10)).toDF("g", "v")
+    val out = CatalogOps.statistics(df, Seq("g"),
+      conds = Seq("big" -> (col("v") > 3)), sums = Seq("sv" -> col("v")))
+      .orderBy("g").collect()
+    assert(out(0).getAs[Long]("total") == 2 && out(0).getAs[Long]("big") == 1)
+    assert(out(1).getAs[Long]("sv") == 10)
+  }
+
+  test("glob translation anchors and escapes") {
+    assert(Filters.globToRegex("*.txt") == "(?s).*\\.txt")
+    assert(Filters.globToRegex("a?c") == "(?s)a.c")
+    assert(Filters.globToRegex("x[1]") == "(?s)x\\[1\\]")
+  }
+
+  test("searchWithFallback prefers exact match") {
+    val df = Seq("Alpha", "alphabet", "beta").toDF("name")
+    val exact = Filters.searchWithFallback(df, "name", "ALPHA").collect()
+    assert(exact.map(_.getString(0)).toSeq == Seq("Alpha"))
+    val fuzzy = Filters.searchWithFallback(df, "name", "alph").collect()
+    assert(fuzzy.map(_.getString(0)).toSet == Set("Alpha", "alphabet"))
+  }
+}

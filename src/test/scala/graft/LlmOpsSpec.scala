@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llmops.{Dedup, Similarity, TextStats}
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+  private val nearDup = base.replace("green", "blue") // 1-word perturbation
+  private val unrelated = "completely different content about spark query engines and columnar execution at scale"
+
+  lazy val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical fingerprints, keeps min id") {
+    val out = Dedup.exactDedup(docs, "doc_id", TextStats.fingerprint(col("text")))
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)                       // 0 and 3 collapse
+    val g = out.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(g.getAs[Long]("group_size") == 2)
+  }
+
+  test("minhash LSH finds the planted near-duplicate, not the unrelated doc") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))               // near-dup found
+    assert(pairs.contains((0L, 3L)))               // exact dup found
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated excluded
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val sh = Dedup.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).collect().map(_.getString(1)).toSet
+    assert(sh == Set("a b c", "b c d"))
+  }
+
+  test("simhash: identical texts → distance 0, perturbed → small, unrelated → large") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 3L) == 0)
+    assert(ham(0L, 1L) < ham(0L, 2L))
+  }
+
+  test("LSH cosine buckets reach full recall for identical vectors and beat random") {
+    val vecs = (0 until 30).map { i =>
+      val rng = new scala.util.Random(i % 10) // 10 distinct vectors, 3 copies each
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", nPlanes = 6, dim = 16, k = 3)
+      .collect()
+    // identical copies always share every hyperplane bucket → each vector
+    // finds its 2 clones at cosine ≈ 1
+    val byQuery = lsh.groupBy(_.getAs[Long]("query_id"))
+    (0 until 30).foreach { i =>
+      val clones = (0 until 30).filter(j => j % 10 == i % 10 && j != i).map(_.toLong).toSet
+      val found = byQuery.get(i.toLong).map(_.map(_.getAs[Long]("cand_id")).toSet).getOrElse(Set())
+      assert(clones.subsetOf(found), s"query $i: clones $clones not in $found")
+    }
+  }
+
+  test("brute-force top-k ranks exact nearest first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("text stats: counts and ratios") {
+    val df = Seq((1L, "the the fox", 11L)).toDF("doc_id", "text", "n_chars")
+    val out = df.select(
+      TextStats.tokenCount(col("text")).as("n"),
+      TextStats.stopwordRatio(col("text"), Seq("the")).as("sr"),
+      TextStats.uniqueTokenRatio(col("text")).as("ur"),
+      TextStats.bpeTokenEstimate(col("n_chars")).as("bpe")).collect().head
+    assert(out.getAs[Int]("n") == 3)
+    assert(math.abs(out.getAs[Double]("sr") - 2.0 / 3) < 1e-12)
+    assert(math.abs(out.getAs[Double]("ur") - 2.0 / 3) < 1e-12)
+    assert(out.getAs[Long]("bpe") == 3L)
+  }
+
+  test("language ID picks profile with most marker hits") {
+    val profiles = Map("en" -> Seq("the"), "de" -> Seq("der", "und"))
+    val df = Seq((1L, "der hund und die katze"), (2L, "the cat sat")).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextStats.predictedLang(col("text"), profiles).as("lang"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "de")
+    assert(out(1).getString(1) == "en")
+  }
+}

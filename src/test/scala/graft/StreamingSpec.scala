@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.TestGroupState
+import graft.streaming.TaskStateMachine
+import graft.streaming.TaskStateMachine._
+
+class StreamingSpec extends SparkSpec {
+
+  private def state(initial: Option[TaskState]) =
+    TestGroupState.create[TaskState](
+      optionalState = initial.map(org.apache.spark.api.java.Optional.of[TaskState])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[TaskState]()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+
+  test("task state machine: queued → rendering → completed removes state") {
+    val s1 = state(None)
+    val out1 = updateTaskState("t1",
+      Iterator(TaskEvent("t1", "queued", null, 100L, null)), s1).toSeq
+    assert(out1.head.status == "queued" && s1.exists)
+
+    val s2 = state(Some(out1.head))
+    val out2 = updateTaskState("t1",
+      Iterator(TaskEvent("t1", "rendering", "w1", 200L, null)), s2).toSeq
+    assert(out2.head.status == "rendering" && out2.head.workerId == "w1")
+
+    val s3 = state(Some(out2.head))
+    val out3 = updateTaskState("t1",
+      Iterator(TaskEvent("t1", "completed", "w1", 300L, null)), s3).toSeq
+    assert(out3.head.status == "completed")
+    assert(!s3.exists) // terminal → state freed
+  }
+
+  test("failed task requeues with retry counting up to MaxRetries") {
+    var cur = updateTaskState("t1",
+      Iterator(TaskEvent("t1", "queued", null, 0L, null)), state(None)).toSeq.head
+    for (i <- 1 to MaxRetries) {
+      val s = state(Some(cur))
+      cur = updateTaskState("t1",
+        Iterator(TaskEvent("t1", "failed", "w1", i * 100L, s"err$i")), s).toSeq.head
+      assert(cur.status == "queued", s"retry $i should requeue")
+      assert(cur.attempts == i)
+    }
+    // exceeding MaxRetries → terminal failed
+    val s = state(Some(cur))
+    val last = updateTaskState("t1",
+      Iterator(TaskEvent("t1", "failed", "w1", 999L, "final")), s).toSeq.head
+    assert(last.status == "failed" && last.attempts == MaxRetries + 1)
+    assert(!s.exists)
+  }
+
+  test("events within a batch apply in timestamp order") {
+    val out = updateTaskState("t1", Iterator(
+      TaskEvent("t1", "rendering", "w1", 200L, null),
+      TaskEvent("t1", "queued", null, 100L, null)), state(None)).toSeq
+    assert(out.head.status == "rendering")
+    assert(out.head.createdAtMillis == 100L)
+  }
+
+  test("worker heartbeat timeout emits dead-worker event") {
+    val alive = TestGroupState.create[WorkerStatus](
+      org.apache.spark.api.java.Optional.of(WorkerStatus("w1", alive = true, 500L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 100000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = updateWorker(60000L)("w1", Iterator.empty, alive).toSeq
+    assert(out.head.alive == false && !alive.exists)
+  }
+
+  test("end-to-end: task events stream through flatMapGroupsWithState") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[TaskEvent]
+    val query = TaskStateMachine.taskStates(input.toDS())
+      .writeStream.format("memory").queryName("task_states")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        TaskEvent("t1", "queued", null, 100L, null),
+        TaskEvent("t2", "queued", null, 110L, null))
+      query.processAllAvailable()
+      input.addData(TaskEvent("t1", "completed", "w1", 200L, null))
+      query.processAllAvailable()
+      val rows = sp.table("task_states").collect()
+      val t1 = rows.filter(_.getAs[String]("taskId") == "t1").map(_.getAs[String]("status"))
+      assert(t1.contains("queued") && t1.contains("completed"))
+    } finally query.stop()
+  }
+}
