@@ -22,7 +22,8 @@ object SparkEntry {
     ScalarFuncQueries,
     LlmQueries,
     TrajectoryQueries,
-    StreamingQueries
+    StreamingQueries,
+    SourceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

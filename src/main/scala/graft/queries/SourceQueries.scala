@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.sources.Sources
+import graft.llmops.Multimodal
+
+/** Source/sink + multimodal family (SURVEY.md §2.1 S5-S8; builder-prompt
+  * multimodal extension). */
+object SourceQueries extends QueryFamily {
+
+  def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // S8 — bcecmd CLI listing parse: semi-structured text → typed rows
+    // (PRE prefixes, TOTAL footers, paths with spaces;
+    // reference: storage/scene_copy.py:94-145). Input lines are
+    // constructed from the customer table so the oracle sees the same.
+    ("q_bcecmd_parse",
+      (s: SparkSession, d: String) => {
+        val lines = Tables.customer(s, d).select(
+          when(col("c_custkey") % 5 === 0,
+            concat(lit("  PRE  UE4scenes/"), col("c_name"), lit(" harbour/")))
+            .when(col("c_custkey") % 7 === 0, lit("TOTAL 42 OBJECTS; 999 BYTES"))
+            .otherwise(concat(lit("2026-01-12 08:33:21  "), col("c_custkey"),
+              lit("  bos:/b/"), col("c_name"), lit(" frame 0001.png")))
+            .as("value"))
+        Sources.parseBcecmdListing(lines)
+          .orderBy("key")
+      },
+      Some("""WITH lines AS (
+             |  SELECT CASE
+             |    WHEN c_custkey % 5 = 0 THEN '  PRE  UE4scenes/' || c_name || ' harbour/'
+             |    WHEN c_custkey % 7 = 0 THEN 'TOTAL 42 OBJECTS; 999 BYTES'
+             |    ELSE '2026-01-12 08:33:21  ' || CAST(c_custkey AS VARCHAR) || '  bos:/b/' || c_name || ' frame 0001.png'
+             |    END AS value
+             |  FROM customer),
+             |t AS (SELECT trim(value) AS v FROM lines
+             |      WHERE NOT starts_with(trim(value), 'TOTAL') AND trim(value) <> ''),
+             |p AS (
+             |  SELECT v, starts_with(v, 'PRE') AS is_prefix,
+             |    CASE WHEN starts_with(v, 'PRE')
+             |         THEN regexp_replace(regexp_extract(v, '^PRE\s+(.*)$', 1), '/$', '')
+             |         ELSE regexp_extract(v, '^\S+\s+\S+\s+\d+\s+(.*)$', 1) END AS key,
+             |    CASE WHEN starts_with(v, 'PRE') THEN NULL
+             |         ELSE CAST(regexp_extract(v, '^\S+\s+\S+\s+(\d+)\s+', 1) AS BIGINT) END AS size,
+             |    CASE WHEN starts_with(v, 'PRE') THEN NULL
+             |         ELSE regexp_extract(v, '^(\S+\s+\S+)\s+\d+\s+', 1) END AS modified
+             |  FROM t)
+             |SELECT key, size, modified, is_prefix FROM p
+             |WHERE key <> '' ORDER BY key""".stripMargin)),
+
+    // S5 — recursive FS inventory via binaryFile listing (metadata-only
+    // scan; rows-only: sizes/mtimes are environment state).
+    ("q_fs_inventory",
+      (s: SparkSession, d: String) => {
+        Sources.fsInventory(s, "/root/repo/src", "*.scala")
+          .select(col("path"), col("size"))
+          .orderBy("path")
+      },
+      None),
+
+    // S2/S3 — scenes.json document build: rows → nested catalog doc
+    // (envelope + maps arrays; rows-only: single-row nested document).
+    ("q_scenes_json_doc",
+      (s: SparkSession, d: String) => {
+        val scenes = Tables.nation(s, d).select(
+          col("n_name").as("scene_name"),
+          concat(lit("dir_"), col("n_name")).as("launch_directory"),
+          concat(lit("/Game/"), col("n_name")).as("base_game_path"))
+        val maps = Tables.supplier(s, d).join(Tables.nation(s, d),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("scene_name"),
+            col("s_name").as("map_name"),
+            concat(lit("/Game/"), col("n_name"), lit("/Maps/"), col("s_name")).as("map_path"))
+        Sources.scenesJsonDocument(scenes, maps)
+      },
+      None),
+
+    // Multimodal — binary payload → stub-decoded pooled features via
+    // mapPartitions batches (deterministic synthetic media; rows-only:
+    // binary plumbing has no SQL analog).
+    ("q_media_features",
+      (s: SparkSession, d: String) => {
+        Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 64), featureDim = 8)
+          .select("media_id", "kind", "n_values", "mean_value")
+          .orderBy("media_id")
+      },
+      None),
+
+    // Multimodal — video frame sampling as metadata explosion.
+    ("q_frame_sample",
+      (s: SparkSession, d: String) => {
+        Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 64), stride = 5)
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
+          .orderBy("media_id")
+      },
+      None)
+  )
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+import graft.llmops.Multimodal
+import graft.trajectory.Extrinsics
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bcecmd parse: PRE prefixes, TOTAL footers, paths with spaces") {
+    val lines = Seq(
+      "  PRE  UE4scenes/Nordic Harbour/",
+      "2026-01-12 08:33:21  123456  bos:/bucket/key with spaces.png",
+      "TOTAL 2 OBJECTS; 123456 BYTES",
+      "").toDF("value")
+    val out = Sources.parseBcecmdListing(lines).orderBy("key").collect()
+    assert(out.length == 2)
+    val pre = out.find(_.getAs[Boolean]("is_prefix")).get
+    assert(pre.getAs[String]("key") == "UE4scenes/Nordic Harbour")
+    assert(pre.get(pre.fieldIndex("size")) == null)
+    val obj = out.find(!_.getAs[Boolean]("is_prefix")).get
+    assert(obj.getAs[String]("key") == "bos:/bucket/key with spaces.png")
+    assert(obj.getAs[Long]("size") == 123456L)
+    assert(obj.getAs[String]("modified") == "2026-01-12 08:33:21")
+  }
+
+  test("scenes.json document build + read roundtrip") {
+    val scenes = Seq(("SceneA", "dirA", "/Game/A"), ("SceneB", "dirB", "/Game/B"))
+      .toDF("scene_name", "launch_directory", "base_game_path")
+    val maps = Seq(("SceneA", "M1", "/Game/A/Maps/M1"), ("SceneA", "M2", "/Game/A/Maps/M2"))
+      .toDF("scene_name", "map_name", "map_path")
+    val doc = Sources.scenesJsonDocument(scenes, maps)
+    val row = doc.collect().head
+    assert(row.getAs[Int]("total_scenes") == 2)
+
+    val tmp = Files.createTempDirectory("scenesjson").toString
+    doc.select(to_json(struct(col("total_scenes"),
+        map_from_entries(transform(col("scenes"),
+          s => struct(s.getField("scene_name"),
+            struct(s.getField("launch_directory"), s.getField("base_game_path"),
+              s.getField("maps"))))).as("scenes"))).as("j"))
+      .as[String].collect()
+      .foreach(j => Files.writeString(java.nio.file.Paths.get(s"$tmp/scenes.json"), j))
+    val back = Sources.readScenesJson(spark, s"$tmp/scenes.json")
+    val rows = back.orderBy("scene_name", "map_name").collect()
+    assert(rows.length == 3) // SceneA×2 maps + SceneB×1 null map
+    assert(rows.head.getAs[String]("map_name") == "M1")
+    assert(rows.last.getAs[String]("scene_name") == "SceneB")
+    assert(rows.last.get(rows.last.fieldIndex("map_name")) == null)
+  }
+
+  test("camera CSV sinks write exact reference column order") {
+    val tmp = Files.createTempDirectory("csv").toString
+    val traj = Seq((0, 100.0, 200.0, 170.0, 0.0, 5.0, 90.0))
+      .toDF("frame", "x", "y", "z", "roll", "pitch", "yaw")
+    Sources.writeCameraCsvs(
+      Extrinsics.extrinsicRows(traj, "frame", "x", "y", "z", "roll", "pitch", "yaw"),
+      Extrinsics.transformRows(traj, "frame", "x", "y", "z", "roll", "pitch", "yaw"),
+      Extrinsics.intrinsicsRow(spark), tmp)
+    def header(sub: String) = {
+      val f = new java.io.File(s"$tmp/$sub").listFiles()
+        .filter(_.getName.endsWith(".csv")).head
+      Files.readAllLines(f.toPath).get(0)
+    }
+    assert(header("extrinsic") == "frame," + (for (r <- 0 until 4; c <- 0 until 4) yield s"m$r$c").mkString(","))
+    assert(header("transform") == "frame,loc_x,loc_y,loc_z,rot_x,rot_y,rot_z")
+    assert(header("intrinsic") == "fov,aspect_ratio,width,height,sensor_width,sensor_height,focal_length")
+    // transform converts cm → m
+    val t = spark.read.option("header", "true").csv(s"$tmp/transform").collect().head
+    assert(t.getAs[String]("loc_x").toDouble == 1.0)
+  }
+
+  test("fs inventory lists only matching files, metadata-only") {
+    val tmp = Files.createTempDirectory("inv")
+    Files.writeString(tmp.resolve("a.umap"), "x")
+    Files.createDirectory(tmp.resolve("sub"))
+    Files.writeString(tmp.resolve("sub/b.umap"), "yy")
+    Files.writeString(tmp.resolve("c.txt"), "zzz")
+    val inv = Sources.fsInventory(spark, tmp.toString, "*.umap")
+    val rows = inv.orderBy("path").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("size")).toSeq == Seq(1L, 2L))
+    val assets = Sources.ueAssetPaths(inv, tmp.toString).orderBy("path").collect()
+    assert(assets.head.getAs[String]("asset_path") == "/Game/a")
+    assert(assets.last.getAs[String]("asset_path") == "/Game/sub/b")
+  }
+
+  test("multimodal: stub decode is deterministic, features have fixed dim") {
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val f1 = Multimodal.extractFeatures(media, 8).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media, 8).orderBy("media_id").collect()
+    assert(f1.map(_.getAs[Double]("mean_value")).toSeq ==
+      f2.map(_.getAs[Double]("mean_value")).toSeq)
+    assert(f1.forall(_.getAs[Seq[Float]]("feature").length == 8))
+    assert(f1.forall(_.getAs[Int]("n_values") == 32)) // 8×4 stub pixels
+  }
+
+  test("frame sampling keeps every stride-th index") {
+    val out = Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, 6), stride = 10)
+    val frames = out.filter(col("media_id") === 2L) // a video row (kind idx 2)
+      .select("frame_idx").as[Int].collect().sorted
+    assert(frames.toSeq == Seq(0, 10, 20)) // n_frames=30, stride 10
+  }
+}
