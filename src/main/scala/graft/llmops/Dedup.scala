@@ -84,7 +84,13 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
+    // the shingle set feeds BOTH the signature branch and the Jaccard
+    // verification branch — persist it so the explode+distinct shuffle
+    // runs once (common-subexpression reuse across branches is exactly
+    // the reference's "connectivity computed once per batch" pattern,
+    // SURVEY.md §4)
     val sh = shingles(df, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(sh, idCol, numHashes)
     val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
     jaccardForPairs(cands, sh, idCol)
@@ -97,14 +103,16 @@ object Dedup {
     * with small Hamming distance. md5-hex-nibble based → portable.
     */
   def simhash64(text: Column): Column = {
-    val toks = array_distinct(split(text, " "))
-    // per token: 16 hex nibbles = 64 bits; accumulate per-bit votes
+    // hash each distinct token ONCE, then derive all 64 bit-votes from the
+    // cached hex strings (64 aggregates over precomputed hashes instead of
+    // 64 md5 evaluations per token)
+    val hashes = transform(array_distinct(split(text, " ")), t => md5(t))
     val bits = (0 until 64).map { b =>
       val nibble = b / 4
       val bitInNibble = b % 4
-      val votes = aggregate(toks, lit(0),
-        (acc, t) => acc +
-          when(((conv(substring(md5(t), nibble + 1, 1), 16, 10).cast("int")
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc +
+          when(((conv(substring(h, nibble + 1, 1), 16, 10).cast("int")
             .bitwiseAND(lit(1 << bitInNibble))) > 0), 1).otherwise(-1))
       when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }

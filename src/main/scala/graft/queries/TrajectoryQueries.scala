@@ -93,7 +93,7 @@ object TrajectoryQueries extends QueryFamily {
             Tables.embeddings(s, d).filter(col("vec_id") < 40),
             idCol = "vec_id", vecCol = "embedding", k = 3)
           .select(col("src_id").as("src"), col("dst_id").as("dst"))
-        ConnectedComponents.labelPropagation(edges)
+        ConnectedComponents.components(edges)
           .orderBy("node")
       },
       Some("""WITH RECURSIVE pts AS (
@@ -122,7 +122,7 @@ object TrajectoryQueries extends QueryFamily {
             idCol = "vec_id", vecCol = "embedding", k = 3)
           .select(col("src_id").as("src"), col("dst_id").as("dst"))
         ConnectedComponents.islandRatios(
-            ConnectedComponents.labelPropagation(edges), minRatio = 0.10)
+            ConnectedComponents.components(edges), minRatio = 0.10)
       },
       Some("""WITH RECURSIVE pts AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

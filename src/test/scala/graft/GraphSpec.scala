@@ -1,0 +1,29 @@
+package graft
+
+import graft.graph.ConnectedComponents
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two triangles + an isolated pair + a bridge-free singleton edge
+  private lazy val edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L),
+    (10L, 11L), (11L, 12L),
+    (20L, 21L)).toDF("src", "dst")
+
+  test("local union-find and distributed label propagation agree") {
+    val local = ConnectedComponents.localUnionFind(edges)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = ConnectedComponents.labelPropagation(edges)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(local == dist)
+    assert(local == Seq((1L,1L),(2L,1L),(3L,1L),(10L,10L),(11L,10L),(12L,10L),(20L,20L),(21L,20L)))
+  }
+
+  test("island ratios filter and order") {
+    val comp = ConnectedComponents.components(edges)
+    val islands = ConnectedComponents.islandRatios(comp, minRatio = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(islands.toSeq == Seq((1L, 3L), (10L, 3L))) // 3/8 each; pair 2/8 < 0.3 dropped
+  }
+}

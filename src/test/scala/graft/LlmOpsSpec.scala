@@ -6,8 +6,10 @@ import graft.llmops.{Dedup, Similarity, TextStats}
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
-  private val nearDup = base.replace("green", "blue") // 1-word perturbation
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the green hills tonight while the pale moon rises slowly above the quiet " +
+    "valley casting long silver shadows across the sleeping meadow below the ridge"
+  private val nearDup = base.replace("green", "blue") // 1-word perturbation, j≈0.93
   private val unrelated = "completely different content about spark query engines and columnar execution at scale"
 
   lazy val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base))
@@ -23,7 +25,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("minhash LSH finds the planted near-duplicate, not the unrelated doc") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-      shingleSize = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+      shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((0L, 1L)))               // near-dup found
     assert(pairs.contains((0L, 3L)))               // exact dup found
