@@ -23,7 +23,8 @@ object SparkEntry {
     LlmQueries,
     TrajectoryQueries,
     StreamingQueries,
-    SourceQueries
+    SourceQueries,
+    MiscQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.functions.{Aggregators, PathFunctions}
+
+/** Remaining §2 operators: LCP aggregation (O8), segment clip (W10),
+  * directory rollup (A6). */
+object MiscQueries extends QueryFamily {
+
+  def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // O8 — longest-common-prefix per group via a typed Aggregator with
+    // map-side partial merge (reference: scene_copy.py:341-368). Oracle
+    // uses the min/max trick: LCP(set) = LCP(lexicographic min, max).
+    ("q_common_prefix",
+      (s: SparkSession, d: String) => {
+        Tables.customer(s, d)
+          .groupBy("c_mktsegment")
+          .agg(Aggregators.lcpAgg(col("c_name")).as("common_prefix"),
+            count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH mm AS (
+             |  SELECT c_mktsegment, min(c_name) AS mn, max(c_name) AS mx,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM customer GROUP BY c_mktsegment)
+             |SELECT c_mktsegment,
+             |  substr(mn, 1, CAST(list_sum(list_transform(
+             |    range(1, CAST(least(len(mn), len(mx)) AS BIGINT) + 1),
+             |    i -> CASE WHEN substr(mn, 1, CAST(i AS INT)) = substr(mx, 1, CAST(i AS INT))
+             |              THEN 1 ELSE 0 END)) AS INT)) AS common_prefix,
+             |  n
+             |FROM mm ORDER BY c_mktsegment""".stripMargin)),
+
+    // W10 — clip behavior segments after trajectory truncation: drop
+    // segments past the new end, shorten the straddling one
+    // (reference: worker_create.py:536-582). Segments are synthesized per
+    // order; the "new end" is the last surviving line number under a
+    // quantity budget (W3).
+    ("q_segment_clip",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+        val lastIdx = graft.operators.Windows.truncateAtBudget(li,
+            part = Seq("l_orderkey"), order = Seq(col("l_linenumber"), col("l_quantity")),
+            v = col("l_quantity"), budget = 100.0)
+          .groupBy("l_orderkey").agg(max(col("l_linenumber")).as("last_idx"))
+        val segments = li
+          .select(col("l_orderkey"), col("l_linenumber").as("start_idx"),
+            (col("l_linenumber") + 2).as("end_idx"))
+          .distinct()
+        segments.join(lastIdx, Seq("l_orderkey"))
+          .filter(col("start_idx") <= col("last_idx"))
+          .withColumn("end_idx", least(col("end_idx"), col("last_idx")))
+          .select("l_orderkey", "start_idx", "end_idx")
+          .distinct()
+          .orderBy("l_orderkey", "start_idx")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_orderkey, l_linenumber, l_quantity,
+             |    SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM lineitem),
+             |last AS (
+             |  SELECT l_orderkey, max(l_linenumber) AS last_idx
+             |  FROM c WHERE cum <= 100.0 GROUP BY l_orderkey),
+             |segs AS (
+             |  SELECT DISTINCT l_orderkey, l_linenumber AS start_idx,
+             |    l_linenumber + 2 AS end_idx
+             |  FROM lineitem)
+             |SELECT DISTINCT s.l_orderkey, s.start_idx,
+             |  least(s.end_idx, l.last_idx) AS end_idx
+             |FROM segs s JOIN last l ON s.l_orderkey = l.l_orderkey
+             |WHERE s.start_idx <= l.last_idx
+             |ORDER BY s.l_orderkey, start_idx""".stripMargin)),
+
+    // A6 — per-directory file count + byte sum + human-readable size
+    // (reference: copy_scene_assets.py:172-190, run_upload_scenes.py:100-104).
+    ("q_dir_rollup",
+      (s: SparkSession, d: String) => {
+        val files = Tables.part(s, d).select(
+          concat(lit("Content/"), col("p_brand"), lit("/"), col("p_type"),
+            lit("/"), col("p_name")).as("path"),
+          (col("p_size").cast("long") * 1048576L).as("size"))
+        files
+          .withColumn("dir", concat_ws("/",
+            slice(split(col("path"), "/"), 1, 2)))
+          .groupBy("dir")
+          .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
+          .withColumn("total_human", PathFunctions.formatSize(col("total_bytes")))
+          .orderBy("dir")
+      },
+      Some("""WITH files AS (
+             |  SELECT 'Content/' || p_brand || '/' || p_type || '/' || p_name AS path,
+             |    CAST(p_size AS BIGINT) * 1048576 AS size
+             |  FROM part),
+             |agg AS (
+             |  SELECT array_to_string(string_split(path, '/')[1:2], '/') AS dir,
+             |    CAST(COUNT(*) AS BIGINT) AS n_files,
+             |    CAST(SUM(size) AS BIGINT) AS total_bytes
+             |  FROM files GROUP BY 1)
+             |SELECT dir, n_files, total_bytes,
+             |  CASE WHEN total_bytes < 1024 THEN CAST(total_bytes AS VARCHAR) || ' B'
+             |       WHEN total_bytes < 1048576 THEN CAST(round(CAST(total_bytes AS DOUBLE)/1024, 1) AS VARCHAR) || ' KB'
+             |       WHEN total_bytes < 1073741824 THEN CAST(round(CAST(total_bytes AS DOUBLE)/1048576, 1) AS VARCHAR) || ' MB'
+             |       WHEN total_bytes < 1099511627776 THEN CAST(round(CAST(total_bytes AS DOUBLE)/1073741824, 1) AS VARCHAR) || ' GB'
+             |       WHEN total_bytes < 1125899906842624 THEN CAST(round(CAST(total_bytes AS DOUBLE)/1099511627776, 1) AS VARCHAR) || ' TB'
+             |       ELSE CAST(round(CAST(total_bytes AS DOUBLE)/1125899906842624, 1) AS VARCHAR) || ' PB' END AS total_human
+             |FROM agg ORDER BY dir""".stripMargin))
+  )
+}
