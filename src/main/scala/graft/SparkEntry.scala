@@ -24,7 +24,8 @@ object SparkEntry {
     TrajectoryQueries,
     StreamingQueries,
     SourceQueries,
-    MiscQueries
+    MiscQueries,
+    AnnotationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
