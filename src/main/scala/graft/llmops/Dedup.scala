@@ -49,19 +49,38 @@ object Dedup {
   }
 
   /** LSH candidate pairs: documents sharing any band (bands of `rowsPerBand`
-    * consecutive signature components). Returns distinct (id_a < id_b). */
+    * consecutive signature components). Returns distinct (id_a < id_b).
+    *
+    * One row per (doc, band) is emitted map-side (explode of a band-struct
+    * array — no union, the signature aggregation runs once), then a single
+    * groupBy(band, band_sig) collects each bucket and expands in-bucket
+    * pairs. A self-join formulation would re-aggregate the signatures on
+    * both join sides and shuffle the full band table twice; buckets are
+    * tiny by construction (that is the point of banding), so
+    * collect_list + pair expansion is both the fast and the safe plan.
+    *
+    * `maxBucket` guards the degenerate case at scale: a band signature
+    * shared by k docs yields k(k-1)/2 pairs, so one pathological bucket
+    * (e.g. empty/boilerplate documents all hashing alike) can dominate the
+    * job. Buckets above the cap are dropped — standard LSH practice: a
+    * signature that common carries no near-dup signal. */
   def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, maxBucket: Int = 100000): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map { b =>
+    val bandStructs = array((0 until numBands).map { b =>
       val sig = concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
-      sigs.select(col(idCol), lit(b).as("band"), sig.as("band_sig"))
-    }.reduce(_ unionByName _)
-    val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
-    val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      struct(lit(b).as("band"), sig.as("band_sig"))
+    }: _*)
+    sigs.select(col(idCol), explode(bandStructs).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard for given candidate pairs from their shingle sets. */

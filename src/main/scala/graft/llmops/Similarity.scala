@@ -68,6 +68,45 @@ object Similarity {
       .select("query_id", "bucket", "cand_id", "cosine", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b)
+    * pair with cosine ≥ threshold. O(n²) baseline — correct by
+    * construction, and the oracle for the LSH variant below. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorMath.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Scale path for [[cosineNearDupPairs]]: hyperplane-LSH buckets turn the
+    * all-pairs comparison into an equi-join on the signature — only
+    * vectors sharing a bucket are compared exactly. Recall < 1 (pairs
+    * split across buckets are missed); lower nPlanes for higher recall at
+    * higher candidate cost. */
+  def cosineNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+    val sigs = signatures(df, idCol, vecCol, nPlanes, dim)
+    val a = sigs.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("bucket"))
+    val b = sigs.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorMath.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Dedup decision from near-dup pairs: each duplicate id maps to its
+    * canonical (the smallest near-dup neighbor id below it). Dropping
+    * every `dup_id` row keeps exactly one representative per local dup
+    * cluster. */
+  def cosineDedupDecision(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("id_b").as("dup_id"))
+      .agg(min(col("id_a")).as("canonical_id"),
+        count(lit(1)).as("n_matches"),
+        max(col("cosine")).as("max_cosine"))
+
   /** Per-label embedding statistics: count + exact min/max of norms (an
     * IVF-style partition statistic; means intentionally omitted from
     * verified output — float sum order is engine-specific). */

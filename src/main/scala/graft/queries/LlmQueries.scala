@@ -221,6 +221,31 @@ object LlmQueries extends QueryFamily {
              |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Embedding-cosine near-duplicate dedup: exact all-pairs baseline →
+    // per-duplicate canonical decision (drop dup_id, keep canonical_id).
+    // The LSH-bucketed candidate path (cosineNearDupPairsLsh) is the
+    // 100 TB variant — recall-tested in LlmOpsSpec against this exact
+    // output.
+    ("q_embedding_neardup",
+      (s: SparkSession, d: String) => {
+        val pairs = Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+        Similarity.cosineDedupDecision(pairs).orderBy("dup_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]), (x,y) -> x+y)
+             |      / (a.nrm * b.nrm) AS cosine
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+             |SELECT id_b AS dup_id, min(id_a) AS canonical_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_matches, max(cosine) AS max_cosine
+             |FROM pairs WHERE cosine >= 0.4
+             |GROUP BY id_b ORDER BY dup_id""".stripMargin)),
+
     // Per-label embedding statistics (IVF partition stats): exact-fold
     // norms, min/max only (float-sum means are engine-order-dependent).
     ("q_embedding_label_stats",

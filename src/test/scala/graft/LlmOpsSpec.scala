@@ -63,6 +63,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("cosine near-dup: LSH pairs are a subset of exact pairs, clones found") {
+    val vecs = (0 until 30).map { i =>
+      val rng = new scala.util.Random(i % 10) // 10 distinct vectors, 3 copies each
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = pairSet(Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99))
+    val lsh = pairSet(Similarity.cosineNearDupPairsLsh(vecs, "vec_id", "embedding",
+      0.99, nPlanes = 6, dim = 16))
+    // every clone pair (i, i+10), (i, i+20), (i+10, i+20) has cosine 1
+    val clones = (0 until 10).flatMap(i =>
+      Seq((i.toLong, i + 10L), (i.toLong, i + 20L), (i + 10L, i + 20L))).toSet
+    assert(clones.subsetOf(exact))
+    assert(lsh.subsetOf(exact))       // LSH never invents pairs
+    assert(clones.subsetOf(lsh))      // identical vectors share every bucket
+    val decisions = Similarity.cosineDedupDecision(
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)).collect()
+    // dup ids are exactly the 20 non-canonical clones, each canonical = i%10
+    assert(decisions.length == 20)
+    decisions.foreach(r =>
+      assert(r.getAs[Long]("canonical_id") == r.getAs[Long]("dup_id") % 10))
+  }
+
   test("brute-force top-k ranks exact nearest first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
