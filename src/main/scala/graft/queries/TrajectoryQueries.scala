@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.trajectory.{TrajectoryOps, BehaviorGenerator, Extrinsics}
@@ -17,11 +16,8 @@ object TrajectoryQueries extends QueryFamily {
     // Oracle: the same recurrence as a recursive CTE.
     ("q_rate_clamp",
       (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        val indexed = Tables.events(s, d)
-          .withColumn("idx", row_number().over(w))
-          .select(col("user_id"), col("idx"), col("value"))
-        TrajectoryOps.rateClamp(indexed, "user_id", "idx", "value", maxDelta = 5.0)
+        TrajectoryOps.rateClampOrdered(Tables.events(s, d), "user_id",
+            orderCols = Seq("ts", "event_id"), "value", maxDelta = 5.0)
           .orderBy("seq", "idx")
       },
       Some("""WITH RECURSIVE t AS (

@@ -56,37 +56,69 @@ object TrajectoryOps {
 
   /** W7 — rate-clamp recurrence: out(i) = out(i-1) + clamp(target(i) −
     * out(i-1), ±maxDelta). Depends on the previous *output*, so it is not
-    * a window function; implemented as a sorted per-group scan
-    * (`groupByKey.flatMapGroups`) — the idiomatic Dataset form for
-    * sequential kernels (reference: transform_track.py:215-262).
+    * a window function; implemented as a secondary sort — one shuffle on
+    * the sequence id, sort by (seq, order) within partitions, then a
+    * single streaming pass that resets state at sequence boundaries
+    * (reference: transform_track.py:215-262).
+    *
+    * Unlike groupByKey.flatMapGroups this never buffers a group: memory
+    * is O(1) per task regardless of trajectory length, and the sort rides
+    * the shuffle's spill machinery — the form that survives a 100× frame
+    * count.
     *
     * Input columns: (seqCol: string-able, idxCol: long-able, targetCol:
-    * double). Output: (seq, idx, target, clamped).
+    * double). Output: (seq, idx, target, clamped), idx = the input index.
     */
   def rateClamp(df: DataFrame, seqCol: String, idxCol: String,
       targetCol: String, maxDelta: Double): DataFrame = {
-    val spark = df.sparkSession
-    val rowEnc = Encoders.row(StructType(Seq(
+    val prepared = df
+      .repartition(col(seqCol))
+      .sortWithinPartitions(col(seqCol), col(idxCol).cast("long"))
+      .select(
+        col(seqCol).cast("string").as("seq"),
+        col(idxCol).cast("long").as("idx"),
+        col(targetCol).cast("double").as("target"))
+    clampScan(prepared, maxDelta, emitPosition = false)
+  }
+
+  /** [[rateClamp]] over rows ordered by arbitrary columns instead of a
+    * precomputed index — saves callers the row_number window (and its
+    * extra shuffle). Output idx is the 1-based position within the
+    * sequence under `orderCols`. */
+  def rateClampOrdered(df: DataFrame, seqCol: String, orderCols: Seq[String],
+      targetCol: String, maxDelta: Double): DataFrame = {
+    val prepared = df
+      .repartition(col(seqCol))
+      .sortWithinPartitions((seqCol +: orderCols).map(col): _*)
+      .select(
+        col(seqCol).cast("string").as("seq"),
+        lit(0L).as("idx"),
+        col(targetCol).cast("double").as("target"))
+    clampScan(prepared, maxDelta, emitPosition = true)
+  }
+
+  /** Streaming clamp pass over (seq, idx, target) rows already sorted by
+    * sequence (and order within it). */
+  private def clampScan(prepared: DataFrame, maxDelta: Double,
+      emitPosition: Boolean): DataFrame = {
+    implicit val enc = Encoders.row(StructType(Seq(
       StructField("seq", StringType), StructField("idx", LongType),
       StructField("target", DoubleType), StructField("clamped", DoubleType))))
-    val prepared = df.select(
-      col(seqCol).cast("string").as("seq"),
-      col(idxCol).cast("long").as("idx"),
-      col(targetCol).cast("double").as("target"))
-    implicit val enc = rowEnc
-    prepared
-      .groupByKey(_.getString(0))(Encoders.STRING)
-      .flatMapGroups { (seq: String, rows: Iterator[Row]) =>
-        val sorted = rows.toArray.sortBy(_.getLong(1))
-        var out = Double.NaN
-        sorted.iterator.map { r =>
-          val target = r.getDouble(2)
-          out =
-            if (out.isNaN) target
-            else out + math.max(math.min(target - out, maxDelta), -maxDelta)
-          Row(seq, r.getLong(1), target, out)
-        }
+    prepared.mapPartitions { rows =>
+      var cur: String = null
+      var out = Double.NaN
+      var pos = 0L
+      rows.map { r =>
+        val seq = r.getString(0)
+        if (seq != cur) { cur = seq; out = Double.NaN; pos = 0L }
+        pos += 1
+        val target = r.getDouble(2)
+        out =
+          if (out.isNaN) target
+          else out + math.max(math.min(target - out, maxDelta), -maxDelta)
+        Row(seq, if (emitPosition) pos else r.getLong(1), target, out)
       }
+    }
   }
 
   /** W8 — arc-length-uniform resample to `n` points per sequence
