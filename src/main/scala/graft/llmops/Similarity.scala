@@ -97,6 +97,45 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** IVF cell assignment: each vector goes to its max-cosine centroid.
+    * Centroids are a broadcast-sized DataFrame (cell_id, centroid) — the
+    * coarse quantizer. One broadcast join + windowed argmax; at 100 TB
+    * the candidate table is scanned once and the assignment is map-side. */
+  def ivfAssignments(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = df.select(col(idCol), col(vecCol))
+      .join(broadcast(centroids))
+      .withColumn("_cos", VectorMath.cosine(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(idCol).orderBy(col("_cos").desc, col("cell_id").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** IVF top-k: queries probe their `nProbe` highest-cosine cells and run
+    * exact search against only the vectors assigned there — the classic
+    * inverted-file trade: recall bounded by cell spill, cost bounded by
+    * |cells probed| / |cells| of the corpus instead of all of it. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssignments(candidates, idCol, vecCol, centroids)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("_cv"), col("cell_id"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("_ccos").desc, col("cell_id").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .join(broadcast(centroids))
+      .withColumn("_ccos", VectorMath.cosine(col("_qv"), col("centroid")))
+      .withColumn("_rn", row_number().over(probeW)).filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("cell_id"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    probes.join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", VectorMath.cosine(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell_id", "cand_id", "cosine", "rank")
+  }
+
   /** Dedup decision from near-dup pairs: each duplicate id maps to its
     * canonical (the smallest near-dup neighbor id below it). Dropping
     * every `dup_id` row keeps exactly one representative per local dup

@@ -221,6 +221,55 @@ object LlmQueries extends QueryFamily {
              |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF approximate nearest-neighbor: coarse-quantize candidates to
+    // max-cosine centroid cells (centroids = vec_id < 8, deterministic),
+    // queries probe their top-2 cells, exact search within. The inverted-
+    // file scale path: cost ∝ probed share of the corpus.
+    ("q_ann_ivf",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+        Similarity.ivfTopK(
+            queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+            candidates = emb.filter(col("vec_id") >= 8),
+            centroids = centroids,
+            idCol = "vec_id", vecCol = "embedding", k = 3, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 8),
+             |assign AS (
+             |  SELECT vec_id AS cand_id, cell_id FROM (
+             |    SELECT v.vec_id, c.cell_id,
+             |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |        list_reduce(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]), (x,y) -> x+y)
+             |          / (v.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+             |    FROM n v, c WHERE v.vec_id >= 8) WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS query_id, cell_id FROM (
+             |    SELECT v.vec_id, c.cell_id,
+             |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |        list_reduce(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]), (x,y) -> x+y)
+             |          / (v.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+             |    FROM n v, c WHERE v.vec_id >= 8 AND v.vec_id < 18) WHERE rn <= 2),
+             |scored AS (
+             |  SELECT p.query_id, p.cell_id, a.cand_id,
+             |    list_reduce(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]), (x2,y2) -> x2+y2)
+             |      / (q.nrm * x.nrm) AS cosine
+             |  FROM probes p
+             |  JOIN assign a ON a.cell_id = p.cell_id AND a.cand_id <> p.query_id
+             |  JOIN n q ON q.vec_id = p.query_id
+             |  JOIN n x ON x.vec_id = a.cand_id),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM scored)
+             |SELECT query_id, cell_id, cand_id, cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     // Embedding-cosine near-duplicate dedup: exact all-pairs baseline →
     // per-duplicate canonical decision (drop dup_id, keep canonical_id).
     // The LSH-bucketed candidate path (cosineNearDupPairsLsh) is the

@@ -87,6 +87,25 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("canonical_id") == r.getAs[Long]("dup_id") % 10))
   }
 
+  test("IVF: clones land in one cell and are each other's top hits") {
+    val vecs = (0 until 30).map { i =>
+      val rng = new scala.util.Random(i % 10)
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    val out = Similarity.ivfTopK(vecs, vecs, centroids,
+      "vec_id", "embedding", k = 2, nProbe = 1).collect()
+    // a vector's clones share its exact embedding → same cell, cosine 1 →
+    // they fill the top-2 slots
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    (0 until 30).foreach { i =>
+      val clones = (0 until 30).filter(j => j % 10 == i % 10 && j != i).map(_.toLong).toSet
+      val found = byQuery(i.toLong).map(_.getAs[Long]("cand_id")).toSet
+      assert(found == clones, s"query $i: expected $clones, got $found")
+    }
+  }
+
   test("brute-force top-k ranks exact nearest first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
