@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,13 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** (id, precast vector, norm) projection — one cast + one norm fold per
+    * vector, paid before the pairwise join instead of per pair. */
+  private def prepped(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), VectorMath.precast(col(vecCol)).as(vecAs))
+      .withColumn(nAs, VectorMath.normPrecast(col(vecAs)))
+
+  private def pairCosine: Column =
+    VectorMath.dotPrecast(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))
+
   /** Exact top-k by cosine for each query vector. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("_cv"))
+    val q = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn")
+    val c = prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn")
     val pairs = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", VectorMath.cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", pairCosine)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -57,11 +67,14 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, dim: Int, k: Int): DataFrame = {
     val sigs = signatures(df, idCol, vecCol, nPlanes, dim)
-      .select(col(idCol), col(vecCol), col("bucket"))
-    val a = sigs.select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("bucket"))
-    val b = sigs.select(col(idCol).as("cand_id"), col(vecCol).as("_cv"), col("bucket"))
+      .select(col(idCol), VectorMath.precast(col(vecCol)).as("_v"), col("bucket"))
+      .withColumn("_n", VectorMath.normPrecast(col("_v")))
+    val a = sigs.select(col(idCol).as("query_id"), col("_v").as("_qv"),
+      col("_n").as("_qn"), col("bucket"))
+    val b = sigs.select(col(idCol).as("cand_id"), col("_v").as("_cv"),
+      col("_n").as("_cn"), col("bucket"))
     val pairs = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", VectorMath.cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", pairCosine)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -73,10 +86,10 @@ object Similarity {
     * construction, and the oracle for the LSH variant below. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    val a = prepped(df, idCol, vecCol, "id_a", "_qv", "_qn")
+    val b = prepped(df, idCol, vecCol, "id_b", "_cv", "_cn")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorMath.cosine(col("_va"), col("_vb")))
+      .withColumn("cosine", pairCosine)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -89,10 +102,14 @@ object Similarity {
   def cosineNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
     val sigs = signatures(df, idCol, vecCol, nPlanes, dim)
-    val a = sigs.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("bucket"))
-    val b = sigs.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("bucket"))
+      .select(col(idCol), VectorMath.precast(col(vecCol)).as("_v"), col("bucket"))
+      .withColumn("_n", VectorMath.normPrecast(col("_v")))
+    val a = sigs.select(col(idCol).as("id_a"), col("_v").as("_qv"),
+      col("_n").as("_qn"), col("bucket"))
+    val b = sigs.select(col(idCol).as("id_b"), col("_v").as("_cv"),
+      col("_n").as("_cn"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorMath.cosine(col("_va"), col("_vb")))
+      .withColumn("cosine", pairCosine)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -103,12 +120,16 @@ object Similarity {
     * the candidate table is scanned once and the assignment is map-side. */
   def ivfAssignments(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val scored = df.select(col(idCol), col(vecCol))
-      .join(broadcast(centroids))
-      .withColumn("_cos", VectorMath.cosine(col(vecCol), col("centroid")))
+    val cents = centroids.select(col("cell_id"),
+        VectorMath.precast(col("centroid")).as("_ce"))
+      .withColumn("_cen", VectorMath.normPrecast(col("_ce")))
+    val scored = prepped(df, idCol, vecCol, idCol, "_v", "_n")
+      .join(broadcast(cents))
+      .withColumn("_cos",
+        VectorMath.dotPrecast(col("_v"), col("_ce")) / (col("_n") * col("_cen")))
     val w = Window.partitionBy(idCol).orderBy(col("_cos").desc, col("cell_id").asc)
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+      .select(col(idCol), col("_v"), col("_n"), col("cell_id"))
   }
 
   /** IVF top-k: queries probe their `nProbe` highest-cosine cells and run
@@ -118,19 +139,24 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val assigned = ivfAssignments(candidates, idCol, vecCol, centroids)
-      .select(col(idCol).as("cand_id"), col(vecCol).as("_cv"), col("cell_id"))
+      .select(col(idCol).as("cand_id"), col("_v").as("_cv"),
+        col("_n").as("_cn"), col("cell_id"))
+    val cents = centroids.select(col("cell_id"),
+        VectorMath.precast(col("centroid")).as("_ce"))
+      .withColumn("_cen", VectorMath.normPrecast(col("_ce")))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("_ccos").desc, col("cell_id").asc)
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .join(broadcast(centroids))
-      .withColumn("_ccos", VectorMath.cosine(col("_qv"), col("centroid")))
+    val probes = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn")
+      .join(broadcast(cents))
+      .withColumn("_ccos",
+        VectorMath.dotPrecast(col("_qv"), col("_ce")) / (col("_qn") * col("_cen")))
       .withColumn("_rn", row_number().over(probeW)).filter(col("_rn") <= nProbe)
-      .select(col("query_id"), col("_qv"), col("cell_id"))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("cell_id"))
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand_id").asc)
     probes.join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", VectorMath.cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", pairCosine)
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select("query_id", "cell_id", "cand_id", "cosine", "rank")

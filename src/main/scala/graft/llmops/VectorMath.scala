@@ -29,4 +29,27 @@ object VectorMath {
     aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
   def euclidean(a: Column, b: Column): Column = sqrt(distSq(a, b))
+
+  // ---- Precast forms for pairwise operators ----------------------------
+  //
+  // cosine(a, b) above runs THREE array folds per evaluation (dot + both
+  // norms) and casts both arrays each time. In an all-pairs or bucketed
+  // join that work is per PAIR; casting once and materializing norms per
+  // VECTOR before the join drops per-pair cost to a single fold. The
+  // division-by-norms form is kept (not pre-normalized vectors) so results
+  // stay bit-identical to `dot/(sqrt·sqrt)` and to the DuckDB oracles.
+
+  /** Cast an embedding to array<double> once, before a pairwise join. */
+  def precast(a: Column): Column = d(a)
+
+  /** Dot product over arrays already cast to array<double>. */
+  def dotPrecast(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Norm over an array already cast to array<double>. */
+  def normPrecast(a: Column): Column = sqrt(dotPrecast(a, a))
+
+  /** Squared distance over arrays already cast to array<double>. */
+  def distSqPrecast(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 }

@@ -270,21 +270,23 @@ object LlmQueries extends QueryFamily {
              |SELECT query_id, cell_id, cand_id, cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
-    // Embedding-cosine near-duplicate dedup: exact all-pairs baseline →
-    // per-duplicate canonical decision (drop dup_id, keep canonical_id).
-    // The LSH-bucketed candidate path (cosineNearDupPairsLsh) is the
-    // 100 TB variant — recall-tested in LlmOpsSpec against this exact
-    // output.
+    // Embedding-cosine near-duplicate dedup: exact all-pairs baseline
+    // (bounded to vec_id < 2000 — all-pairs is the deliberately quadratic
+    // correctness reference, like q_knn/q_ngram_jaccard) → per-duplicate
+    // canonical decision (drop dup_id, keep canonical_id). The LSH-bucketed
+    // candidate path (cosineNearDupPairsLsh) is the unbounded 100 TB
+    // variant — recall-tested in LlmOpsSpec against this exact output.
     ("q_embedding_neardup",
       (s: SparkSession, d: String) => {
         val pairs = Similarity.cosineNearDupPairs(
-          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+          Tables.embeddings(s, d).filter(col("vec_id") < 2000),
+          "vec_id", "embedding", threshold = 0.4)
         Similarity.cosineDedupDecision(pairs).orderBy("dup_id")
       },
       Some("""WITH n AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
              |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
-             |  FROM embeddings),
+             |  FROM embeddings WHERE vec_id < 2000),
              |pairs AS (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]), (x,y) -> x+y)
