@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.llmops.Dedup
+import graft.model.Tables
+
+/** Temporary stage-by-stage profiler for the MinHash pipeline. */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup")(docs.write.format("noop").mode("overwrite").save())
+
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    time("shingleSets (map-side)")(
+      sets.write.format("noop").mode("overwrite").save())
+    val sigs = Dedup.minhashSignaturesFromSets(sets, "doc_id", 16)
+    time("signatures (projection)")(
+      sigs.write.format("noop").mode("overwrite").save())
+    val cands = Dedup.lshCandidates(sigs, "doc_id", 16, 4)
+    time("candidates")(cands.write.format("noop").mode("overwrite").save())
+    time("full pipeline (fresh)")(
+      Dedup.minhashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.8)
+        .write.format("noop").mode("overwrite").save())
+    time("full pipeline (2nd run)")(
+      Dedup.minhashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.8)
+        .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

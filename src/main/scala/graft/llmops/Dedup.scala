@@ -19,14 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set: one (id, shingle) row per distinct shingle. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** Word n-gram shingle expression (array, with duplicates). */
+  private def shingleArray(textCol: String, n: Int): Column = {
     val toks = split(col(textCol), " ")
-    val sh = transform(
+    transform(
       sequence(lit(0), greatest(size(toks) - n, lit(-1))),
       i => array_join(slice(toks, i + 1, lit(n)), " "))
-    df.select(col(idCol), explode(sh).as("shingle")).distinct()
   }
+
+  /** Word n-gram shingle set: one (id, shingle) row per distinct shingle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingleArray(textCol, n)).as("shingle")).distinct()
+
+  /** Per-document distinct shingle set as an array column — built entirely
+    * map-side (`array_distinct` instead of explode+distinct), so the
+    * signature stage needs no shuffle at all. Array size is bounded by
+    * document length; use the row form ([[shingles]]) if documents are
+    * unbounded. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), array_distinct(shingleArray(textCol, n)).as("shingles"))
 
   /** Exact dedup by an arbitrary key expression: keeps the row with the
     * minimal `idCol` per key, annotates group size. */
@@ -46,6 +57,17 @@ object Dedup {
     val aggs = (0 until numHashes).map(j =>
       min(md5(concat(lit(j.toString), lit(":"), col("shingle")))).as(s"mh_$j"))
     shingleDf.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[minhashSignatures]] over per-doc shingle arrays: a pure projection
+    * (`array_min(transform(...))`) — one row in, one row out, no
+    * aggregation shuffle. Values are identical to the row-form signatures. */
+  def minhashSignaturesFromSets(sets: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val cols = col(idCol) +: (0 until numHashes).map(j =>
+      array_min(transform(col("shingles"),
+        s => md5(concat(lit(j.toString), lit(":"), s)))).as(s"mh_$j"))
+    sets.select(cols: _*)
   }
 
   /** LSH candidate pairs: documents sharing any band (bands of `rowsPerBand`
@@ -99,22 +121,41 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
-    * → verify ≥ threshold. */
+    * → verify ≥ threshold.
+    *
+    * Layout: shingle sets stay as per-doc arrays end-to-end, so the
+    * signature stage is a map-side projection with no shuffle; the only
+    * shuffles are the band-bucket groupBy (4 rows/doc) and the Jaccard
+    * verification joins, which run over candidate documents only (the
+    * corpus is semi-join-pruned to ids that survived banding before any
+    * shingle row is exploded). The candidate-pair table is broadcast-
+    * sized by construction (banding + maxBucket), so verification cost
+    * scales with near-dup density, not corpus size. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    // the shingle set feeds BOTH the signature branch and the Jaccard
-    // verification branch — persist it so the explode+distinct shuffle
-    // runs once (common-subexpression reuse across branches is exactly
-    // the reference's "connectivity computed once per batch" pattern,
+    // the shingle sets feed BOTH the signature branch and the Jaccard
+    // verification branch — persist so tokenization runs once
+    // (common-subexpression reuse across branches is exactly the
+    // reference's "connectivity computed once per batch" pattern,
     // SURVEY.md §4)
-    val sh = shingles(df, idCol, textCol, shingleSize)
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignatures(sh, idCol, numHashes)
+    val sigs = minhashSignaturesFromSets(sets, idCol, numHashes)
+    // candidate pairs are consumed twice (the id semi-filter and the
+    // verification join) and their subtree embeds the signature
+    // projection — persist so banding runs once; the table is tiny by
+    // construction
     val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
-    jaccardForPairs(cands, sh, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val shRelevant = sets.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol), explode(col("shingles")).as("shingle"))
+    val out = jaccardForPairs(cands, shRelevant, idCol)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    out
   }
 
   /** 64-bit SimHash from md5 token hashes: bit b of the signature is the
