@@ -96,6 +96,25 @@ object CatalogOps {
       .drop("_hit")
   }
 
+  /** S13 — schema migration on read: conform a snapshot to a target
+    * schema the way the reference's ALTER TABLE migrations do
+    * (reference: scene_registry.py:21-186 column rebuild;
+    * batch_bake.py:160-169 add-missing-column). Missing columns are added
+    * with the given defaults (null when absent), extra columns dropped,
+    * mismatched types cast. Pure projection — no shuffle, no data pass
+    * beyond the scan.
+    */
+  def migrateSchema(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType,
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
+    val present = df.columns.toSet
+    val cols = target.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else defaults.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
   /** A1 — registry statistics: COUNT(*) + conditional counts + sums in one
     * aggregation pass (reference: scene_registry.py:566-605). `conds` maps
     * output column → predicate; `sums` maps output column → numeric expr.

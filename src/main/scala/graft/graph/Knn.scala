@@ -21,13 +21,14 @@ object Knn {
     * Output: (src_id, dst_id, dist, rank) with rank 1..k per src, ties
     * broken by dst id for determinism.
     */
-  def bruteForce(points: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def bruteForce(points: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int = 0): DataFrame = {
     val a = points.select(col(idCol).as("src_id"),
       VectorMath.precast(col(vecCol)).as("_va"))
     val b = points.select(col(idCol).as("dst_id"),
       VectorMath.precast(col(vecCol)).as("_vb"))
     val pairs = a.join(broadcast(b), col("src_id") =!= col("dst_id"))
-      .withColumn("dist", sqrt(VectorMath.distSqPrecast(col("_va"), col("_vb"))))
+      .withColumn("dist", sqrt(VectorMath.distSqAuto(col("_va"), col("_vb"), dim)))
     val w = Window.partitionBy("src_id").orderBy(col("dist").asc, col("dst_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -19,23 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** (id, precast vector, norm) projection — one cast + one norm fold per
+  /** (id, precast vector, norm) projection — one cast + one norm pass per
     * vector, paid before the pairwise join instead of per pair. */
   private def prepped(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vecAs: String, nAs: String): DataFrame =
+      idAs: String, vecAs: String, nAs: String, dim: Int): DataFrame =
     df.select(col(idCol).as(idAs), VectorMath.precast(col(vecCol)).as(vecAs))
-      .withColumn(nAs, VectorMath.normPrecast(col(vecAs)))
+      .withColumn(nAs, VectorMath.normAuto(col(vecAs), dim))
 
-  private def pairCosine: Column =
-    VectorMath.dotPrecast(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))
+  private def pairCosine(dim: Int): Column =
+    VectorMath.dotAuto(col("_qv"), col("_cv"), dim) / (col("_qn") * col("_cn"))
 
-  /** Exact top-k by cosine for each query vector. */
+  /** Exact top-k by cosine for each query vector. Pass `dim` when the
+    * embedding dimension is known — the cosine then compiles unrolled
+    * inside whole-stage codegen. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn")
-    val c = prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn")
+      idCol: String, vecCol: String, k: Int, dim: Int = 0): DataFrame = {
+    val q = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
+    val c = prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim)
     val pairs = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", pairCosine)
+      .withColumn("cosine", pairCosine(dim))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -68,13 +70,13 @@ object Similarity {
       nPlanes: Int, dim: Int, k: Int): DataFrame = {
     val sigs = signatures(df, idCol, vecCol, nPlanes, dim)
       .select(col(idCol), VectorMath.precast(col(vecCol)).as("_v"), col("bucket"))
-      .withColumn("_n", VectorMath.normPrecast(col("_v")))
+      .withColumn("_n", VectorMath.normAuto(col("_v"), dim))
     val a = sigs.select(col(idCol).as("query_id"), col("_v").as("_qv"),
       col("_n").as("_qn"), col("bucket"))
     val b = sigs.select(col(idCol).as("cand_id"), col("_v").as("_cv"),
       col("_n").as("_cn"), col("bucket"))
     val pairs = a.join(b, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", pairCosine)
+      .withColumn("cosine", pairCosine(dim))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -85,11 +87,11 @@ object Similarity {
     * pair with cosine ≥ threshold. O(n²) baseline — correct by
     * construction, and the oracle for the LSH variant below. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = prepped(df, idCol, vecCol, "id_a", "_qv", "_qn")
-    val b = prepped(df, idCol, vecCol, "id_b", "_cv", "_cn")
+      threshold: Double, dim: Int = 0): DataFrame = {
+    val a = prepped(df, idCol, vecCol, "id_a", "_qv", "_qn", dim)
+    val b = prepped(df, idCol, vecCol, "id_b", "_cv", "_cn", dim)
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", pairCosine)
+      .withColumn("cosine", pairCosine(dim))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -103,13 +105,13 @@ object Similarity {
       threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
     val sigs = signatures(df, idCol, vecCol, nPlanes, dim)
       .select(col(idCol), VectorMath.precast(col(vecCol)).as("_v"), col("bucket"))
-      .withColumn("_n", VectorMath.normPrecast(col("_v")))
+      .withColumn("_n", VectorMath.normAuto(col("_v"), dim))
     val a = sigs.select(col(idCol).as("id_a"), col("_v").as("_qv"),
       col("_n").as("_qn"), col("bucket"))
     val b = sigs.select(col(idCol).as("id_b"), col("_v").as("_cv"),
       col("_n").as("_cn"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", pairCosine)
+      .withColumn("cosine", pairCosine(dim))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -119,14 +121,14 @@ object Similarity {
     * coarse quantizer. One broadcast join + windowed argmax; at 100 TB
     * the candidate table is scanned once and the assignment is map-side. */
   def ivfAssignments(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, dim: Int = 0): DataFrame = {
     val cents = centroids.select(col("cell_id"),
         VectorMath.precast(col("centroid")).as("_ce"))
-      .withColumn("_cen", VectorMath.normPrecast(col("_ce")))
-    val scored = prepped(df, idCol, vecCol, idCol, "_v", "_n")
+      .withColumn("_cen", VectorMath.normAuto(col("_ce"), dim))
+    val scored = prepped(df, idCol, vecCol, idCol, "_v", "_n", dim)
       .join(broadcast(cents))
       .withColumn("_cos",
-        VectorMath.dotPrecast(col("_v"), col("_ce")) / (col("_n") * col("_cen")))
+        VectorMath.dotAuto(col("_v"), col("_ce"), dim) / (col("_n") * col("_cen")))
     val w = Window.partitionBy(idCol).orderBy(col("_cos").desc, col("cell_id").asc)
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col(idCol), col("_v"), col("_n"), col("cell_id"))
@@ -137,26 +139,26 @@ object Similarity {
     * inverted-file trade: recall bounded by cell spill, cost bounded by
     * |cells probed| / |cells| of the corpus instead of all of it. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val assigned = ivfAssignments(candidates, idCol, vecCol, centroids)
+      idCol: String, vecCol: String, k: Int, nProbe: Int, dim: Int = 0): DataFrame = {
+    val assigned = ivfAssignments(candidates, idCol, vecCol, centroids, dim)
       .select(col(idCol).as("cand_id"), col("_v").as("_cv"),
         col("_n").as("_cn"), col("cell_id"))
     val cents = centroids.select(col("cell_id"),
         VectorMath.precast(col("centroid")).as("_ce"))
-      .withColumn("_cen", VectorMath.normPrecast(col("_ce")))
+      .withColumn("_cen", VectorMath.normAuto(col("_ce"), dim))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("_ccos").desc, col("cell_id").asc)
-    val probes = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn")
+    val probes = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
       .join(broadcast(cents))
       .withColumn("_ccos",
-        VectorMath.dotPrecast(col("_qv"), col("_ce")) / (col("_qn") * col("_cen")))
+        VectorMath.dotAuto(col("_qv"), col("_ce"), dim) / (col("_qn") * col("_cen")))
       .withColumn("_rn", row_number().over(probeW)).filter(col("_rn") <= nProbe)
       .select(col("query_id"), col("_qv"), col("_qn"), col("cell_id"))
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand_id").asc)
     probes.join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", pairCosine)
+      .withColumn("cosine", pairCosine(dim))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select("query_id", "cell_id", "cand_id", "cosine", "rank")
@@ -175,8 +177,10 @@ object Similarity {
   /** Per-label embedding statistics: count + exact min/max of norms (an
     * IVF-style partition statistic; means intentionally omitted from
     * verified output — float sum order is engine-specific). */
-  def labelStats(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
-    df.withColumn("_n", sqrt(VectorMath.normSq(col(vecCol))))
+  def labelStats(df: DataFrame, labelCol: String, vecCol: String,
+      dim: Int = 0): DataFrame =
+    df.withColumn("_n",
+        VectorMath.normAuto(VectorMath.precast(col(vecCol)), dim))
       .groupBy(col(labelCol))
       .agg(count(lit(1)).as("n_vectors"),
         min(col("_n")).as("min_norm"), max(col("_n")).as("max_norm"))

@@ -52,4 +52,34 @@ object VectorMath {
   /** Squared distance over arrays already cast to array<double>. */
   def distSqPrecast(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  // ---- Unrolled forms for a statically-known dimension -----------------
+  //
+  // Higher-order functions (zip_with/aggregate) are evaluated outside
+  // whole-stage codegen and allocate an intermediate array per call. When
+  // the embedding dimension is known, an unrolled element_at sum compiles
+  // to straight-line code — order(s) of magnitude faster per pair. The
+  // seed term and left-to-right association replicate the fold exactly
+  // (((0.0+x1)+x2)+…), so results stay bit-identical to the fold forms
+  // and the DuckDB list_reduce oracles.
+
+  /** Unrolled dot over precast arrays; `dim` must equal the array length. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (lit(0.0) +: (1 to dim).map(i =>
+      element_at(a, i) * element_at(b, i)).toSeq).reduce(_ + _)
+
+  /** Unrolled squared distance over precast arrays. */
+  def distSqUnrolled(a: Column, b: Column, dim: Int): Column =
+    (lit(0.0) +: (1 to dim).map { i =>
+      val d = element_at(a, i) - element_at(b, i); d * d
+    }.toSeq).reduce(_ + _)
+
+  /** Fold or unrolled dot depending on whether `dim` is known (> 0). */
+  def dotAuto(a: Column, b: Column, dim: Int): Column =
+    if (dim > 0) dotUnrolled(a, b, dim) else dotPrecast(a, b)
+
+  def normAuto(a: Column, dim: Int): Column = sqrt(dotAuto(a, a, dim))
+
+  def distSqAuto(a: Column, b: Column, dim: Int): Column =
+    if (dim > 0) distSqUnrolled(a, b, dim) else distSqPrecast(a, b)
 }

@@ -121,7 +121,7 @@ object JoinQueries extends QueryFamily {
       (s: SparkSession, d: String) => {
         Knn.bruteForce(
             Tables.embeddings(s, d).filter(col("vec_id") < 40),
-            idCol = "vec_id", vecCol = "embedding", k = 3)
+            idCol = "vec_id", vecCol = "embedding", k = 3, dim = 64)
           .orderBy("src_id", "rank")
       },
       Some("""WITH pts AS (

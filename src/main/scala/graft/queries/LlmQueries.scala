@@ -200,7 +200,7 @@ object LlmQueries extends QueryFamily {
         val emb = Tables.embeddings(s, d)
         Similarity.bruteForceTopK(
             emb.filter(col("vec_id") < 10), emb,
-            idCol = "vec_id", vecCol = "embedding", k = 5)
+            idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64)
           .orderBy("query_id", "rank")
       },
       Some("""WITH v AS (
@@ -234,7 +234,7 @@ object LlmQueries extends QueryFamily {
             queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
             candidates = emb.filter(col("vec_id") >= 8),
             centroids = centroids,
-            idCol = "vec_id", vecCol = "embedding", k = 3, nProbe = 2)
+            idCol = "vec_id", vecCol = "embedding", k = 3, nProbe = 2, dim = 64)
           .orderBy("query_id", "rank")
       },
       Some("""WITH n AS (
@@ -280,7 +280,7 @@ object LlmQueries extends QueryFamily {
       (s: SparkSession, d: String) => {
         val pairs = Similarity.cosineNearDupPairs(
           Tables.embeddings(s, d).filter(col("vec_id") < 2000),
-          "vec_id", "embedding", threshold = 0.4)
+          "vec_id", "embedding", threshold = 0.4, dim = 64)
         Similarity.cosineDedupDecision(pairs).orderBy("dup_id")
       },
       Some("""WITH n AS (
@@ -301,7 +301,7 @@ object LlmQueries extends QueryFamily {
     // norms, min/max only (float-sum means are engine-order-dependent).
     ("q_embedding_label_stats",
       (s: SparkSession, d: String) => {
-        Similarity.labelStats(Tables.embeddings(s, d), "label", "embedding")
+        Similarity.labelStats(Tables.embeddings(s, d), "label", "embedding", dim = 64)
           .orderBy("label")
       },
       Some("""WITH n AS (

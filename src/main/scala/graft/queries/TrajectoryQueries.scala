@@ -87,7 +87,7 @@ object TrajectoryQueries extends QueryFamily {
       (s: SparkSession, d: String) => {
         val edges = Knn.bruteForce(
             Tables.embeddings(s, d).filter(col("vec_id") < 40),
-            idCol = "vec_id", vecCol = "embedding", k = 3)
+            idCol = "vec_id", vecCol = "embedding", k = 3, dim = 64)
           .select(col("src_id").as("src"), col("dst_id").as("dst"))
         ConnectedComponents.components(edges)
           .orderBy("node")
@@ -115,7 +115,7 @@ object TrajectoryQueries extends QueryFamily {
       (s: SparkSession, d: String) => {
         val edges = Knn.bruteForce(
             Tables.embeddings(s, d).filter(col("vec_id") < 40),
-            idCol = "vec_id", vecCol = "embedding", k = 3)
+            idCol = "vec_id", vecCol = "embedding", k = 3, dim = 64)
           .select(col("src_id").as("src"), col("dst_id").as("dst"))
         ConnectedComponents.islandRatios(
             ConnectedComponents.components(edges), minRatio = 0.10)

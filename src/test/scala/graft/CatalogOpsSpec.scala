@@ -47,6 +47,21 @@ class CatalogOpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("sv") == 10)
   }
 
+  test("migrateSchema adds missing columns with defaults, drops extras, casts") {
+    import org.apache.spark.sql.types._
+    val old = Seq((1, "a", "junk")).toDF("id", "name", "legacy_col")
+    val target = StructType(Seq(
+      StructField("id", LongType),            // was int → cast
+      StructField("name", StringType),
+      StructField("navmesh_baked", BooleanType))) // new column
+    val out = CatalogOps.migrateSchema(old, target,
+      defaults = Map("navmesh_baked" -> lit(false)))
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      target.fields.map(f => (f.name, f.dataType)).toSeq)
+    val r = out.collect().head
+    assert(r.getLong(0) == 1L && r.getString(1) == "a" && !r.getBoolean(2))
+  }
+
   test("glob translation anchors and escapes") {
     assert(Filters.globToRegex("*.txt") == "(?s).*\\.txt")
     assert(Filters.globToRegex("a?c") == "(?s)a.c")
