@@ -3,6 +3,7 @@ package graft.llmops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.FanOut
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (builder-prompt extension; operates on `embeddings.parquet`).
@@ -29,13 +30,32 @@ object Similarity {
   private def pairCosine(dim: Int): Column =
     VectorMath.dotAuto(col("_qv"), col("_cv"), dim) / (col("_qn") * col("_cn"))
 
+  /** Compute `cosine` and apply the threshold ABOVE the join, behind a
+    * predicate-pushdown barrier. Without it Catalyst pushes the threshold
+    * filter into the nested-loop join condition, where the full dot
+    * product is (a) evaluated as a CodegenFallback per *candidate* pair
+    * (2× the surviving pairs) and (b) evaluated a second time in the
+    * output projection — measured ~5× slower than one pass over the
+    * joined rows. The barrier: the predicate ORs in a reference to a
+    * nondeterministic column that is always non-null, so the row set is
+    * unchanged, but Catalyst never pushes a nondeterministic predicate
+    * and cannot prune the column it references. (`isnull(_mid)` would be
+    * constant-folded away via non-nullability; `_mid < 0` — ids are
+    * always ≥ 0 — is not foldable.) */
+  private def thresholdAboveJoin(joined: DataFrame, threshold: Double,
+      dim: Int): DataFrame =
+    joined.withColumn("_no_pushdown", monotonically_increasing_id())
+      .withColumn("cosine", pairCosine(dim))
+      .filter(col("cosine") >= threshold || col("_no_pushdown") < 0)
+      .select("id_a", "id_b", "cosine")
+
   /** Exact top-k by cosine for each query vector. Pass `dim` when the
     * embedding dimension is known — the cosine then compiles unrolled
     * inside whole-stage codegen. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 0): DataFrame = {
     val q = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
-    val c = prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim)
+    val c = FanOut(prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim))
     val pairs = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .withColumn("cosine", pairCosine(dim))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
@@ -88,12 +108,10 @@ object Similarity {
     * construction, and the oracle for the LSH variant below. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int = 0): DataFrame = {
-    val a = prepped(df, idCol, vecCol, "id_a", "_qv", "_qn", dim)
+    val a = FanOut(prepped(df, idCol, vecCol, "id_a", "_qv", "_qn", dim))
     val b = prepped(df, idCol, vecCol, "id_b", "_cv", "_cn", dim)
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", pairCosine(dim))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    thresholdAboveJoin(
+      a.join(broadcast(b), col("id_a") < col("id_b")), threshold, dim)
   }
 
   /** Scale path for [[cosineNearDupPairs]]: hyperplane-LSH buckets turn the
@@ -110,10 +128,9 @@ object Similarity {
       col("_n").as("_qn"), col("bucket"))
     val b = sigs.select(col(idCol).as("id_b"), col("_v").as("_cv"),
       col("_n").as("_cn"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", pairCosine(dim))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    thresholdAboveJoin(
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b")),
+      threshold, dim)
   }
 
   /** IVF cell assignment: each vector goes to its max-cosine centroid.

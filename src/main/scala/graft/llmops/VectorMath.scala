@@ -53,15 +53,22 @@ object VectorMath {
   def distSqPrecast(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  // ---- Unrolled forms for a statically-known dimension -----------------
+  // ---- Unrolled forms for a statically-known SMALL dimension -----------
   //
-  // Higher-order functions (zip_with/aggregate) are evaluated outside
-  // whole-stage codegen and allocate an intermediate array per call. When
-  // the embedding dimension is known, an unrolled element_at sum compiles
-  // to straight-line code — order(s) of magnitude faster per pair. The
-  // seed term and left-to-right association replicate the fold exactly
-  // (((0.0+x1)+x2)+…), so results stay bit-identical to the fold forms
+  // For small vectors (3-D nav points), an unrolled element_at sum beats
+  // the higher-order fold: no lambda dispatch, no intermediate array. But
+  // the win inverts for wide embeddings — a 64-term expression tree
+  // generates methods past the JIT's HugeMethodLimit, so the "optimized"
+  // code runs in the bytecode interpreter (measured 6-10× SLOWER than the
+  // fold at dim=64 on the all-pairs cosine path). `dotAuto` therefore
+  // unrolls only up to `unrollLimit` and uses the fold above it. The seed
+  // term and left-to-right association replicate the fold exactly
+  // (((0.0+x1)+x2)+…), so both forms stay bit-identical to each other
   // and the DuckDB list_reduce oracles.
+
+  /** Widest dimension worth unrolling; above this the generated method
+    * outgrows JIT compilation and the fold form wins. */
+  val unrollLimit = 8
 
   /** Unrolled dot over precast arrays; `dim` must equal the array length. */
   def dotUnrolled(a: Column, b: Column, dim: Int): Column =
@@ -74,12 +81,12 @@ object VectorMath {
       val d = element_at(a, i) - element_at(b, i); d * d
     }.toSeq).reduce(_ + _)
 
-  /** Fold or unrolled dot depending on whether `dim` is known (> 0). */
+  /** Unrolled dot for small known dims, fold otherwise (same result). */
   def dotAuto(a: Column, b: Column, dim: Int): Column =
-    if (dim > 0) dotUnrolled(a, b, dim) else dotPrecast(a, b)
+    if (dim > 0 && dim <= unrollLimit) dotUnrolled(a, b, dim) else dotPrecast(a, b)
 
   def normAuto(a: Column, dim: Int): Column = sqrt(dotAuto(a, a, dim))
 
   def distSqAuto(a: Column, b: Column, dim: Int): Column =
-    if (dim > 0) distSqUnrolled(a, b, dim) else distSqPrecast(a, b)
+    if (dim > 0 && dim <= unrollLimit) distSqUnrolled(a, b, dim) else distSqPrecast(a, b)
 }
