@@ -51,23 +51,57 @@ object Dedup {
       .drop("_rn")
   }
 
-  /** MinHash signature per id: numHashes md5-min values (hex strings —
-    * lexicographic min ≡ numeric min on fixed-width hex). */
+  // ---- MinHash hash family ---------------------------------------------
+  //
+  // One md5 per shingle, then numHashes cheap affine permutations
+  // h_j(x) = (a_j·x + b_j) mod p over the md5-derived base value. The
+  // naive family md5(j || shingle) costs numHashes crypto hashes per
+  // shingle — at corpus scale the dominant CPU of the whole dedup job.
+  // The affine family is the standard construction (universal hashing
+  // over a prime field) and is exactly reproducible in ANSI SQL / DuckDB
+  // (`CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT)` matches
+  // Spark's `conv(substring(md5(s),1,15),16,10)`), keeping the oracle
+  // hash-comparable. All values stay < 2^31, so a_j·x < 2^62 never
+  // overflows BIGINT in either engine.
+
+  /** Prime field modulus (2^31 - 1, Mersenne). */
+  val MinhashPrime = 2147483647L
+
+  /** Multiplier for permutation j (Knuth multiplicative constant; 1 ≤ a < p). */
+  def minhashA(j: Int): Long = (j * 2654435761L) % (MinhashPrime - 1) + 1
+
+  /** Offset for permutation j (0 ≤ b < p). */
+  def minhashB(j: Int): Long = (j * 2654435789L + 1) % MinhashPrime
+
+  /** md5-derived base value in [0, p): the first 15 hex digits (60 bits)
+    * as a number, reduced mod p. */
+  def minhashBase(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashPrime
+
+  private def minhashPerm(j: Int, base: Column): Column =
+    (base * minhashA(j) + minhashB(j)) % MinhashPrime
+
+  /** MinHash signature per id: numHashes min-of-affine-permutation values
+    * over the document's shingle rows. */
   def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val withBase = shingleDf.withColumn("_hb", minhashBase(col("shingle")))
     val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(j.toString), lit(":"), col("shingle")))).as(s"mh_$j"))
-    shingleDf.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min(minhashPerm(j, col("_hb"))).as(s"mh_$j"))
+    withBase.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** [[minhashSignatures]] over per-doc shingle arrays: a pure projection
     * (`array_min(transform(...))`) — one row in, one row out, no
-    * aggregation shuffle. Values are identical to the row-form signatures. */
+    * aggregation shuffle. The base md5 array is computed once per row;
+    * each signature component is a cheap affine pass over it. Values are
+    * identical to the row-form signatures. */
   def minhashSignaturesFromSets(sets: DataFrame, idCol: String,
       numHashes: Int): DataFrame = {
+    val withBase = sets.withColumn("_hb",
+      transform(col("shingles"), s => minhashBase(s)))
     val cols = col(idCol) +: (0 until numHashes).map(j =>
-      array_min(transform(col("shingles"),
-        s => md5(concat(lit(j.toString), lit(":"), s)))).as(s"mh_$j"))
-    sets.select(cols: _*)
+      array_min(transform(col("_hb"), h => minhashPerm(j, h))).as(s"mh_$j"))
+    withBase.select(cols: _*)
   }
 
   /** LSH candidate pairs: documents sharing any band (bands of `rowsPerBand`
@@ -123,35 +157,32 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
     * → verify ≥ threshold.
     *
-    * Layout: shingle sets stay as per-doc arrays end-to-end, so the
-    * signature stage is a map-side projection with no shuffle; the only
-    * shuffles are the band-bucket groupBy (4 rows/doc) and the Jaccard
-    * verification joins, which run over candidate documents only (the
-    * corpus is semi-join-pruned to ids that survived banding before any
-    * shingle row is exploded). The candidate-pair table is broadcast-
-    * sized by construction (banding + maxBucket), so verification cost
-    * scales with near-dup density, not corpus size. */
+    * Layout: shingle sets stay as per-doc arrays through the signature
+    * stage, so signing is a map-side projection with no shuffle; the only
+    * shuffles are the band-bucket groupBy (numBands rows/doc) and the
+    * Jaccard verification joins, which run over candidate documents only.
+    * The corpus-wide tokenization is NOT persisted — at scale, caching
+    * the tokenized corpus costs more memory/spill than re-tokenizing the
+    * (tiny) candidate subset, so the verification branch semi-join-prunes
+    * the raw documents to candidate ids first and re-shingles just those.
+    * The candidate-pair table is broadcast-sized by construction
+    * (banding + maxBucket), so verification cost scales with near-dup
+    * density, not corpus size. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    // the shingle sets feed BOTH the signature branch and the Jaccard
-    // verification branch — persist so tokenization runs once
-    // (common-subexpression reuse across branches is exactly the
-    // reference's "connectivity computed once per batch" pattern,
-    // SURVEY.md §4)
-    val sets = shingleSets(df, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignaturesFromSets(sets, idCol, numHashes)
+    val sigs = minhashSignaturesFromSets(
+      shingleSets(df, idCol, textCol, shingleSize), idCol, numHashes)
     // candidate pairs are consumed twice (the id semi-filter and the
-    // verification join) and their subtree embeds the signature
-    // projection — persist so banding runs once; the table is tiny by
+    // verification join) and their subtree embeds the full signature
+    // scan — persist so banding runs once; the table is tiny by
     // construction
     val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
-    val shRelevant = sets.join(broadcast(candIds), Seq(idCol), "left_semi")
-      .select(col(idCol), explode(col("shingles")).as("shingle"))
+    val docsRelevant = df.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val shRelevant = shingles(docsRelevant, idCol, textCol, shingleSize)
     val out = jaccardForPairs(cands, shRelevant, idCol)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")

@@ -130,15 +130,19 @@ object LlmQueries extends QueryFamily {
             shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.8)
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH sh AS (
+      Some(s"""WITH sh AS (
              |  SELECT DISTINCT doc_id, unnest(list_transform(
              |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
              |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
              |  FROM documents),
+             |hb AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substring(md5(shingle),1,15)) AS BIGINT) % ${Dedup.MinhashPrime} AS h
+             |  FROM sh),
              |sig AS (
              |  SELECT doc_id,
-             |    min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1, min(md5('2:' || shingle)) AS mh_2, min(md5('3:' || shingle)) AS mh_3, min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5, min(md5('6:' || shingle)) AS mh_6, min(md5('7:' || shingle)) AS mh_7, min(md5('8:' || shingle)) AS mh_8, min(md5('9:' || shingle)) AS mh_9, min(md5('10:' || shingle)) AS mh_10, min(md5('11:' || shingle)) AS mh_11, min(md5('12:' || shingle)) AS mh_12, min(md5('13:' || shingle)) AS mh_13, min(md5('14:' || shingle)) AS mh_14, min(md5('15:' || shingle)) AS mh_15
-             |  FROM sh GROUP BY doc_id),
+             |    ${(0 until 16).map(j => s"min((h * ${Dedup.minhashA(j)} + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j").mkString(", ")}
+             |  FROM hb GROUP BY doc_id),
              |bands AS (
              |  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3 AS band_sig FROM sig
              |  UNION ALL SELECT doc_id, 1, mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7 FROM sig
