@@ -133,23 +133,37 @@ object Similarity {
       threshold, dim)
   }
 
+  /** The centroid table (broadcast-sized coarse quantizer) folded into a
+    * single-row, single-array-column frame: (cell_id, precast centroid,
+    * norm) structs. Cross-joining this one row onto the vector table is a
+    * broadcast — every vector row sees all cells with no row explosion. */
+  private def centroidCells(centroids: DataFrame, dim: Int): DataFrame =
+    centroids.select(struct(
+        col("cell_id"),
+        VectorMath.precast(col("centroid")).as("_ce"),
+        VectorMath.normAuto(VectorMath.precast(col("centroid")), dim).as("_cen")).as("_c"))
+      .agg(sort_array(collect_list(col("_c"))).as("_cells"))
+
+  private def cellCosine(c: Column, dim: Int, vec: String = "_v",
+      nrm: String = "_n"): Column =
+    VectorMath.dotAuto(col(vec), c.getField("_ce"), dim) /
+      (col(nrm) * c.getField("_cen"))
+
   /** IVF cell assignment: each vector goes to its max-cosine centroid.
-    * Centroids are a broadcast-sized DataFrame (cell_id, centroid) — the
-    * coarse quantizer. One broadcast join + windowed argmax; at 100 TB
-    * the candidate table is scanned once and the assignment is map-side. */
+    * Fully map-side — NO shuffle, NO per-cell row explosion: each vector
+    * row scores the broadcast centroid array in place and takes the
+    * argmax as an array expression (ties broken by lowest cell_id, the
+    * same order a windowed row_number would pick). At 100 TB the
+    * candidate table is scanned exactly once. */
   def ivfAssignments(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, dim: Int = 0): DataFrame = {
-    val cents = centroids.select(col("cell_id"),
-        VectorMath.precast(col("centroid")).as("_ce"))
-      .withColumn("_cen", VectorMath.normAuto(col("_ce"), dim))
-    val scored = prepped(df, idCol, vecCol, idCol, "_v", "_n", dim)
-      .join(broadcast(cents))
-      .withColumn("_cos",
-        VectorMath.dotAuto(col("_v"), col("_ce"), dim) / (col("_n") * col("_cen")))
-    val w = Window.partitionBy(idCol).orderBy(col("_cos").desc, col("cell_id").asc)
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col(idCol), col("_v"), col("_n"), col("cell_id"))
-  }
+      centroids: DataFrame, dim: Int = 0): DataFrame =
+    prepped(df, idCol, vecCol, idCol, "_v", "_n", dim)
+      .crossJoin(broadcast(centroidCells(centroids, dim)))
+      .withColumn("_best", array_max(transform(col("_cells"),
+        c => struct(cellCosine(c, dim).as("cos"),
+          (-c.getField("cell_id")).as("negId")))))
+      .select(col(idCol), col("_v"), col("_n"),
+        (-col("_best.negId")).as("cell_id"))
 
   /** IVF top-k: queries probe their `nProbe` highest-cosine cells and run
     * exact search against only the vectors assigned there — the classic
@@ -160,17 +174,15 @@ object Similarity {
     val assigned = ivfAssignments(candidates, idCol, vecCol, centroids, dim)
       .select(col(idCol).as("cand_id"), col("_v").as("_cv"),
         col("_n").as("_cn"), col("cell_id"))
-    val cents = centroids.select(col("cell_id"),
-        VectorMath.precast(col("centroid")).as("_ce"))
-      .withColumn("_cen", VectorMath.normAuto(col("_ce"), dim))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("_ccos").desc, col("cell_id").asc)
+    // probe selection is map-side like the assignment: score the broadcast
+    // centroid array in place, sort (cos desc, cell_id asc), keep nProbe
     val probes = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
-      .join(broadcast(cents))
-      .withColumn("_ccos",
-        VectorMath.dotAuto(col("_qv"), col("_ce"), dim) / (col("_qn") * col("_cen")))
-      .withColumn("_rn", row_number().over(probeW)).filter(col("_rn") <= nProbe)
-      .select(col("query_id"), col("_qv"), col("_qn"), col("cell_id"))
+      .crossJoin(broadcast(centroidCells(centroids, dim)))
+      .withColumn("_top", slice(sort_array(transform(col("_cells"),
+        c => struct((-cellCosine(c, dim, "_qv", "_qn")).as("negCos"),
+          c.getField("cell_id").as("cell_id")))), 1, nProbe))
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        explode(col("_top").getField("cell_id")).as("cell_id"))
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand_id").asc)
     probes.join(assigned, Seq("cell_id"))
