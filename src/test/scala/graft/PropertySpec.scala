@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Windows
+import graft.trajectory.{Extrinsics, TrajectoryOps}
+
+/** ScalaCheck-driven property tests for the sequential/geometry kernels
+  * (SURVEY.md §5.2): the invariants hold for arbitrary generated inputs,
+  * not just hand-picked examples. Generation is seeded (`Seed(n)`), so
+  * runs are deterministic; each DataFrame property batches all generated
+  * sequences into ONE job (the operators partition by sequence id), so
+  * the suite costs a handful of Spark jobs, not one per sample.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def perSeq[T](rows: Array[T])(seqOf: T => String): Iterable[Array[T]] =
+    rows.groupBy(seqOf).values
+
+  // ---- W6 angle unwrap ---------------------------------------------------
+
+  test("property: unwrapAngle deltas are in [-180,180], first value kept, class mod 360 kept") {
+    val angles = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1080.0, 1080.0)))
+    val rows = (1 to 30).flatMap { s =>
+      gen(angles, s).zipWithIndex.map { case (a, i) => (s.toString, i, a) }
+    }
+    val out = Windows.unwrapAngle(rows.toDF("seq", "idx", "angle"),
+        Seq("seq"), Seq(col("idx")), col("angle"), "unwrapped")
+      .select("seq", "idx", "angle", "unwrapped").as[(String, Int, Double, Double)]
+      .collect()
+    assert(out.length == rows.length)
+    perSeq(out)(_._1).foreach { g =>
+      val s = g.sortBy(_._2)
+      assert(s.head._4 == s.head._3, "first value must be preserved exactly")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          val d = b._4 - a._4
+          assert(d >= -180.0 - 1e-9 && d <= 180.0 + 1e-9, s"delta $d out of range")
+        case _ =>
+      }
+      s.foreach { case (_, _, in, un) =>
+        val k = (un - in) / 360.0
+        assert(math.abs(k - math.round(k).toDouble) < 1e-6,
+          s"unwrapped $un not congruent to input $in mod 360")
+      }
+    }
+  }
+
+  // ---- W7 rate clamp -----------------------------------------------------
+
+  test("property: rateClamp bounds output rate, keeps first value, matches reference scan") {
+    val maxDelta = 25.0
+    val targets = Gen.chooseNum(2, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-500.0, 500.0)))
+    val rows = (1 to 30).flatMap { s =>
+      gen(targets, 100 + s).zipWithIndex.map { case (v, i) => (s.toString, i.toLong, v) }
+    }
+    val out = TrajectoryOps.rateClamp(rows.toDF("seq", "idx", "target"),
+        "seq", "idx", "target", maxDelta)
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.length == rows.length)
+    perSeq(out)(_._1).foreach { g =>
+      val s = g.sortBy(_._2)
+      assert(s.head._4 == s.head._3, "first output = first target")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(math.abs(b._4 - a._4) <= maxDelta + 1e-9, "rate bound violated")
+        case _ =>
+      }
+      // exact agreement with the sequential reference recurrence
+      var ref = s.head._3
+      s.foreach { case (_, _, target, clamped) =>
+        ref = ref + math.max(math.min(target - ref, maxDelta), -maxDelta)
+        assert(clamped == ref, s"diverges from reference: $clamped vs $ref")
+      }
+    }
+  }
+
+  test("property: rateClamp is a fixpoint on already-smooth input") {
+    val maxDelta = 10.0
+    val deltas = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-maxDelta, maxDelta)))
+    val rows = (1 to 20).flatMap { s =>
+      val vals = gen(deltas, 200 + s).scanLeft(gen(Gen.chooseNum(-100.0, 100.0), s))(_ + _)
+      vals.zipWithIndex.map { case (v, i) => (s.toString, i.toLong, v) }
+    }
+    val out = TrajectoryOps.rateClamp(rows.toDF("seq", "idx", "target"),
+        "seq", "idx", "target", maxDelta)
+      .as[(String, Long, Double, Double)].collect()
+    out.foreach { case (_, _, target, clamped) =>
+      assert(math.abs(clamped - target) <= 1e-9, "smooth input must pass through unchanged")
+    }
+  }
+
+  // ---- W2 cumulative arc length -------------------------------------------
+
+  test("property: cumArcLength is non-negative, non-decreasing, equals scalar prefix sum") {
+    val pts = Gen.chooseNum(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(-1e4, 1e4), Gen.chooseNum(-1e4, 1e4),
+        Gen.chooseNum(-1e3, 1e3))))
+    val rows = (1 to 25).flatMap { s =>
+      gen(pts, 300 + s).zipWithIndex.map { case ((x, y, z), i) => (s.toString, i, x, y, z) }
+    }
+    val out = TrajectoryOps.cumArcLength(rows.toDF("seq", "idx", "x", "y", "z"),
+        "seq", "idx", col("x"), col("y"), col("z"))
+      .select("seq", "idx", "x", "y", "z", "seg_dist", "cum_dist")
+      .as[(String, Int, Double, Double, Double, Double, Double)].collect()
+    perSeq(out)(_._1).foreach { g =>
+      val s = g.sortBy(_._2)
+      assert(s.head._6 == 0.0, "first segment distance is 0")
+      var ref = 0.0
+      var prev: (Double, Double, Double) = null
+      s.foreach { case (_, _, x, y, z, seg, cum) =>
+        assert(seg >= 0.0)
+        if (prev != null) {
+          val d = math.sqrt(math.pow(x - prev._1, 2) + math.pow(y - prev._2, 2) +
+            math.pow(z - prev._3, 2))
+          assert(math.abs(seg - d) <= 1e-9 * math.max(1.0, d))
+        }
+        ref += seg
+        assert(math.abs(cum - ref) <= 1e-6, "cum_dist = prefix sum of seg_dist")
+        prev = (x, y, z)
+      }
+    }
+  }
+
+  // ---- W3 budget truncation ------------------------------------------------
+
+  test("property: truncateAtBudget keeps exactly the within-budget prefix") {
+    // values are multiples of 0.5 → binary-exact sums, no boundary ambiguity
+    val vals = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 40).map(_ * 0.5)))
+    val budget = 50.0
+    val rows = (1 to 25).flatMap { s =>
+      gen(vals, 400 + s).zipWithIndex.map { case (v, i) => (s.toString, i, v) }
+    }
+    val kept = Windows.truncateAtBudget(rows.toDF("seq", "idx", "v"),
+        Seq("seq"), Seq(col("idx")), col("v"), budget)
+      .select("seq", "idx").as[(String, Int)].collect().toSet
+    rows.groupBy(_._1).foreach { case (seqId, g) =>
+      var cum = 0.0
+      g.sortBy(_._2).foreach { case (_, i, v) =>
+        cum += v
+        assert(kept.contains((seqId, i)) == (cum <= budget),
+          s"row $i of $seqId: cum=$cum budget=$budget kept=${kept.contains((seqId, i))}")
+      }
+    }
+  }
+
+  // ---- W8 resample ----------------------------------------------------------
+
+  test("property: resampleByCount yields n monotone samples with exact endpoints") {
+    val n = 7
+    val segs = Gen.chooseNum(2, 25).flatMap(m =>
+      Gen.listOfN(m, Gen.zip(Gen.chooseNum(0.5, 50.0), Gen.chooseNum(-100.0, 100.0))))
+    val rows = (1 to 20).flatMap { s =>
+      val pts = gen(segs, 500 + s)
+      val cums = pts.map(_._1).scanLeft(0.0)(_ + _).tail
+      (0.0 +: cums.init).zip(pts.map(_._2)).map { case (c, v) => (s.toString, c, v) }
+    }
+    val out = TrajectoryOps.resampleByCount(
+        rows.toDF("seq", "cum_dist", "value_in").withColumnRenamed("value_in", "v"),
+        "seq", "v", n)
+      .select("seq", "sample_idx", "target_dist", "value")
+      .as[(String, Int, Double, Double)].collect()
+    perSeq(out)(_._1).foreach { g =>
+      val s = g.sortBy(_._2)
+      assert(s.length == n, s"expected $n samples, got ${s.length}")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 >= a._3, "target distances monotone")
+        case _ =>
+      }
+      val input = rows.filter(_._1 == s.head._1).sortBy(_._2)
+      assert(s.head._4 == input.head._3, "first sample = first input value")
+      assert(math.abs(s.last._4 - input.last._3) <= 1e-9, "last sample = last input value")
+      val (lo, hi) = (input.map(_._3).min, input.map(_._3).max)
+      s.foreach(r => assert(r._4 >= lo - 1e-9 && r._4 <= hi + 1e-9,
+        "interpolation stays within input value envelope"))
+    }
+  }
+
+  // ---- Extrinsic matrix (pure function, no Spark) ----------------------------
+
+  test("property: extrinsic rotation block is orthonormal with det 1 and maps camera to origin") {
+    val pose = Gen.zip(
+      Gen.chooseNum(-1e5, 1e5), Gen.chooseNum(-1e5, 1e5), Gen.chooseNum(-1e4, 1e4),
+      Gen.chooseNum(-180.0, 180.0), Gen.chooseNum(-89.0, 89.0), Gen.chooseNum(-180.0, 180.0))
+    (1 to 200).foreach { s =>
+      val (x, y, z, roll, pitch, yaw) = gen(pose, 600 + s)
+      val m = Extrinsics.extrinsicMatrix(x, y, z, roll, pitch, yaw)
+      def at(r: Int, c: Int) = m(r * 4 + c)
+      // Rᵀ·(Rᵀ)ᵀ = I  (top-left 3×3 is Rᵀ)
+      for (i <- 0 until 3; j <- 0 until 3) {
+        val dot = (0 until 3).map(k => at(i, k) * at(j, k)).sum
+        val expect = if (i == j) 1.0 else 0.0
+        assert(math.abs(dot - expect) < 1e-9, s"orthonormality fails at ($i,$j): $dot")
+      }
+      val det =
+        at(0, 0) * (at(1, 1) * at(2, 2) - at(1, 2) * at(2, 1)) -
+        at(0, 1) * (at(1, 0) * at(2, 2) - at(1, 2) * at(2, 0)) +
+        at(0, 2) * (at(1, 0) * at(2, 1) - at(1, 1) * at(2, 0))
+      assert(math.abs(det - 1.0) < 1e-9, s"rotation determinant $det != 1")
+      // view matrix sends the camera position (meters) to the origin
+      val t = Seq(x, y, z).map(_ * Extrinsics.UeToMeters)
+      (0 until 3).foreach { r =>
+        val v = (0 until 3).map(c => at(r, c) * t(c)).sum + at(r, 3)
+        assert(math.abs(v) < 1e-6, s"camera position does not map to origin (row $r: $v)")
+      }
+      assert(m(12) == 0.0 && m(13) == 0.0 && m(14) == 0.0 && m(15) == 1.0)
+    }
+  }
+}
