@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llmops.Similarity
+import graft.model.Tables
+
+/** Physical-plan regression tests: the scale properties the operators
+  * claim (pushdown, pruning, broadcast dims, one-shuffle windows,
+  * map-side IVF) must be visible in the executed plan, not just asserted
+  * in docs. Plans are checked against sf0.001 so the suite stays fast;
+  * the properties are data-size-independent.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countShuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length +
+      "Exchange rangepartitioning".r.findAllIn(p).length
+
+  test("plan: filters reach the parquet scan and unused columns are pruned") {
+    val df = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 100).select("vec_id")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,100)]"), p)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"), p)
+  }
+
+  test("plan: FK-chain rollup joins catalog dims with broadcast hash joins") {
+    val p = plan(SparkEntry.queries("q_fk_rollup")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("plan: cumulative arc length shuffles once on the sequence key (plus output sort)") {
+    val p = plan(SparkEntry.queries("q_cumsum_arclength")(spark, sf))
+    // one hash shuffle for the window partition; the trailing
+    // rangepartitioning exchange is the deterministic output orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("plan: rate-clamp recurrence is a single shuffle + in-partition scan") {
+    val p = plan(SparkEntry.queries("q_rate_clamp")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("plan: IVF cell assignment runs with zero shuffles") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    val p = plan(Similarity.ivfAssignments(emb, "vec_id", "embedding", centroids, dim = 64))
+    assert(countShuffles(p) == 0, p)
+  }
+
+  test("plan: flagship entry aggregates with partial (map-side) aggregation") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair around one exchange — map-side combine is on
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+}
