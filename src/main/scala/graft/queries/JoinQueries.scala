@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{AsOfJoin, RangeJoin, PrefixJoin}
+import graft.operators.{AsOfJoin, RangeJoin, PrefixJoin, SkewJoin}
 import graft.graph.Knn
 
 /** Join family beyond plain equi-joins (SURVEY.md §2.3: J2, J8, J9, J11). */
@@ -139,6 +139,26 @@ object JoinQueries extends QueryFamily {
              |    ORDER BY dist ASC, dst_id ASC) AS rank
              |  FROM pairs)
              |SELECT src_id, dst_id, dist, CAST(rank AS INT) AS rank
-             |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin))
+             |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin)),
+
+    // Salted skew join: the explicit hot-key mitigation (salt the skewed
+    // probe side, replicate the dim side per salt). Result set must be
+    // IDENTICAL to the plain equi-join for any salt routing — which is
+    // exactly what the oracle checks.
+    ("q_salted_join",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+          .withColumnRenamed("o_orderkey", "l_orderkey")
+        SkewJoin.saltedInnerJoin(li, ord, "l_orderkey", numSalts = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"),
+            Det.moneySum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  ${Det.moneySumSql("l_quantity")} AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -54,6 +54,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(countShuffles(p) == 0, p)
   }
 
+  test("plan: bucketed catalog tables join without any exchange") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      graft.catalog.CatalogOps.writeBucketed(
+        (1 to 100).map(i => (s"scene_$i", i)).toDF("scene_name", "n"),
+        "audit_scenes", "scene_name", buckets = 4)
+      graft.catalog.CatalogOps.writeBucketed(
+        (1 to 300).map(i => (s"scene_${i % 100 + 1}", s"map_$i")).toDF("scene_name", "map_name"),
+        "audit_maps", "scene_name", buckets = 4)
+      val p = plan(spark.table("audit_scenes").join(spark.table("audit_maps"), "scene_name"))
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS audit_scenes")
+      spark.sql("DROP TABLE IF EXISTS audit_maps")
+    }
+  }
+
+  test("plan: salted skew join matches the plain join row-for-row") {
+    import spark.implicits._
+    // one hot key (90% of rows) + a tail
+    val left = ((1 to 900).map(_ => ("hot", 1.0)) ++ (1 to 100).map(i => (s"k$i", 2.0)))
+      .toDF("k", "v")
+    val right = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).map(k => (k, s"dim_$k"))
+      .toDF("k", "label")
+    val salted = graft.operators.SkewJoin.saltedInnerJoin(left, right, "k", numSalts = 4)
+      .groupBy("k", "label").count()
+    val plain = left.join(right, "k").groupBy("k", "label").count()
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("plan: flagship entry aggregates with partial (map-side) aggregation") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("HashAggregate"), p)
