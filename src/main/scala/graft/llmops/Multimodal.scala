@@ -76,6 +76,40 @@ object Multimodal {
       }
   }
 
+  private val resizedSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("out_width", IntegerType), StructField("out_height", IntegerType),
+    StructField("pixels", ArrayType(FloatType))))
+
+  /** Nearest-neighbor resize of decoded image rows to (outW, outH). The
+    * index geometry is the real operator; pixels come from [[StubCodec]]
+    * until a codec is wired in. Same batch shape as [[extractFeatures]]:
+    * one row decoded at a time per partition, streaming iterator. */
+  def resize(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    implicit val enc = Encoders.row(resizedSchema)
+    media.filter(col("kind") === "image")
+      .select("media_id", "payload", "width", "height")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+          val px = StubCodec.decode(r.getAs[Array[Byte]]("payload"), w, h)
+          val out = new Array[Float](outW * outH)
+          var y = 0
+          while (y < outH) {
+            val sy = math.min((y.toLong * h / outH).toInt, h - 1)
+            var x = 0
+            while (x < outW) {
+              val sx = math.min((x.toLong * w / outW).toInt, w - 1)
+              out(y * outW + x) = px(sy * w + sx)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getAs[Long]("media_id"), outW, outH, out)
+        }
+      }
+  }
+
   /** Frame sampling for video rows: keep every `stride`-th frame index —
     * pure metadata explosion (`sequence` + `explode`), codegen'd, no UDF;
     * the decode of selected frames happens later via [[extractFeatures]].

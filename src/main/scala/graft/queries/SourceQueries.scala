@@ -88,6 +88,16 @@ object SourceQueries extends QueryFamily {
       },
       None),
 
+    // Multimodal — nearest-neighbor resize of stub-decoded image rows.
+    ("q_media_resize",
+      (s: SparkSession, d: String) => {
+        Multimodal.resize(Multimodal.syntheticMedia(s, 64), outW = 4, outH = 2)
+          .select(col("media_id"), col("out_width"), col("out_height"),
+            size(col("pixels")).as("n_pixels"))
+          .orderBy("media_id")
+      },
+      None),
+
     // Multimodal — video frame sampling as metadata explosion.
     ("q_frame_sample",
       (s: SparkSession, d: String) => {

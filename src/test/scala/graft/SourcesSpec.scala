@@ -97,6 +97,21 @@ class SourcesSpec extends SparkSpec {
     assert(f1.forall(_.getAs[Int]("n_values") == 32)) // 8×4 stub pixels
   }
 
+  test("resize maps corners exactly and is idempotent at the native size") {
+    val media = Multimodal.syntheticMedia(spark, 3) // media 0 is an image, 8×4
+    def pixels(df: org.apache.spark.sql.DataFrame): Seq[Float] = {
+      val r = df.filter(col("media_id") === 0L).collect().head
+      r.getSeq[Float](r.fieldIndex("pixels")).toSeq
+    }
+    val native = pixels(Multimodal.resize(media, 8, 4))
+    val decoded = Multimodal.StubCodec.decode(
+      media.filter(col("media_id") === 0L).collect().head.getAs[Array[Byte]]("payload"), 8, 4)
+    assert(native == decoded.toSeq, "resize to native size is the identity")
+    val down = pixels(Multimodal.resize(media, 4, 2))
+    assert(down.length == 8)
+    assert(down.head == decoded(0), "top-left corner preserved")
+  }
+
   test("frame sampling keeps every stride-th index") {
     val out = Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, 6), stride = 10)
     val frames = out.filter(col("media_id") === 2L) // a video row (kind idx 2)
