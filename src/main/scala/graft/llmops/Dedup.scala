@@ -189,6 +189,24 @@ object Dedup {
     out
   }
 
+  /** Benchmark decontamination: drop corpus documents that share ANY word
+    * n-gram with the benchmark set (the standard test-set-leakage guard in
+    * training-data pipelines). One distinct-shingle explosion per side, an
+    * equi-join on the shingle, and a left-anti join back to the corpus —
+    * the benchmark side is tiny, so its shingle set broadcasts and the
+    * corpus is scanned once. Returns the clean corpus unchanged in schema.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val corpusShingles = shingles(corpus, idCol, textCol, n)
+    val benchShingles = benchmark
+      .select(explode(shingleArray(benchTextCol, n)).as("shingle")).distinct()
+    val contaminated = corpusShingles
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash from md5 token hashes: bit b of the signature is the
     * sign of Σ_tokens (bit b of md5(token) ? +1 : -1). Near-dups = pairs
     * with small Hamming distance. md5-hex-nibble based → portable.

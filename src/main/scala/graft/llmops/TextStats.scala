@@ -75,4 +75,46 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Greedy sequence packing: bin documents into training "packs" of at
+    * most `maxTokens` tokens, in (shard, order) sequence — a new pack
+    * starts whenever the running total would overflow (an over-budget
+    * single document gets its own pack). The running total depends on the
+    * previous *pack's* fill, so like the rate clamp (W7) this is a true
+    * recurrence: implemented as one shuffle on the shard key + a sorted
+    * in-partition scan with O(1) state. Shards pack independently — the
+    * standard distributed-packing layout: parallelism = shard count,
+    * packing quality is per-shard greedy.
+    *
+    * Output: (shard, order key, n_tokens, pack_id (0-based per shard),
+    * pack_fill = running tokens in the pack after this doc).
+    */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+      tokensCol: String, maxTokens: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val prepared = df
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol).cast("long"))
+      .select(col(shardCol).cast("string").as("shard"),
+        col(orderCol).cast("long").as("ord"),
+        col(tokensCol).cast("long").as("n_tokens"))
+    implicit val enc = Encoders.row(StructType(Seq(
+      StructField("shard", StringType), StructField("ord", LongType),
+      StructField("n_tokens", LongType), StructField("pack_id", LongType),
+      StructField("pack_fill", LongType))))
+    prepared.mapPartitions { rows =>
+      var cur: String = null
+      var pack = 0L
+      var fill = 0L
+      rows.map { r =>
+        val shard = r.getString(0)
+        if (shard != cur) { cur = shard; pack = 0L; fill = 0L }
+        val n = r.getLong(2)
+        if (fill > 0 && fill + n > maxTokens) { pack += 1; fill = 0L }
+        fill += n
+        Row(shard, r.getLong(1), n, pack, fill)
+      }
+    }
+  }
 }

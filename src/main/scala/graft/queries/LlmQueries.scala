@@ -167,6 +167,56 @@ object LlmQueries extends QueryFamily {
              |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Benchmark decontamination: drop every corpus doc sharing ANY 3-gram
+    // with the benchmark subset (doc_id % 97 == 0) — the test-set-leakage
+    // guard. Benchmark shingles broadcast; corpus scanned once.
+    ("q_decontaminate",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
+        Dedup.decontaminate(docs, "doc_id", "text", bench, "text", n = 3)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+             |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Greedy sequence packing: bin documents into ≤512-token training
+    // packs per shard — a true recurrence (pack fill depends on previous
+    // pack state), same secondary-sort scan as the rate clamp; the oracle
+    // walks the identical recurrence as a recursive CTE.
+    ("q_pack_sequences",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("shard", pmod(col("doc_id"), lit(8)))
+          .withColumn("n_tok", TextStats.tokenCount(col("text")))
+        TextStats.packSequences(docs, "shard", "doc_id", "n_tok", maxTokens = 512)
+          .orderBy("shard", "ord")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT CAST(doc_id % 8 AS VARCHAR) AS shard,
+             |    CAST(doc_id AS BIGINT) AS ord,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS BIGINT) AS idx
+             |  FROM documents),
+             |r(shard, ord, n_tokens, idx, pack_id, pack_fill) AS (
+             |  SELECT shard, ord, n_tokens, idx, CAST(0 AS BIGINT), n_tokens
+             |  FROM t WHERE idx = 1
+             |  UNION ALL
+             |  SELECT t.shard, t.ord, t.n_tokens, t.idx,
+             |    CASE WHEN r.pack_fill + t.n_tokens > 512 THEN r.pack_id + 1 ELSE r.pack_id END,
+             |    CASE WHEN r.pack_fill + t.n_tokens > 512 THEN t.n_tokens ELSE r.pack_fill + t.n_tokens END
+             |  FROM r JOIN t ON t.shard = r.shard AND t.idx = r.idx + 1)
+             |SELECT shard, ord, n_tokens, pack_id, pack_fill
+             |FROM r ORDER BY shard, ord""".stripMargin)),
+
     // Exact n-gram Jaccard among a bounded candidate window (doc_id < 300):
     // the exact-answer baseline the LSH path approximates.
     ("q_ngram_jaccard",

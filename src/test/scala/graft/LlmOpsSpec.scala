@@ -130,6 +130,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("bpe") == 3L)
   }
 
+  test("decontaminate drops docs sharing an n-gram with the benchmark, keeps clean docs") {
+    val corpus = Seq(
+      (0L, base),                                  // overlaps benchmark (= base)
+      (1L, nearDup),                               // shares most 3-grams with base
+      (2L, unrelated),                             // clean
+      (3L, "totally novel words nobody benchmarked ever before now")) // clean
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1(base)).toDF("text")
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("packSequences respects the budget, resets per shard, covers all docs") {
+    val docs = (0 until 40).map(i => (i % 4, i.toLong, 10L + (i % 7) * 30L))
+      .toDF("shard", "doc_id", "n_tok")
+    val out = TextStats.packSequences(docs, "shard", "doc_id", "n_tok", maxTokens = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 40)
+    out.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(_._2)
+      assert(s.head._4 == 0L, "pack ids start at 0 per shard")
+      s.foreach { case (_, _, n, _, fill) =>
+        assert(fill <= 128L || n > 128L, "no pack exceeds the budget")
+      }
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 == a._4 || b._4 == a._4 + 1, "pack ids are contiguous")
+          if (b._4 == a._4) assert(b._5 == a._5 + b._3, "fill accumulates within a pack")
+          else assert(b._5 == b._3, "fill resets on a new pack")
+        case _ =>
+      }
+    }
+  }
+
   test("language ID picks profile with most marker hits") {
     val profiles = Map("en" -> Seq("the"), "de" -> Seq("der", "und"))
     val df = Seq((1L, "der hund und die katze"), (2L, "the cat sat")).toDF("id", "text")
