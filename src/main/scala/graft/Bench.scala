@@ -22,9 +22,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up action so JVM/codegen startup isn't billed to the first query
+    // warm-up actions so JVM/codegen startup isn't billed to the first
+    // measured queries: a plain scan, plus a tiny vector-similarity probe
+    // that primes the higher-order-function fold, broadcast-join, and
+    // window codegen paths the llmops queries share (they sort first
+    // alphabetically and would otherwise absorb all JIT warmup)
     spark.read.parquet(s"$sfDir/region.parquet").write
       .format("noop").mode("overwrite").save()
+    val warmVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(40)
+    graft.llmops.Similarity.bruteForceTopK(
+        warmVecs, warmVecs, "vec_id", "embedding", k = 2)
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
