@@ -19,17 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle expression (array, with duplicates). */
-  private def shingleArray(textCol: String, n: Int): Column = {
-    val toks = split(col(textCol), " ")
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token array
+    * column. `toks` must be a plain attribute, not an inline
+    * `split(...)` — an inline expression is substituted into the lambda
+    * body and re-tokenizes the whole document once per shingle (measured
+    * ~4× the whole stage). Each shingle is built by direct element
+    * access + concat, no intermediate slice array. */
+  private def shingleArray(toks: Column, n: Int): Column =
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
-  }
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+
+  private def withToks(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_toks", split(col(textCol), " "))
 
   /** Word n-gram shingle set: one (id, shingle) row per distinct shingle. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(shingleArray(textCol, n)).as("shingle")).distinct()
+    withToks(df, textCol)
+      .select(col(idCol), explode(shingleArray(col("_toks"), n)).as("shingle"))
+      .distinct()
 
   /** Per-document distinct shingle set as an array column — built entirely
     * map-side (`array_distinct` instead of explode+distinct), so the
@@ -37,7 +45,8 @@ object Dedup {
     * document length; use the row form ([[shingles]]) if documents are
     * unbounded. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), array_distinct(shingleArray(textCol, n)).as("shingles"))
+    withToks(df, textCol)
+      .select(col(idCol), array_distinct(shingleArray(col("_toks"), n)).as("shingles"))
 
   /** Exact dedup by an arbitrary key expression: keeps the row with the
     * minimal `idCol` per key, annotates group size. */
@@ -199,8 +208,8 @@ object Dedup {
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
     val corpusShingles = shingles(corpus, idCol, textCol, n)
-    val benchShingles = benchmark
-      .select(explode(shingleArray(benchTextCol, n)).as("shingle")).distinct()
+    val benchShingles = withToks(benchmark, benchTextCol)
+      .select(explode(shingleArray(col("_toks"), n)).as("shingle")).distinct()
     val contaminated = corpusShingles
       .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
       .select(idCol).distinct()
