@@ -217,25 +217,43 @@ object Dedup {
   }
 
   /** 64-bit SimHash from md5 token hashes: bit b of the signature is the
-    * sign of Σ_tokens (bit b of md5(token) ? +1 : -1). Near-dups = pairs
-    * with small Hamming distance. md5-hex-nibble based → portable.
+    * sign of Σ_tokens (±1 by bit b of md5(token)). Near-dups = pairs with
+    * small Hamming distance. md5-based → portable across engines.
+    *
+    * The per-token hash work is hoisted into `tokenHashHalves` — computed
+    * ONCE per document as a materialized column: each distinct token's
+    * md5 is parsed into two 32-bit integer halves a single time, and the
+    * 64 bit-vote folds are then pure shift-and-mask arithmetic. (The
+    * naive form — 64 folds each re-deriving md5 + per-bit hex-nibble
+    * string parsing — costs ~64× the hashing plus string ops per vote.)
     */
-  def simhash64(text: Column): Column = {
-    // hash each distinct token ONCE, then derive all 64 bit-votes from the
-    // cached hex strings (64 aggregates over precomputed hashes instead of
-    // 64 md5 evaluations per token)
-    val hashes = transform(array_distinct(split(text, " ")), t => md5(t))
+  def tokenHashHalves(text: Column): Column =
+    transform(array_distinct(split(text, " ")), { t =>
+      val h = md5(t)
+      struct(conv(substring(h, 1, 8), 16, 10).cast("long").as("lo"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("hi"))
+    })
+
+  /** Signature from a (preferably hoisted) [[tokenHashHalves]] column. */
+  def simhash64FromHalves(halves: Column): Column = {
     val bits = (0 until 64).map { b =>
-      val nibble = b / 4
-      val bitInNibble = b % 4
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc +
-          when(((conv(substring(h, nibble + 1, 1), 16, 10).cast("int")
-            .bitwiseAND(lit(1 << bitInNibble))) > 0), 1).otherwise(-1))
+      val (field, shift) = if (b < 32) ("lo", b) else ("hi", b - 32)
+      val votes = aggregate(halves, lit(0), (acc, s) =>
+        acc + when(shiftright(s.getField(field), shift)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
       when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)
   }
+
+  /** Per-document signatures with the token-hash column hoisted so it is
+    * evaluated once per row, not once per bit. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_th", tokenHashHalves(col(textCol)))
+      .select(col(idCol), simhash64FromHalves(col("_th")).as("sig"))
+
+  /** Single-column convenience form (inline, no hoist). */
+  def simhash64(text: Column): Column = simhash64FromHalves(tokenHashHalves(text))
 
   def hammingDistance64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

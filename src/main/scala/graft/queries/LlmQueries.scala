@@ -370,8 +370,8 @@ object LlmQueries extends QueryFamily {
     // impractical; covered by DedupSpec planted-duplicate tests).
     ("q_simhash_neardup",
       (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-          .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+        val docs = Dedup.simhashSignatures(
+          Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text")
         val a = docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
         val b = docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
         a.join(broadcast(b), col("id_a") < col("id_b"))
