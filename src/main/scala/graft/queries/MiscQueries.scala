@@ -41,20 +41,24 @@ object MiscQueries extends QueryFamily {
     // quantity budget (W3).
     ("q_segment_clip",
       (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        // Single shuffle: the cumulative sum, the per-order last surviving
+        // index, the clip, and the final dedup all run over one
+        // hash-partitioning on l_orderkey — no second scan, no
+        // groupBy+join back. The trailing distinct stays partition-local
+        // because hash(l_orderkey) already clusters its key superset.
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
-        val lastIdx = graft.operators.Windows.truncateAtBudget(li,
-            part = Seq("l_orderkey"), order = Seq(col("l_linenumber"), col("l_quantity")),
-            v = col("l_quantity"), budget = 100.0)
-          .groupBy("l_orderkey").agg(max(col("l_linenumber")).as("last_idx"))
-        val segments = li
+        val ordered = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber"), col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val whole = Window.partitionBy("l_orderkey")
+        li.withColumn("_cum", sum(col("l_quantity")).over(ordered))
+          .withColumn("last_idx",
+            max(when(col("_cum") <= 100.0, col("l_linenumber"))).over(whole))
+          .filter(col("l_linenumber") <= col("last_idx"))
           .select(col("l_orderkey"), col("l_linenumber").as("start_idx"),
-            (col("l_linenumber") + 2).as("end_idx"))
-          .distinct()
-        segments.join(lastIdx, Seq("l_orderkey"))
-          .filter(col("start_idx") <= col("last_idx"))
-          .withColumn("end_idx", least(col("end_idx"), col("last_idx")))
-          .select("l_orderkey", "start_idx", "end_idx")
-          .distinct()
+            least(col("l_linenumber") + 2, col("last_idx")).as("end_idx"))
+          .dropDuplicates("l_orderkey", "start_idx", "end_idx")
           .orderBy("l_orderkey", "start_idx")
       },
       Some("""WITH c AS (

@@ -46,6 +46,13 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("plan: segment clip runs windows, clip, and dedup over one shuffle") {
+    val p = plan(SparkEntry.queries("q_segment_clip")(spark, sf))
+    // one hash shuffle shared by both windows and the partition-local
+    // distinct; the rangepartitioning exchange is the output orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("plan: IVF cell assignment runs with zero shuffles") {
     val emb = Tables.embeddings(spark, sf)
     val centroids = emb.filter(col("vec_id") < 8)
