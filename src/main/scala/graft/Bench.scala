@@ -22,17 +22,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up actions so JVM/codegen startup isn't billed to the first
-    // measured queries: a plain scan, plus a tiny vector-similarity probe
-    // that primes the higher-order-function fold, broadcast-join, and
-    // window codegen paths the llmops queries share (they sort first
-    // alphabetically and would otherwise absorb all JIT warmup)
-    spark.read.parquet(s"$sfDir/region.parquet").write
-      .format("noop").mode("overwrite").save()
-    val warmVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(40)
-    graft.llmops.Similarity.bruteForceTopK(
-        warmVecs, warmVecs, "vec_id", "embedding", k = 2)
-      .write.format("noop").mode("overwrite").save()
+    // Warm-up so JVM/codegen startup isn't billed to the measured run:
+    // every query executes once against the SMALLEST scale factor first.
+    // Plan shapes are identical across SFs, so this primes Spark's
+    // generated-code cache (keyed by generated source) and lets C2
+    // compile the hot loops; the timed pass then measures data cost, not
+    // JIT. Warm-up failures are ignored — the measured loop reports them.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -25,11 +25,17 @@ object ProfileMinhash {
     val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
     time("shingleSets (map-side)")(
       sets.write.format("noop").mode("overwrite").save())
-    val sigs = Dedup.minhashSignaturesFromSets(sets, "doc_id", 16)
+    val sigs = Dedup.minhashSignatureArray(sets, "doc_id", 16)
     time("signatures (projection)")(
       sigs.write.format("noop").mode("overwrite").save())
     val cands = Dedup.lshCandidates(sigs, "doc_id", 16, 4)
     time("candidates")(cands.write.format("noop").mode("overwrite").save())
+    val sigsP = sigs.persist()
+    time("sigs persist")(sigsP.write.format("noop").mode("overwrite").save())
+    time("candidates from persisted sigs")(
+      Dedup.lshCandidates(sigsP, "doc_id", 16, 4)
+        .write.format("noop").mode("overwrite").save())
+    sigsP.unpersist()
     time("full pipeline (fresh)")(
       Dedup.minhashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.8)
         .write.format("noop").mode("overwrite").save())

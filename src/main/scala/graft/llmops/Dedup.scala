@@ -113,6 +113,34 @@ object Dedup {
     withBase.select(cols: _*)
   }
 
+  /** Signature as ONE array column: a single fold over the shingle hashes
+    * that maintains all `numHashes` running minima at once
+    * (`aggregate` + `zip_with` against literal coefficient arrays).
+    * Values are identical to [[minhashSignaturesFromSets]] component-wise;
+    * the expression tree is O(1) in numHashes instead of O(numHashes)
+    * copies of the array scan — an order of magnitude less generated
+    * code to JIT, and one pass over the hashes instead of numHashes
+    * passes. The md5 base array sits in the aggregate's *input* argument
+    * slot, which is evaluated once per row even when projection collapse
+    * inlines it (lambda bodies re-evaluate per element; arguments don't).
+    */
+  def minhashSignatureArray(sets: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val coeffs = array((0 until numHashes).map { j =>
+      struct(lit(minhashA(j)).as("a"), lit(minhashB(j)).as("b"))
+    }: _*)
+    // p is an upper bound for every permutation value, so it is the
+    // fold's identity; documents always have ≥1 shingle (empty text still
+    // yields the "" shingle), so the identity never leaks out
+    val zero = array(Seq.fill(numHashes)(lit(MinhashPrime)): _*)
+    val hb = transform(col("shingles"), s => minhashBase(s))
+    sets.select(col(idCol),
+      aggregate(hb, zero, (acc, h) =>
+        zip_with(acc, coeffs, (m, ab) =>
+          least(m, (h * ab.getField("a") + ab.getField("b")) % MinhashPrime)))
+        .as("sig"))
+  }
+
   /** LSH candidate pairs: documents sharing any band (bands of `rowsPerBand`
     * consecutive signature components). Returns distinct (id_a < id_b).
     *
@@ -132,10 +160,18 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int,
       rowsPerBand: Int, maxBucket: Int = 100000): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // band structs from the array signature: slice per band, join with "|"
+    // (long→string cast matches concat_ws's rendering of longs). The outer
+    // per-band loop is deliberately UNROLLED into array(...) so that `sig`
+    // is referenced numBands times: a single-reference form lets
+    // CollapseProject inline the whole signature aggregate into this
+    // projection and re-evaluate it once per band (measured ~0.7s/band at
+    // sf0.1); multiple references keep the signature stage materialized.
     val bandStructs = array((0 until numBands).map { b =>
-      val sig = concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
-      struct(lit(b).as("band"), sig.as("band_sig"))
+      struct(lit(b).as("band"),
+        array_join(transform(
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          v => v.cast("string")), "|").as("band_sig"))
     }: _*)
     sigs.select(col(idCol), explode(bandStructs).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
@@ -180,7 +216,7 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val sigs = minhashSignaturesFromSets(
+    val sigs = minhashSignatureArray(
       shingleSets(df, idCol, textCol, shingleSize), idCol, numHashes)
     // candidate pairs are consumed twice (the id semi-filter and the
     // verification join) and their subtree embeds the full signature
