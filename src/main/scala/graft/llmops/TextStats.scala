@@ -76,6 +76,79 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  // ---- PII redaction ----------------------------------------------------
+
+  /** Email/phone/IPv4 redaction — the standard scrub pass before training.
+    * Pure per-row regexp chain (codegen'd, map-side, no shuffle). The
+    * patterns use only RE2-compatible syntax (character classes, bounded
+    * repetition, \b) so the identical pattern strings run in DuckDB for
+    * the oracle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  // ---- Repetition metrics (Gopher/C4-style quality rules) ---------------
+
+  private def bigrams(toks: Column): Column =
+    // guarded: sequence(1, 0) would generate DESCENDING [1, 0], not empty
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Share of tokens that are repeats of an earlier token:
+    * (n - n_distinct) / n. */
+  def duplicateTokenFraction(text: Column): Column = {
+    val t = tokens(text)
+    (size(t) - size(array_distinct(t))).cast("double") / size(t)
+  }
+
+  /** Fraction of all word 2-grams taken by the single most frequent
+    * 2-gram (the Gopher "top n-gram fraction" repetition rule). Computed
+    * entirely map-side: sort the bigram array, then one fold tracking the
+    * longest equal-run — no explode, no shuffle, O(m log m) per document.
+    */
+  def topBigramFraction(text: Column): Column = {
+    val sorted = array_sort(bigrams(tokens(text)))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val best = aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(sorted) > 0, best.cast("double") / size(sorted)).otherwise(lit(0.0))
+  }
+
+  // ---- Deterministic dataset split ---------------------------------------
+
+  /** Stable train/val/test assignment: bucket = md5(id) mod 100, split by
+    * cumulative percentage (train gets [0, pctTrain), etc.). Hash-based so
+    * the assignment is reproducible across runs, engines, and data
+    * layouts — never sample() (partition-order-dependent) for splits that
+    * must survive reprocessing. md5 (not an engine-private hash) keeps it
+    * portable and oracle-checkable.
+    */
+  def splitBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"), lit(100))
+
+  def datasetSplit(id: Column, pctTrain: Int, pctVal: Int): Column = {
+    val b = splitBucket(id)
+    when(b < pctTrain, "train")
+      .when(b < pctTrain + pctVal, "val")
+      .otherwise("test")
+  }
+
   /** Greedy sequence packing: bin documents into training "packs" of at
     * most `maxTokens` tokens, in (shard, order) sequence — a new pack
     * starts whenever the running total would overflow (an over-budget

@@ -390,6 +390,99 @@ object LlmQueries extends QueryFamily {
             idCol = "vec_id", vecCol = "embedding", nPlanes = 8, dim = 64, k = 5)
           .orderBy("query_id", "rank")
       },
-      None)
+      None),
+
+    // PII redaction: email/phone/IPv4 scrub. The corpus text is synthetic
+    // word soup with no PII, so contact strings are planted
+    // deterministically from doc_id in BOTH engines, then redacted — the
+    // compare proves the patterns match real content, not just pass
+    // through. Map-side regexp chain; no shuffle.
+    ("q_pii_redact",
+      (s: SparkSession, d: String) => {
+        val planted = Tables.documents(s, d).select(col("doc_id"),
+          concat(substring(col("text"), 1, 40),
+            lit(" contact u"), col("doc_id"), lit("@example.com tel 555-867-5309 at 10.0."),
+            pmod(col("doc_id"), lit(256)), lit(".7 end")).as("text"))
+        planted
+          .select(col("doc_id"), TextStats.redactPii(col("text")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS (
+             |  SELECT doc_id,
+             |    substring(text, 1, 40) || ' contact u' || doc_id ||
+             |    '@example.com tel 555-867-5309 at 10.0.' || (doc_id % 256) || '.7 end' AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '${TextStats.EmailPattern}', '<EMAIL>', 'g'),
+             |    '${TextStats.Ipv4Pattern}', '<IP>', 'g'),
+             |    '${TextStats.PhonePattern}', '<PHONE>', 'g') AS redacted
+             |FROM planted ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition metrics: duplicate-token fraction and the
+    // top-2-gram fraction, both computed map-side per document (sorted
+    // bigram array + longest-run fold — no explode/shuffle). The oracle
+    // computes the same numbers relationally (unnest + group-by), proving
+    // the fold against an independent formulation.
+    ("q_repetition_stats",
+      (s: SparkSession, d: String) => {
+        Tables.documents(s, d).select(col("doc_id"),
+            TextStats.duplicateTokenFraction(col("text")).as("dup_token_frac"),
+            TextStats.topBigramFraction(col("text")).as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |dup AS (
+             |  SELECT doc_id,
+             |    CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_token_frac
+             |  FROM toks),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(t), 1)),
+             |    i -> t[i] || ' ' || t[i+1])) AS g
+             |  FROM toks),
+             |counts AS (
+             |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+             |top AS (
+             |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+             |  FROM counts GROUP BY doc_id)
+             |SELECT d.doc_id, d.dup_token_frac,
+             |  coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+             |FROM dup d LEFT JOIN top t USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Deterministic train/val/test split: md5-bucket assignment that is
+    // stable across runs, engines, partitionings, and reprocessing —
+    // never sample(). 80/10/10.
+    ("q_dataset_split",
+      (s: SparkSession, d: String) => {
+        Tables.documents(s, d).select(col("doc_id"),
+            TextStats.splitBucket(col("doc_id")).as("bucket"),
+            TextStats.datasetSplit(col("doc_id"), 80, 10).as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket,
+             |  CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80 THEN 'train'
+             |       WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Corpus vocabulary: token frequencies, deterministic top-50
+    // (freq desc, token asc). Explode → partial-agg count → global top-k;
+    // the map-side partial aggregation means the shuffle carries one row
+    // per (partition, token), not per token occurrence.
+    ("q_vocab_topk",
+      (s: SparkSession, d: String) => {
+        Tables.documents(s, d)
+          .select(explode(TextStats.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token").asc)
+          .limit(50)
+      },
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS freq
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin))
   )
 }

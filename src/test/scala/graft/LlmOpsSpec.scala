@@ -175,4 +175,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(0).getString(1) == "de")
     assert(out(1).getString(1) == "en")
   }
+
+  test("PII redaction scrubs emails, phones, and IPs but not lookalikes") {
+    val df = Seq(
+      (1L, "write to bob.smith+x@mail.example.org today"),
+      (2L, "call 555-867-5309 or visit 192.168.1.255 now"),
+      (3L, "version 1.2 of v2.example costs 12-34 dollars"),  // lookalikes survive
+      (4L, "a@b.co 1.2.3.4 111-222-3333")).toDF("id", "text")
+    val out = df.select(col("id"), TextStats.redactPii(col("text")).as("r"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "call <PHONE> or visit <IP> now")
+    assert(out(2) == "version 1.2 of v2.example costs 12-34 dollars")
+    assert(out(3) == "<EMAIL> <IP> <PHONE>")
+  }
+
+  test("repetition metrics: known fractions, single-token edge") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // dup tokens: (6-2)/6; bigrams: "a b"×3,"b a"×2 → 3/5
+      (2L, "x y z"),         // all unique: dup 0; bigrams "x y","y z" → 1/2
+      (3L, "solo")           // single token: dup 0, no bigrams → 0.0
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextStats.duplicateTokenFraction(col("text")).as("dup"),
+        TextStats.topBigramFraction(col("text")).as("top"))
+      .orderBy("id").collect()
+    assert(math.abs(out(0).getDouble(1) - 4.0 / 6) < 1e-12)
+    assert(math.abs(out(0).getDouble(2) - 3.0 / 5) < 1e-12)
+    assert(out(1).getDouble(1) == 0.0)
+    assert(math.abs(out(1).getDouble(2) - 0.5) < 1e-12)
+    assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(2) == 0.0)
+  }
+
+  test("dataset split is deterministic, complete, and roughly proportional") {
+    val df = spark.range(1000).toDF("id")
+    val out = df.select(TextStats.datasetSplit(col("id"), 80, 10).as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 1000)
+    assert(out("train") > 700 && out("train") < 900)
+    assert(out("val") > 40 && out("val") < 200)
+    assert(out("test") > 40 && out("test") < 200)
+    // same input → same assignment (hash-based, not sample-based)
+    val a = df.select(col("id"), TextStats.datasetSplit(col("id"), 80, 10).as("s"))
+    assert(a.exceptAll(a).isEmpty)
+  }
 }
