@@ -234,6 +234,21 @@ object Dedup {
     out
   }
 
+  /** Exact dedup at STREAMING ingest: drop rows whose dedup key was
+    * already seen within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * keeps the key-set state bounded — entries older than the event-time
+    * horizon are evicted, so an unbounded ingest stream runs with O(keys
+    * per horizon) state instead of O(all keys ever). Late duplicates
+    * inside the delay still collapse. Pair with the RocksDB state backend
+    * ([[graft.streaming.StateBackends]]) when the horizon's key set
+    * exceeds executor memory.
+    */
+  def streamingDedup(stream: DataFrame, key: Column, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    stream.withColumn("dedup_key", key)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("dedup_key")
+
   /** Benchmark decontamination: drop corpus documents that share ANY word
     * n-gram with the benchmark set (the standard test-set-leakage guard in
     * training-data pipelines). One distinct-shingle explosion per side, an

@@ -91,4 +91,55 @@ class StreamingSpec extends SparkSpec {
       assert(t1.contains("queued") && t1.contains("completed"))
     } finally query.stop()
   }
+
+  test("streaming ingest dedup drops duplicate fingerprints across batches") {
+    import org.apache.spark.sql.functions.col
+    import graft.llmops.{Dedup, TextStats}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("id", "ts", "text")
+    val deduped = Dedup.streamingDedup(
+      df, TextStats.fingerprint(col("text")), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    try {
+      input.addData((1L, ts(0), "a b c"), (2L, ts(1), "x y"))
+      q.processAllAvailable()
+      // id 3 is a fingerprint-duplicate of id 1 (same distinct token set)
+      input.addData((3L, ts(2), "c b a a"), (4L, ts(3), "fresh new"))
+      q.processAllAvailable()
+      val ids = sp.table("stream_dedup").collect().map(_.getAs[Long]("id")).toSet
+      assert(ids == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("task state machine runs on the RocksDB state store backend") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    graft.streaming.StateBackends.rocksDb.foreach { case (k, v) => sp.conf.set(k, v) }
+    try {
+      val input = MemoryStream[TaskEvent]
+      val query = TaskStateMachine.taskStates(input.toDS())
+        .writeStream.format("memory").queryName("task_states_rocksdb")
+        .outputMode("append").start()
+      try {
+        input.addData(TaskEvent("t1", "queued", null, 100L, null))
+        query.processAllAvailable()
+        input.addData(TaskEvent("t1", "completed", "w1", 200L, null))
+        query.processAllAvailable()
+        val statuses = sp.table("task_states_rocksdb").collect()
+          .map(_.getAs[String]("status")).toSet
+        assert(statuses == Set("queued", "completed"))
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => sp.conf.set(key, v)
+      case None => sp.conf.unset(key)
+    }
+  }
 }
