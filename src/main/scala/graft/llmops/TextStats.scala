@@ -105,19 +105,27 @@ object TextStats {
       .otherwise(array().cast("array<string>"))
 
   /** Share of tokens that are repeats of an earlier token:
-    * (n - n_distinct) / n. */
-  def duplicateTokenFraction(text: Column): Column = {
-    val t = tokens(text)
-    (size(t) - size(array_distinct(t))).cast("double") / size(t)
-  }
+    * (n - n_distinct) / n. Prefer the `(toks)` overload on a MATERIALIZED
+    * token-array column when combining with other metrics — higher-order
+    * functions run as CodegenFallback, so a duplicated inline expression
+    * is re-evaluated per reference, not CSE'd. */
+  def duplicateTokenFraction(text: Column): Column =
+    duplicateTokenFractionOfTokens(tokens(text))
 
-  /** Fraction of all word 2-grams taken by the single most frequent
-    * 2-gram (the Gopher "top n-gram fraction" repetition rule). Computed
-    * entirely map-side: sort the bigram array, then one fold tracking the
-    * longest equal-run — no explode, no shuffle, O(m log m) per document.
-    */
-  def topBigramFraction(text: Column): Column = {
-    val sorted = array_sort(bigrams(tokens(text)))
+  def duplicateTokenFractionOfTokens(toks: Column): Column =
+    (size(toks) - size(array_distinct(toks))).cast("double") / size(toks)
+
+  /** Sorted word-2-gram array — materialize this column once (it is the
+    * expensive part: bigram build + sort), then feed [[topRunFraction]]. */
+  def sortedBigrams(toks: Column): Column = array_sort(bigrams(toks))
+
+  /** Fraction of the array taken by its single most frequent element (the
+    * Gopher "top n-gram fraction" repetition rule). Input must be SORTED;
+    * one fold tracking the longest equal-run — map-side, no explode, no
+    * shuffle. `sorted` must be a plain attribute: it is referenced three
+    * times here, which also keeps CollapseProject from inlining its
+    * definition. */
+  def topRunFraction(sorted: Column): Column = {
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     val best = aggregate(sorted, zero,
       (acc, x) => {
@@ -129,6 +137,9 @@ object TextStats {
       acc => acc.getField("best"))
     when(size(sorted) > 0, best.cast("double") / size(sorted)).otherwise(lit(0.0))
   }
+
+  def topBigramFraction(text: Column): Column =
+    topRunFraction(sortedBigrams(tokens(text)))
 
   // ---- Deterministic dataset split ---------------------------------------
 
