@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the hot vector kernels.
+  *
+  * The higher-order-function forms in `llmops/VectorMath` (`aggregate` +
+  * `zip_with`) are semantically right but run as CodegenFallback — every
+  * element costs an interpreted lambda dispatch plus an intermediate
+  * product array. On all-pairs/bucketed similarity joins that cost is per
+  * PAIR, which makes it the dominant CPU of the whole job. These
+  * expressions generate a primitive `double` loop directly over the two
+  * `ArrayData` (no boxing, no intermediate array) inside whole-stage
+  * codegen.
+  *
+  * Accumulation order is the same sequential left fold, so results are
+  * bit-identical to the HOF forms and to the DuckDB
+  * `list_reduce(list_transform(...))` oracles.
+  *
+  * Inputs must be `array<double>` with non-null elements (embedding
+  * vectors; use `VectorMath.precast`). Null ARRAYS null out via
+  * `nullSafeEval`/`nullSafeCodeGen`; null ELEMENTS are not checked.
+  */
+abstract class PairwiseFold extends BinaryExpression with ExpectsInputTypes {
+  // (type inferred — AbstractDataType is private[sql])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  /** Java source for one step given element vars `x`/`y`, accumulating into `s`. */
+  protected def stepCode(x: String, y: String): String
+  protected def step(x: Double, y: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += step(xs.getDouble(i), ys.getDouble(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $x = $a.getDouble($i);
+        |  double $y = $b.getDouble($i);
+        |  $s += ${stepCode(x, y)};
+        |}
+        |${ev.value} = $s;
+      """.stripMargin
+    })
+}
+
+/** Σ aᵢ·bᵢ — sequential left fold, bit-identical to the HOF/oracle form. */
+case class DotProduct(left: Expression, right: Expression) extends PairwiseFold {
+  override protected def stepCode(x: String, y: String): String = s"$x * $y"
+  override protected def step(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot"
+}
+
+/** Σ (aᵢ−bᵢ)² — squared Euclidean distance. */
+case class SquaredDistance(left: Expression, right: Expression) extends PairwiseFold {
+  override protected def stepCode(x: String, y: String): String = s"($x - $y) * ($x - $y)"
+  override protected def step(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dist_sq"
+}
+
+/** Column/SQL surface for the native expressions. Constructing a Column
+  * from an Expression has no public API in Spark 4, so the expressions are
+  * registered through the public `SparkSessionExtensions.injectFunction`
+  * hook (see [[graft.GraftExtensions]]) and invoked via `call_function` —
+  * which also makes them first-class SQL functions
+  * (`SELECT graft_dot(a, b)`).
+  */
+object VectorExpressions {
+  import org.apache.spark.sql.functions.call_function
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("graft_dist_sq"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "graft_dist_sq"),
+      (es: Seq[Expression]) => SquaredDistance(es(0), es(1))))
+
+  /** Requires the session to be built with [[graft.GraftExtensions]]. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def distSq(a: Column, b: Column): Column = call_function("graft_dist_sq", a, b)
+}

@@ -79,7 +79,7 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     val sigBits = (0 until nPlanes).map { j =>
       val plane = array((0 until dim).map(i => lit(planeSign(j, i))): _*)
-      val dot = aggregate(zip_with(v, plane, (x, p) => x * p), lit(0.0), (a, b) => a + b)
+      val dot = VectorMath.dotAuto(v, plane, dim)
       when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     df.withColumn("bucket", sigBits.reduce(_ bitwiseOR _))

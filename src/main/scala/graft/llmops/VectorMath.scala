@@ -3,14 +3,25 @@ package graft.llmops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from codegen'd
-  * higher-order functions (`zip_with` + `aggregate`) — no UDFs, so the
-  * expressions stay inside whole-stage codegen.
+/** Vector math over `array<float>` embedding columns.
   *
-  * All folds are sequential left-folds over the array in index order with
-  * double-precision accumulation: deterministic, and bit-identical to any
-  * engine that folds the same way (the DuckDB oracles use
-  * `list_reduce(list_transform(...))`, which matches).
+  * Three implementation tiers, fastest applicable chosen by the `*Auto`
+  * forms:
+  *  1. native Catalyst expressions with `doGenCode`
+  *     ([[graft.functions.VectorExpressions]]) — a primitive double loop
+  *     inside whole-stage codegen; used for wide/unknown dims. Requires
+  *     the session to be built with [[graft.GraftExtensions]].
+  *  2. unrolled `element_at` sums — beats everything for small known dims
+  *     (3-D nav points), but generated methods outgrow the JIT above
+  *     [[unrollLimit]].
+  *  3. higher-order-function folds (`aggregate` + `zip_with`) — the
+  *     registration-free fallback; semantically identical but runs as
+  *     CodegenFallback (interpreted lambda per element).
+  *
+  * All tiers are sequential left-folds over the array in index order with
+  * double-precision accumulation: deterministic, bit-identical to each
+  * other and to any engine that folds the same way (the DuckDB oracles
+  * use `list_reduce(list_transform(...))`, which matches).
   */
 object VectorMath {
 
@@ -81,12 +92,15 @@ object VectorMath {
       val d = element_at(a, i) - element_at(b, i); d * d
     }.toSeq).reduce(_ + _)
 
-  /** Unrolled dot for small known dims, fold otherwise (same result). */
+  /** Unrolled dot for small known dims, native codegen'd loop otherwise
+    * (same result bit-for-bit). */
   def dotAuto(a: Column, b: Column, dim: Int): Column =
-    if (dim > 0 && dim <= unrollLimit) dotUnrolled(a, b, dim) else dotPrecast(a, b)
+    if (dim > 0 && dim <= unrollLimit) dotUnrolled(a, b, dim)
+    else graft.functions.VectorExpressions.dot(a, b)
 
   def normAuto(a: Column, dim: Int): Column = sqrt(dotAuto(a, a, dim))
 
   def distSqAuto(a: Column, b: Column, dim: Int): Column =
-    if (dim > 0 && dim <= unrollLimit) distSqUnrolled(a, b, dim) else distSqPrecast(a, b)
+    if (dim > 0 && dim <= unrollLimit) distSqUnrolled(a, b, dim)
+    else graft.functions.VectorExpressions.distSq(a, b)
 }

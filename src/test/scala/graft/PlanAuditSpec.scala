@@ -53,6 +53,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("native dot product: codegen'd, in the plan, bit-identical to the HOF fold") {
+    import spark.implicits._
+    import graft.llmops.VectorMath
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat()), Array.fill(64)(rnd.nextFloat()))
+    }.toDF("id", "a", "b")
+      .select(col("id"), VectorMath.precast(col("a")).as("a"),
+        VectorMath.precast(col("b")).as("b"))
+    val both = df.select(
+      graft.functions.VectorExpressions.dot(col("a"), col("b")).as("native"),
+      VectorMath.dotPrecast(col("a"), col("b")).as("fold"),
+      graft.functions.VectorExpressions.distSq(col("a"), col("b")).as("native_d"),
+      VectorMath.distSqPrecast(col("a"), col("b")).as("fold_d"))
+    both.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot must be bit-identical")
+      assert(r.getDouble(2) == r.getDouble(3), "distSq must be bit-identical")
+    }
+    // the similarity path actually uses the native expression
+    val p = plan(SparkEntry.queries("q_embedding_neardup")(spark, sf))
+    assert(p.contains("graft_dot"), p)
+  }
+
   test("plan: IVF cell assignment runs with zero shuffles") {
     val emb = Tables.embeddings(spark, sf)
     val centroids = emb.filter(col("vec_id") < 8)
