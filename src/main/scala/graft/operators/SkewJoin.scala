@@ -34,4 +34,41 @@ object SkewJoin {
       explode(sequence(lit(0L), lit(numSalts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** [[saltedInnerJoin]] that pays the replication tax ONLY for hot keys.
+    *
+    * Salting everything replicates the entire build side `numSalts`×; at
+    * scale the build side is usually only broadcast-small because of the
+    * join, and 8× a 10 GB dimension is real shuffle/memory. This variant
+    * samples the probe side to estimate key frequencies, takes the top
+    * keys above `hotFraction` of the sample as the hot set (driver-side,
+    * bounded by `maxHotKeys`), salts probe rows carrying those keys, and
+    * runs the untouched plain join for the cold mass. The two key sets
+    * are disjoint, so the union is row-for-row the plain inner join —
+    * still oracle-checkable against the unsalted SQL.
+    *
+    * A missed hot key (sampling) costs performance, never correctness.
+    * Null keys drop in both branches, matching inner-join semantics.
+    */
+  def saltedInnerJoinHot(left: DataFrame, right: DataFrame, key: String,
+      numSalts: Int, sampleFraction: Double = 0.01,
+      hotFraction: Double = 0.05, maxHotKeys: Int = 1000): DataFrame = {
+    val sample = left.select(key).sample(withReplacement = false, sampleFraction, seed = 42)
+      .groupBy(key).count()
+    val sampleTotal = math.max(1L,
+      sample.agg(sum("count")).collect()(0).getLong(0))
+    val hot = sample
+      .filter(col("count") >= lit(hotFraction) * sampleTotal)
+      .orderBy(col("count").desc)
+      .limit(maxHotKeys)
+      .collect().map(_.get(0))
+    if (hot.isEmpty) left.join(right, Seq(key))
+    else {
+      val isHot = col(key).isin(hot: _*)
+      val hotJoin = saltedInnerJoin(
+        left.filter(isHot), right.filter(isHot), key, numSalts)
+      val coldJoin = left.filter(!isHot).join(right.filter(!isHot), Seq(key))
+      hotJoin.unionByName(coldJoin)
+    }
+  }
 }

@@ -159,6 +159,36 @@ object JoinQueries extends QueryFamily {
       Some(s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
              |  ${Det.moneySumSql("l_quantity")} AS sum_qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Hot-key-targeted salted join: ~30% of probe rows are folded onto one
+    // sentinel key (the realistic pathology: empty-document / default-scene
+    // keys); only that key pays the salt fan-out, the cold mass takes the
+    // plain join. The result is provably identical to the unsalted join —
+    // the oracle runs the plain SQL.
+    ("q_skew_join_hot",
+      (s: SparkSession, d: String) => {
+        val skewKey = (c: org.apache.spark.sql.Column) =>
+          when(pmod(c, lit(10)) < 3, lit(0L)).otherwise(c)
+        val probe = Tables.lineitem(s, d)
+          .select(skewKey(col("l_orderkey")).as("k"), col("l_quantity"))
+        val dim = Tables.orders(s, d)
+          .select(skewKey(col("o_orderkey")).as("k"), col("o_orderpriority"))
+          .groupBy("k").agg(min(col("o_orderpriority")).as("prio"))
+        SkewJoin.saltedInnerJoinHot(probe, dim, "k", numSalts = 8)
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n_rows"), Det.moneySum(col("l_quantity")).as("sum_qty"))
+          .orderBy("prio")
+      },
+      Some(s"""WITH probe AS (
+             |  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey END AS k,
+             |    l_quantity FROM lineitem),
+             |dim AS (
+             |  SELECT CASE WHEN o_orderkey % 10 < 3 THEN 0 ELSE o_orderkey END AS k,
+             |    min(o_orderpriority) AS prio FROM orders GROUP BY 1)
+             |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  ${Det.moneySumSql("l_quantity")} AS sum_qty
+             |FROM probe JOIN dim USING (k)
+             |GROUP BY prio ORDER BY prio""".stripMargin))
   )
 }

@@ -118,6 +118,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("hot-key salted join matches the plain join row-for-row") {
+    import spark.implicits._
+    val left = ((1 to 900).map(_ => ("hot", 1.0)) ++ (1 to 100).map(i => (s"k$i", 2.0)))
+      .toDF("k", "v")
+    val right = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).map(k => (k, s"dim_$k"))
+      .toDF("k", "label")
+    val salted = graft.operators.SkewJoin
+      .saltedInnerJoinHot(left, right, "k", numSalts = 4, sampleFraction = 1.0)
+      .groupBy("k", "label").count()
+    val plain = left.join(right, "k").groupBy("k", "label").count()
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // and when nothing is hot, it degrades to the plain join
+    val uniform = graft.operators.SkewJoin
+      .saltedInnerJoinHot(left.filter($"k" =!= "hot"), right, "k",
+        numSalts = 4, sampleFraction = 1.0, hotFraction = 0.5)
+      .groupBy("k", "label").count()
+    val plainU = left.filter($"k" =!= "hot").join(right, "k").groupBy("k", "label").count()
+    assert(uniform.exceptAll(plainU).isEmpty && plainU.exceptAll(uniform).isEmpty)
+  }
+
   test("plan: flagship entry aggregates with partial (map-side) aggregation") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("HashAggregate"), p)
