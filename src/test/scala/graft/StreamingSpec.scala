@@ -116,6 +116,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful query restarts from checkpoint with state intact, no duplicates") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    val ckpt = new java.io.File(tmp, "checkpoint").getAbsolutePath
+    val out = new java.io.File(tmp, "out").getAbsolutePath
+    val input = MemoryStream[TaskEvent]
+    def start() = TaskStateMachine.taskStates(input.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try {
+      input.addData(TaskEvent("t1", "queued", null, 100L, null))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint: the flatMapGroupsWithState state
+    // (t1 created at 100) must survive, and batch 1's output must not
+    // be re-emitted
+    val q2 = start()
+    try {
+      input.addData(TaskEvent("t1", "completed", "w1", 200L, null))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = sp.read.parquet(out).collect()
+    assert(rows.length == 2, rows.mkString("; "))       // one row per batch, none duplicated
+    val byStatus = rows.map(r => r.getAs[String]("status") -> r).toMap
+    assert(byStatus.keySet == Set("queued", "completed"))
+    // recovered state preserved createdAtMillis from the pre-restart batch
+    assert(byStatus("completed").getAs[Long]("createdAtMillis") == 100L)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("task state machine runs on the RocksDB state store backend") {
     val sp = spark
     import sp.implicits._
