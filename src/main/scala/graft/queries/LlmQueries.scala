@@ -475,6 +475,46 @@ object LlmQueries extends QueryFamily {
              |       ELSE 'test' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic stratified sample: k docs per language, selected by
+    // md5(doc_id) order — a reproducible per-stratum sample (same rows on
+    // every run/engine/layout), unlike sample()/TABLESAMPLE. One shuffle
+    // on the stratum key; k is a windowed top-k.
+    ("q_stratified_sample",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("lang"), col("doc_id"), col("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, doc_id, CAST(rn AS INT) AS rn FROM (
+             |  SELECT lang, doc_id, row_number() OVER (
+             |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
+    // Exact interpolated length quantiles per language (corpus report).
+    // Spark `percentile` and DuckDB `quantile_cont` both compute the
+    // R-7 linear-interpolated quantile exactly, so the numbers hash-match.
+    ("q_length_quantiles",
+      (s: SparkSession, d: String) => {
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("qs"))
+          .select(col("lang"), col("n_docs"),
+            col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  quantile_cont(n_chars, 0.5) AS p50,
+             |  quantile_cont(n_chars, 0.9) AS p90,
+             |  quantile_cont(n_chars, 0.99) AS p99
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Corpus vocabulary: token frequencies, deterministic top-50
     // (freq desc, token asc). Explode → partial-agg count → global top-k;
     // the map-side partial aggregation means the shuffle carries one row
