@@ -84,6 +84,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(countShuffles(p) == 0, p)
   }
 
+  test("plan: partition-column filter prunes directories at the scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toFile
+    try {
+      val df = (1 to 300).map(i => (i.toLong, s"2026-08-${i % 3 + 10}", s"payload_$i"))
+        .toDF("id", "ingest_date", "payload")
+      graft.catalog.CatalogOps.writePartitioned(df, tmp.getAbsolutePath, "ingest_date")
+      val read = spark.read.parquet(tmp.getAbsolutePath)
+        .filter($"ingest_date" === "2026-08-10").select("id")
+      val p = plan(read)
+      assert(p.contains("PartitionFilters: [isnotnull(ingest_date"), p)
+      // the pruned scan reads only the matching directory's rows
+      assert(read.count() == 100)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("plan: bucketed catalog tables join without any exchange") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
