@@ -99,24 +99,10 @@ object Dedup {
     withBase.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** [[minhashSignatures]] over per-doc shingle arrays: a pure projection
-    * (`array_min(transform(...))`) — one row in, one row out, no
-    * aggregation shuffle. The base md5 array is computed once per row;
-    * each signature component is a cheap affine pass over it. Values are
-    * identical to the row-form signatures. */
-  def minhashSignaturesFromSets(sets: DataFrame, idCol: String,
-      numHashes: Int): DataFrame = {
-    val withBase = sets.withColumn("_hb",
-      transform(col("shingles"), s => minhashBase(s)))
-    val cols = col(idCol) +: (0 until numHashes).map(j =>
-      array_min(transform(col("_hb"), h => minhashPerm(j, h))).as(s"mh_$j"))
-    withBase.select(cols: _*)
-  }
-
   /** Signature as ONE array column: a single fold over the shingle hashes
     * that maintains all `numHashes` running minima at once
     * (`aggregate` + `zip_with` against literal coefficient arrays).
-    * Values are identical to [[minhashSignaturesFromSets]] component-wise;
+    * Values are identical to [[minhashSignatures]] component-wise;
     * the expression tree is O(1) in numHashes instead of O(numHashes)
     * copies of the array scan — an order of magnitude less generated
     * code to JIT, and one pass over the hashes instead of numHashes

@@ -366,8 +366,10 @@ object LlmQueries extends QueryFamily {
              |  min(nrm) AS min_norm, max(nrm) AS max_norm
              |FROM n GROUP BY label ORDER BY label""".stripMargin)),
 
-    // SimHash near-dup pairs (rows-only: 64-bit × per-token SQL mirror is
-    // impractical; covered by DedupSpec planted-duplicate tests).
+    // SimHash near-dup pairs. The oracle mirrors the construction without
+    // 64-bit shifts: each signature bit is the sign of the per-bit vote
+    // sum, so hamming(a,b) = count of bits whose vote signs differ —
+    // computed relationally over (doc, bit) vote rows.
     ("q_simhash_neardup",
       (s: SparkSession, d: String) => {
         val docs = Dedup.simhashSignatures(
@@ -380,7 +382,27 @@ object LlmQueries extends QueryFamily {
           .select("id_a", "id_b", "hamming")
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+             |  FROM documents WHERE doc_id < 200),
+             |th AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) AS lo,
+             |    CAST(concat('0x', substring(md5(t), 9, 8)) AS BIGINT) AS hi
+             |  FROM toks),
+             |bits AS (
+             |  SELECT doc_id, r.b,
+             |    sum(CASE WHEN ((CASE WHEN r.b < 32 THEN lo >> r.b
+             |                         ELSE hi >> (r.b - 32) END) & 1) = 1
+             |             THEN 1 ELSE -1 END) > 0 AS bit_set
+             |  FROM th, range(0, 64) r(b) GROUP BY doc_id, r.b),
+             |ham AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(sum(CASE WHEN a.bit_set <> b.bit_set THEN 1 ELSE 0 END) AS INT) AS hamming
+             |  FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT id_a, id_b, hamming FROM ham
+             |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
 
     // LSH-bucketed cosine top-k (the approximate scale path; rows-only:
     // recall vs brute force is asserted in SimilaritySpec).

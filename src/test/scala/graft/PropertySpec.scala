@@ -215,4 +215,59 @@ class PropertySpec extends SparkSpec {
       assert(m(12) == 0.0 && m(13) == 0.0 && m(14) == 0.0 && m(15) == 1.0)
     }
   }
+
+  // ---- text-pipeline scalar properties ------------------------------------
+
+  test("property: PII redaction is idempotent and never leaks a matchable token") {
+    import graft.llmops.TextStats
+    val word = Gen.alphaNumStr.map(_.take(8))
+    val pii = Gen.oneOf(
+      Gen.const("bob@example.com"), Gen.const("555-123-4567"),
+      Gen.const("10.0.0.1"), word)
+    val text = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, pii)).map(_.mkString(" "))
+    val rows = (1 to 60).map(s => (s.toLong, gen(text, s.toLong)))
+    val once = rows.toDF("id", "text")
+      .select(col("id"), TextStats.redactPii(col("text")).as("r1"))
+      .withColumn("r2", TextStats.redactPii(col("r1")))
+      .collect()
+    once.foreach { r =>
+      assert(r.getString(1) == r.getString(2), "redaction must be idempotent")
+    }
+  }
+
+  test("property: top-run fraction is in (0,1] and 1 iff all elements equal") {
+    import graft.llmops.TextStats
+    val toks = Gen.chooseNum(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c"))).map(_.mkString(" "))
+    val rows = (1 to 50).map(s => (s.toLong, gen(toks, s.toLong)))
+    val out = rows.toDF("id", "text")
+      .withColumn("_toks", TextStats.tokens(col("text")))
+      .select(col("id"), col("text"),
+        TextStats.topRunFraction(TextStats.sortedBigrams(col("_toks"))).as("f"))
+      .collect()
+    out.foreach { r =>
+      val f = r.getDouble(2)
+      assert(f > 0.0 && f <= 1.0, s"fraction $f out of range for '${r.getString(1)}'")
+      val toks = r.getString(1).split(" ")
+      val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val expected = grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size
+      assert(math.abs(f - expected) < 1e-12,
+        s"fraction $f != brute-force $expected for '${r.getString(1)}'")
+    }
+  }
+
+  test("property: split buckets are in [0,100) and splits partition the id space") {
+    import graft.llmops.TextStats
+    val out = spark.range(500).toDF("id")
+      .select(TextStats.splitBucket(col("id")).as("b"),
+        TextStats.datasetSplit(col("id"), 80, 10).as("s"))
+      .collect()
+    out.foreach { r =>
+      val (b, s) = (r.getLong(0), r.getString(1))
+      assert(b >= 0 && b < 100)
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == expect, s"bucket $b mapped to $s")
+    }
+  }
 }
