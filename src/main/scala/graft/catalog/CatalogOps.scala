@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,4 +153,20 @@ object CatalogOps {
     */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Small-files compaction: rewrite a directory into files of
+    * ~`targetRecordsPerFile` rows. Streaming sinks and per-task writers
+    * accrete thousands of KB-sized files; at scale the file COUNT (driver
+    * listing, task scheduling, open() per file) costs more than the bytes.
+    * Writes to `outPath` — swapping it over the source directory is an
+    * orchestration step, not done here (never overwrite an input you are
+    * still reading).
+    */
+  def compactTo(spark: SparkSession, inPath: String, outPath: String,
+      targetRecordsPerFile: Long): Unit = {
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRecordsPerFile).toInt)
+    df.repartition(files).write.mode("overwrite").parquet(outPath)
+  }
 }

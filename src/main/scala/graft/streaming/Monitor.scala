@@ -12,12 +12,24 @@ object Monitor {
 
   /** S11 — status-file source: stream of `.render_status.json` documents
     * from a directory (reference: monitor.py:52-71 polling loop →
-    * declarative file source; new files picked up per micro-batch). */
+    * declarative file source; new files picked up per micro-batch).
+    *
+    * Render workers write status files in place, so the monitor can see
+    * truncated/mid-write JSON (the reference skips unparseable files).
+    * PERMISSIVE parsing routes such documents into a corrupt-record
+    * column, which is filtered out — a malformed file never kills the
+    * monitor stream, it is simply not a status yet. */
   def statusFileStream(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val schema = "status STRING, sequence STRING, job_name STRING, " +
-      "output_directory STRING, start_time STRING, end_time STRING, success BOOLEAN"
-    spark.readStream.schema(schema).json(dir)
+      "output_directory STRING, start_time STRING, end_time STRING, " +
+      "success BOOLEAN, _corrupt STRING"
+    spark.readStream.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .filter(col("_corrupt").isNull)
+      .drop("_corrupt")
   }
 
   /** Q6 — live counters by status (`stats:*`): streaming groupBy count in

@@ -75,4 +75,20 @@ class CatalogOpsSpec extends SparkSpec {
     val fuzzy = Filters.searchWithFallback(df, "name", "alph").collect()
     assert(fuzzy.map(_.getString(0)).toSet == Set("Alpha", "alphabet"))
   }
+
+  test("compactTo rewrites a small-files directory to the target file count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    try {
+      val in = new java.io.File(tmp, "in").getAbsolutePath
+      val out = new java.io.File(tmp, "out").getAbsolutePath
+      spark.range(1000).toDF("id").repartition(20).write.parquet(in)
+      assert(new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet")) == 20)
+      graft.catalog.CatalogOps.compactTo(spark, in, out, targetRecordsPerFile = 500)
+      assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) == 2)
+      assert(spark.read.parquet(out).count() == 1000)
+      // compacted data is identical, not just same-sized
+      assert(spark.read.parquet(out).exceptAll(spark.read.parquet(in)).isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
 }

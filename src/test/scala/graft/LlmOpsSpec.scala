@@ -207,6 +207,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(2) == 0.0)
   }
 
+  test("HLL cardinality estimate tracks exact distinct count within rsd bounds") {
+    // SURVEY §2.10: approx_count_distinct for corpus-scale cardinalities —
+    // the exact groupBy-distinct is the oracle at test scale
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val row = docs.select(
+      countDistinct(col("doc_id")).as("exact"),
+      approx_count_distinct(col("doc_id"), rsd = 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
   test("dataset split is deterministic, complete, and roughly proportional") {
     val df = spark.range(1000).toDF("id")
     val out = df.select(TextStats.datasetSplit(col("id"), 80, 10).as("split"))

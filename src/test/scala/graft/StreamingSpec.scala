@@ -116,6 +116,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("status-file stream skips mid-write/corrupt JSON without failing") {
+    val sp = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_status").toFile
+    try {
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "a.render_status.json").toPath,
+        """{"status":"completed","sequence":"seq1","job_name":"j1","success":true}""")
+      // a worker mid-write: truncated document
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "b.render_status.json").toPath,
+        """{"status":"rendering","seq""")
+      val q = graft.streaming.Monitor.statusFileStream(sp, tmp.getAbsolutePath)
+        .writeStream.format("memory").queryName("status_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = sp.table("status_stream").collect()
+        assert(rows.length == 1, rows.mkString("; "))
+        assert(rows.head.getAs[String]("status") == "completed")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("stateful query restarts from checkpoint with state intact, no duplicates") {
     val sp = spark
     import sp.implicits._
