@@ -64,6 +64,13 @@ object Similarity {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  /** SQL list literal of plane j's ±1 components — the hyperplanes are
+    * plan-time constants, so the DuckDB oracle inlines the same planes
+    * and reproduces buckets exactly. */
+  def planeSqlLiteral(j: Int, dim: Int): String =
+    (0 until dim).map(i => if (planeSign(j, i) > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
   /** Deterministic ±1 hyperplane component for (plane j, dim i): sign of a
     * md5-derived nibble. */
   private def planeSign(j: Int, i: Int): Double = {

@@ -404,15 +404,40 @@ object LlmQueries extends QueryFamily {
              |SELECT id_a, id_b, hamming FROM ham
              |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
 
-    // LSH-bucketed cosine top-k (the approximate scale path; rows-only:
-    // recall vs brute force is asserted in SimilaritySpec).
+    // LSH-bucketed cosine top-k (the approximate scale path). The random
+    // hyperplanes are md5-derived plan-time CONSTANTS, so the oracle
+    // inlines the identical ±1 plane literals and reproduces the bucket
+    // assignment — the whole approximate path is hash-verified, not just
+    // recall-tested.
     ("q_lsh_cosine_topk",
       (s: SparkSession, d: String) => {
         Similarity.lshTopK(Tables.embeddings(s, d),
             idCol = "vec_id", vecCol = "embedding", nPlanes = 8, dim = 64, k = 5)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some {
+        val bucketSql = (0 until 8).map { j =>
+          val dot = s"list_reduce(list_transform(range(1, len(e)+1), " +
+            s"i -> e[i] * (${Similarity.planeSqlLiteral(j, 64)})[i]), (a,b) -> a+b)"
+          s"(CASE WHEN $dot >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH n AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
+           |  FROM embeddings),
+           |b AS (
+           |  SELECT vec_id, e, nrm, CAST($bucketSql AS BIGINT) AS bucket FROM n),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS cand_id,
+           |    list_reduce(list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i]), (x,y) -> x+y)
+           |      / (q.nrm * c.nrm) AS cosine
+           |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM pairs)
+           |SELECT query_id, bucket, cand_id, cosine, CAST(rank AS INT) AS rank
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
 
     // PII redaction: email/phone/IPv4 scrub. The corpus text is synthetic
     // word soup with no PII, so contact strings are planted
