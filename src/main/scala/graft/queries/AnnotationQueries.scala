@@ -96,6 +96,24 @@ object AnnotationQueries extends QueryFamily {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderstatus <> 'P'
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // The native Catalyst expressions through the SQL surface: graft_dot /
+    // graft_dist_sq are injected by GraftExtensions and callable from
+    // plain Spark SQL; the oracle reproduces the same sequential folds.
+    ("q_native_fn_sql",
+      (s: SparkSession, d: String) => {
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+        s.sql("""
+          SELECT vec_id,
+                 graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS self_dot,
+                 graft_dist_sq(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS self_dist
+          FROM embeddings_v
+          ORDER BY vec_id""")
+      },
+      Some("""SELECT vec_id,
+             |  list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b) AS self_dot,
+             |  0.0 AS self_dist
+             |FROM embeddings ORDER BY vec_id""".stripMargin))
   )
 }
