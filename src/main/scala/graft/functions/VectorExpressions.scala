@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -22,14 +22,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * bit-identical to the HOF forms and to the DuckDB
   * `list_reduce(list_transform(...))` oracles.
   *
-  * Inputs must be `array<double>` with non-null elements (embedding
-  * vectors; use `VectorMath.precast`). Null ARRAYS null out via
-  * `nullSafeEval`/`nullSafeCodeGen`; null ELEMENTS are not checked.
+  * Inputs are `array<double>` with non-null elements (embedding vectors;
+  * other numeric array types are implicitly cast, as built-ins do). Null
+  * ARRAYS null out via `nullSafeEval`/`nullSafeCodeGen`; length-mismatched
+  * pairs return NULL — the same result the `zip_with` null-padding fold
+  * produces, so the tiers stay interchangeable; null ELEMENTS are not
+  * checked.
   */
-abstract class PairwiseFold extends BinaryExpression with ExpectsInputTypes {
+abstract class PairwiseFold extends BinaryExpression with ImplicitCastInputTypes {
   // (type inferred — AbstractDataType is private[sql])
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  // nullable even for non-null children: length-mismatched pairs → NULL
+  // (and nullSafeCodeGen only emits a writable isNull slot when nullable)
+  override def nullable: Boolean = true
 
   /** Java source for one step given element vars `x`/`y`, accumulating into `s`. */
   protected def stepCode(x: String, y: String): String
@@ -38,11 +44,14 @@ abstract class PairwiseFold extends BinaryExpression with ExpectsInputTypes {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += step(xs.getDouble(i), ys.getDouble(i)); i += 1 }
-    s
+    if (xs.numElements() != ys.numElements()) null
+    else {
+      val n = xs.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += step(xs.getDouble(i), ys.getDouble(i)); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -53,14 +62,18 @@ abstract class PairwiseFold extends BinaryExpression with ExpectsInputTypes {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $s = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  double $x = $a.getDouble($i);
-        |  double $y = $b.getDouble($i);
-        |  $s += ${stepCode(x, y)};
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $n = $a.numElements();
+        |  double $s = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $x = $a.getDouble($i);
+        |    double $y = $b.getDouble($i);
+        |    $s += ${stepCode(x, y)};
+        |  }
+        |  ${ev.value} = $s;
         |}
-        |${ev.value} = $s;
       """.stripMargin
     })
 }

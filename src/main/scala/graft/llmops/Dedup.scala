@@ -26,9 +26,15 @@ object Dedup {
     * ~4× the whole stage). Each shingle is built by direct element
     * access + concat, no intermediate slice array. */
   private def shingleArray(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    // guarded: sequence(0, size-n) with size < n would generate a
+    // DESCENDING sequence down to -1 and evaluate element_at(toks, 0),
+    // which throws. Short documents get an EMPTY shingle set — matching
+    // the oracle convention (DuckDB range(1, len-1) is empty for them).
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   private def withToks(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("_toks", split(col(textCol), " "))
@@ -116,8 +122,11 @@ object Dedup {
       struct(lit(minhashA(j)).as("a"), lit(minhashB(j)).as("b"))
     }: _*)
     // p is an upper bound for every permutation value, so it is the
-    // fold's identity; documents always have ≥1 shingle (empty text still
-    // yields the "" shingle), so the identity never leaks out
+    // fold's identity. Documents shorter than the shingle size have an
+    // EMPTY shingle set and keep the identity signature — they bucket
+    // together in banding (the maxBucket guard's territory) and always
+    // fail exact-Jaccard verification (inter = 0), so they never produce
+    // near-dup pairs, matching the oracle where such docs have no rows.
     val zero = array(Seq.fill(numHashes)(lit(MinhashPrime)): _*)
     val hb = transform(col("shingles"), s => minhashBase(s))
     sets.select(col(idCol),
@@ -231,9 +240,10 @@ object Dedup {
     */
   def streamingDedup(stream: DataFrame, key: Column, tsCol: String,
       watermarkDelay: String): DataFrame =
-    stream.withColumn("dedup_key", key)
+    stream.withColumn("_graft_dedup_key", key)
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("dedup_key")
+      .dropDuplicatesWithinWatermark("_graft_dedup_key")
+      .drop("_graft_dedup_key") // schema in = schema out
 
   /** Benchmark decontamination: drop corpus documents that share ANY word
     * n-gram with the benchmark set (the standard test-set-leakage guard in

@@ -92,15 +92,24 @@ object VectorMath {
       val d = element_at(a, i) - element_at(b, i); d * d
     }.toSeq).reduce(_ + _)
 
-  /** Unrolled dot for small known dims, native codegen'd loop otherwise
-    * (same result bit-for-bit). */
+  /** True when the active session has the GraftExtensions-injected
+    * functions — the *Auto forms degrade to the registration-free HOF
+    * fold on sessions built without them, instead of failing analysis. */
+  private def nativeAvailable: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("graft_dot"))
+
+  /** Unrolled dot for small known dims; native codegen'd loop for wide
+    * dims when registered (same result bit-for-bit); HOF fold otherwise. */
   def dotAuto(a: Column, b: Column, dim: Int): Column =
     if (dim > 0 && dim <= unrollLimit) dotUnrolled(a, b, dim)
-    else graft.functions.VectorExpressions.dot(a, b)
+    else if (nativeAvailable) graft.functions.VectorExpressions.dot(a, b)
+    else dotPrecast(a, b)
 
   def normAuto(a: Column, dim: Int): Column = sqrt(dotAuto(a, a, dim))
 
   def distSqAuto(a: Column, b: Column, dim: Int): Column =
     if (dim > 0 && dim <= unrollLimit) distSqUnrolled(a, b, dim)
-    else graft.functions.VectorExpressions.distSq(a, b)
+    else if (nativeAvailable) graft.functions.VectorExpressions.distSq(a, b)
+    else distSqPrecast(a, b)
 }

@@ -53,15 +53,20 @@ object SkewJoin {
   def saltedInnerJoinHot(left: DataFrame, right: DataFrame, key: String,
       numSalts: Int, sampleFraction: Double = 0.01,
       hotFraction: Double = 0.05, maxHotKeys: Int = 1000): DataFrame = {
+    // persisted: the sampled aggregate feeds two driver actions (total,
+    // then hot set) — without it the probe side is sampled+grouped twice
     val sample = left.select(key).sample(withReplacement = false, sampleFraction, seed = 42)
       .groupBy(key).count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coalesce: sum over an EMPTY sample is null, not 0
     val sampleTotal = math.max(1L,
-      sample.agg(sum("count")).collect()(0).getLong(0))
+      sample.agg(coalesce(sum("count"), lit(0L))).collect()(0).getLong(0))
     val hot = sample
       .filter(col("count") >= lit(hotFraction) * sampleTotal)
       .orderBy(col("count").desc)
       .limit(maxHotKeys)
       .collect().map(_.get(0))
+    sample.unpersist()
     if (hot.isEmpty) left.join(right, Seq(key))
     else {
       val isHot = col(key).isin(hot: _*)

@@ -38,6 +38,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(sh == Set("a b c", "b c d"))
   }
 
+  test("documents shorter than the shingle size neither crash nor pair") {
+    val short = Seq((1L, "one two"), (2L, "one two"), (3L, base))
+      .toDF("doc_id", "text")
+    // empty shingle set, no rows (matches the oracle's empty range)
+    assert(Dedup.shingles(short.filter(col("doc_id") === 1), "doc_id", "text", 3)
+      .count() == 0)
+    // full pipeline survives and emits no near-dup pairs for them
+    val pairs = Dedup.minhashNearDups(short, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.isEmpty)
+  }
+
+  test("native dot/dist return NULL on length-mismatched vectors, like the fold") {
+    import graft.functions.VectorExpressions
+    import graft.llmops.VectorMath
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorExpressions.dot(col("a"), col("b")).as("native"),
+      VectorMath.dotPrecast(col("a"), col("b")).as("fold")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("hot-key salted join handles an empty probe side") {
+    val left = Seq.empty[(String, Double)].toDF("k", "v")
+    val right = Seq(("a", "dim_a")).toDF("k", "label")
+    assert(graft.operators.SkewJoin
+      .saltedInnerJoinHot(left, right, "k", numSalts = 4).count() == 0)
+  }
+
   test("simhash: identical texts → distance 0, perturbed → small, unrelated → large") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
