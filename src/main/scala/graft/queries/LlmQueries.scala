@@ -562,6 +562,57 @@ object LlmQueries extends QueryFamily {
              |  quantile_cont(n_chars, 0.99) AS p99
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // TF-IDF-style salient terms: per-document term frequency weighted by
+    // inverse document frequency, top-5 per doc. The score is the raw
+    // ratio tf/df (df as a fraction of N) rather than the log form —
+    // log() is a libm call whose last-ulp rounding differs across
+    // engines, while add/div are IEEE-exact, keeping the oracle
+    // hash-comparable. Two aggregations: per-(doc,term) counts (one
+    // shuffle), then document frequencies (an agg over terms, broadcast
+    // back — vocabulary-sized, not corpus-sized).
+    ("q_tfidf_topk",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+        val terms = docs
+          .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .withColumn("n_tokens", sum("tf").over(Window.partitionBy("doc_id")))
+        val df = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.count()
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(broadcast(df), Seq("term"))
+          .withColumn("score",
+            (col("tf").cast("double") / col("n_tokens")) /
+              (col("df").cast("double") / lit(n.toDouble)))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"), col("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+             |terms AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+             |tf AS (
+             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             |    CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens
+             |  FROM terms GROUP BY doc_id, term),
+             |df AS (
+             |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY term),
+             |scored AS (
+             |  SELECT t.doc_id, t.term, t.tf, d.df,
+             |    (CAST(t.tf AS DOUBLE) / t.n_tokens) / (CAST(d.df AS DOUBLE) / (SELECT n_docs FROM n)) AS score
+             |  FROM tf t JOIN df d USING (term)),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term ASC) AS INT) AS rank FROM scored)
+             |SELECT doc_id, term, tf, df, score, rank
+             |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
     // Corpus vocabulary: token frequencies, deterministic top-50
     // (freq desc, token asc). Explode → partial-agg count → global top-k;
     // the map-side partial aggregation means the shuffle carries one row
