@@ -14,6 +14,45 @@ object StreamingQueries extends QueryFamily {
 
   def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
+    // Ordered-progression funnel: users advancing view → click →
+    // purchase, each stage's first event strictly after the previous
+    // stage's (the batch analog of the task lifecycle's
+    // queued → rendering → completed progression). One min() aggregation
+    // per stage; stages join on the entity key, so the whole funnel is
+    // entity-partitioned — no per-event state.
+    ("q_funnel_conversion",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        def firstAfter(evType: String, after: DataFrame, afterCol: String, as: String) =
+          ev.filter(col("event_type") === evType)
+            .join(after, Seq("user_id"))
+            .filter(col("ts") > col(afterCol))
+            .groupBy("user_id").agg(min(col("ts")).as(as))
+        val view = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val click = firstAfter("click", view, "t_view", "t_click")
+        val purchase = firstAfter("purchase", click, "t_click", "t_purchase")
+        val stages = Seq(("1_view", view), ("2_click", click), ("3_purchase", purchase))
+        stages.map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        }.reduce(_ unionByName _).orderBy("stage")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+             |  JOIN v ON v.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+             |  JOIN c ON c.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+             |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+             |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+             |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+             |ORDER BY stage""".stripMargin)),
+
     // Q2 batch — latest task state per key (the `task:{id}` hash):
     // argmax by (ts, event_id) + event counts.
     ("q_task_latest_state",
