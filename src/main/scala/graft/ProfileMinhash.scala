@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llmops.Dedup
 import graft.model.Tables
 
-/** Temporary stage-by-stage profiler for the MinHash pipeline. */
+/** Perf tool: stage-by-stage profiler for the MinHash pipeline. */
 object ProfileMinhash {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Temporary single-query profiler: runMain graft.ProfileOne <name> [sfDir] */
+/** Perf tool: single-query profiler — runMain graft.ProfileOne <name> [sfDir] */
 object ProfileOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
