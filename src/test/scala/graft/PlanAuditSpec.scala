@@ -154,6 +154,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(uniform.exceptAll(plainU).isEmpty && plainU.exceptAll(uniform).isEmpty)
   }
 
+  test("plan: TF-IDF broadcasts the vocabulary-sized df table") {
+    val p = plan(SparkEntry.queries("q_tfidf_topk")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("plan: stratified sample is one shuffle plus the output sort") {
+    val p = plan(SparkEntry.queries("q_stratified_sample")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("plan: funnel stages use hash joins, never a cartesian product") {
+    val p = plan(SparkEntry.queries("q_funnel_conversion")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("plan: flagship entry aggregates with partial (map-side) aggregation") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("HashAggregate"), p)
