@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ordered-progression funnel (view → click → purchase; queued →
+  * rendering → completed) — the SCALE form.
+  *
+  * The relational form (per-stage min() + join back, see
+  * `q_funnel_conversion`) is oracle-checkable but scans the event table
+  * once per stage arm. This form is one shuffle on the entity key and one
+  * sorted in-partition scan with O(1) state per entity (the same
+  * secondary-sort layout as the rate clamp and sequence packing): each
+  * entity advances to stage i+1 on the first stage-(i+1) event STRICTLY
+  * after the event that completed stage i — identical semantics to the
+  * join form's `ts > prev_ts` predicate.
+  *
+  * Returns (entity, deepest 1-based stage index reached). Entities with no
+  * stage-1 event are absent.
+  */
+object Funnel {
+
+  def deepestStage(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val prepared = events
+      .select(col(entityCol).cast("long").as("entity"),
+        col(typeCol).cast("string").as("etype"),
+        // micros: exact timestamp representation for strict ordering
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"))
+      .repartition(col("entity"))
+      .sortWithinPartitions(col("entity"), col("ts_us"))
+    implicit val enc = Encoders.row(StructType(Seq(
+      StructField("entity", LongType), StructField("deepest", IntegerType))))
+    val stageArr = stages.toArray
+    prepared.mapPartitions { rows =>
+      new Iterator[Row] {
+        private val it = rows.buffered
+        override def hasNext: Boolean = it.hasNext
+        override def next(): Row = {
+          val entity = it.head.getLong(0)
+          var depth = 0
+          var lastTs = Long.MinValue
+          while (it.hasNext && it.head.getLong(0) == entity) {
+            val r = it.next()
+            if (depth < stageArr.length && r.getString(1) == stageArr(depth) &&
+                r.getLong(2) > lastTs) {
+              // strict ">": an event at the same instant as the previous
+              // stage's completing event does not advance (join-form parity)
+              lastTs = r.getLong(2)
+              depth += 1
+            }
+          }
+          Row(entity, depth)
+        }
+      }.filter(_.getInt(1) >= 1)
+    }
+  }
+
+  /** Per-stage entity counts from [[deepestStage]] (stage i counts every
+    * entity that reached i or deeper). */
+  def stageCounts(deepest: DataFrame, stages: Seq[String]): DataFrame = {
+    val byDepth = deepest.groupBy("deepest").count()
+    val exploded = byDepth.select(
+      explode(sequence(lit(1), col("deepest"))).as("stage_idx"), col("count"))
+    exploded.groupBy("stage_idx").agg(sum("count").as("n_entities"))
+      .orderBy("stage_idx")
+  }
+}

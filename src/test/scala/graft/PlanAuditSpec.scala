@@ -170,6 +170,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("single-pass funnel scan agrees with the relational join form") {
+    val events = Tables.events(spark, sf)
+    val scan = graft.operators.Funnel.stageCounts(
+      graft.operators.Funnel.deepestStage(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val join = SparkEntry.queries("q_funnel_conversion")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(scan(1) == join("1_view"))
+    assert(scan(2) == join("2_click"))
+    assert(scan(3) == join("3_purchase"))
+    // and the scale form is a single shuffle
+    val p = plan(graft.operators.Funnel.deepestStage(
+      events, "user_id", "event_type", "ts", Seq("view", "click", "purchase")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("plan: flagship entry aggregates with partial (map-side) aggregation") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("HashAggregate"), p)
