@@ -79,6 +79,47 @@ object MiscQueries extends QueryFamily {
              |WHERE s.start_idx <= l.last_idx
              |ORDER BY s.l_orderkey, start_idx""".stripMargin)),
 
+    // Data-quality constraint validation (reference: core/validators.py
+    // prerequisite checks): all row rules in one aggregation pass, plus a
+    // referential-integrity orphan count. Rules are chosen so some PASS
+    // and some FAIL on the synthetic data — the checker must prove it can
+    // count violations, not just emit zeros.
+    ("q_quality_checks",
+      (s: SparkSession, d: String) => {
+        import graft.operators.Quality
+        val li = Tables.lineitem(s, d)
+        val rowRules = Quality.check(li, Seq(
+          Quality.Rule("quantity_positive", col("l_quantity") > 0),
+          Quality.Rule("quantity_le_30", col("l_quantity") <= 30),
+          Quality.Rule("discount_in_range", col("l_discount") >= 0 && col("l_discount") <= 0.1),
+          Quality.Rule("shipdate_not_null", col("l_shipdate").isNotNull)))
+        val orphans = Quality.fkOrphans(li, Tables.orders(s, d),
+            "l_orderkey", "o_orderkey")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("fk_orders").as("rule"), col("violations"),
+            lit(null).cast("long").as("total"))
+        rowRules.select(col("rule"), col("violations"), col("total"))
+          .unionByName(orphans)
+          .orderBy("rule")
+      },
+      Some("""WITH rows_checked AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS total,
+             |    CAST(SUM(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS quantity_positive,
+             |    CAST(SUM(CASE WHEN l_quantity <= 30 THEN 0 ELSE 1 END) AS BIGINT) AS quantity_le_30,
+             |    CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS discount_in_range,
+             |    CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS shipdate_not_null
+             |  FROM lineitem),
+             |fk AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS violations FROM lineitem l
+             |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             |SELECT rule, violations, total FROM (
+             |  SELECT 'quantity_positive' AS rule, quantity_positive AS violations, total FROM rows_checked
+             |  UNION ALL SELECT 'quantity_le_30', quantity_le_30, total FROM rows_checked
+             |  UNION ALL SELECT 'discount_in_range', discount_in_range, total FROM rows_checked
+             |  UNION ALL SELECT 'shipdate_not_null', shipdate_not_null, total FROM rows_checked
+             |  UNION ALL SELECT 'fk_orders', violations, CAST(NULL AS BIGINT) FROM fk)
+             |ORDER BY rule""".stripMargin)),
+
     // A6 — per-directory file count + byte sum + human-readable size
     // (reference: copy_scene_assets.py:172-190, run_upload_scenes.py:100-104).
     ("q_dir_rollup",

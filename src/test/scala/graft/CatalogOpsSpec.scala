@@ -76,6 +76,18 @@ class CatalogOpsSpec extends SparkSpec {
     assert(fuzzy.map(_.getString(0)).toSet == Set("Alpha", "alphabet"))
   }
 
+  test("quality rules count NULL predicate results as violations") {
+    import graft.operators.Quality
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, null))
+      .toDF("id", "name")
+    val out = Quality.check(df, Seq(
+        Quality.Rule("id_positive", col("id") > 0),      // null id → violation
+        Quality.Rule("name_not_null", col("name").isNotNull)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("id_positive") == 1)   // the null id row
+    assert(out("name_not_null") == 1) // the null name row
+  }
+
   test("compactTo rewrites a small-files directory to the target file count") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toFile
