@@ -21,6 +21,19 @@ object TextStats {
   /** BPE-ish size estimate: ~4 chars/token heuristic. */
   def bpeTokenEstimate(nChars: Column): Column = ceil(nChars.cast("double") / 4.0).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, letter runs,
+    * digit runs, punctuation runs (each optionally space-prefixed), and
+    * residual whitespace. RE2-compatible (no lookahead), so the identical
+    * pattern runs in the DuckDB oracle. Subword merging is model-specific;
+    * the pre-token count is the standard engine-side budget proxy. */
+  val BpePretokenPattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Pre-token count under [[BpePretokenPattern]] — a much closer token
+    * budget than chars/4, still one map-side regex pass. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePretokenPattern), lit(0)))
+
   /** Share of tokens found in `stopwords`. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)

@@ -31,15 +31,17 @@ object LlmQueries extends QueryFamily {
             col("doc_id"),
             TextStats.tokenCount(col("text")).as("n_tokens"),
             TextStats.bpeTokenEstimate(col("n_chars")).as("bpe_est"),
+            TextStats.bpeTokenCount(col("text")).as("bpe_tokens"),
             TextStats.stopwordRatio(col("text"), Stopwords).as("stop_ratio"),
             TextStats.uniqueTokenRatio(col("text")).as("uniq_ratio"))
           .orderBy("doc_id")
       },
       Some(s"""WITH t AS (
-              |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+              |  SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks FROM documents)
               |SELECT doc_id,
               |  CAST(len(toks) AS INT) AS n_tokens,
               |  CAST(ceil(CAST(n_chars AS DOUBLE)/4.0) AS BIGINT) AS bpe_est,
+              |  CAST(len(regexp_extract_all(text, '${TextStats.BpePretokenPattern.replace("'", "''")}')) AS INT) AS bpe_tokens,
               |  CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)
               |    / len(toks) AS stop_ratio,
               |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio

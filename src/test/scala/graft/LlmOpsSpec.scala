@@ -238,6 +238,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(2) == 0.0)
   }
 
+  test("BPE pretokenizer splits contractions, digit runs, and punctuation") {
+    val df = Seq((1L, "don't stop 1234 times!!  ok")).toDF("id", "text")
+    val n = df.select(TextStats.bpeTokenCount(col("text"))).collect()(0).getInt(0)
+    // don | 't | " stop" | " 1234" | " times" | "!!" | "  " | "ok"... the
+    // exact segmentation: ["don","'t"," stop"," 1234"," times","!!"," ","ok"]
+    assert(n == 8, s"got $n pretokens")
+  }
+
   test("HLL cardinality estimate tracks exact distinct count within rsd bounds") {
     // SURVEY §2.10: approx_count_distinct for corpus-scale cardinalities —
     // the exact groupBy-distinct is the oracle at test scale
