@@ -79,6 +79,46 @@ object MiscQueries extends QueryFamily {
              |WHERE s.start_idx <= l.last_idx
              |ORDER BY s.l_orderkey, start_idx""".stripMargin)),
 
+    // Content-hash change detection (reference: scene_registry.py
+    // is_scene_downloaded / is_navmesh_baked expected-hash compare —
+    // SURVEY §4's incremental-recompute convention). A new snapshot's
+    // content hashes full-outer-join the registry's recorded hashes;
+    // every item classifies as new / changed / unchanged / deleted, and
+    // only new+changed feed reprocessing. Synthetic drift: every 5th item
+    // has new content, every 7th is missing from the old registry.
+    ("q_change_detection",
+      (s: SparkSession, d: String) => {
+        val files = Tables.part(s, d)
+        val newSnap = files.select(col("p_partkey").as("item"),
+          md5(concat(col("p_type"),
+            when(pmod(col("p_partkey"), lit(5)) === 0, lit("v2")).otherwise(lit(""))))
+            .as("new_hash"))
+        val registry = files.filter(pmod(col("p_partkey"), lit(7)) =!= 0)
+          .select(col("p_partkey").as("item"), md5(col("p_type")).as("old_hash"))
+        newSnap.join(registry, Seq("item"), "full_outer")
+          .withColumn("status",
+            when(col("old_hash").isNull, "new")
+              .when(col("new_hash").isNull, "deleted")
+              .when(col("new_hash") =!= col("old_hash"), "changed")
+              .otherwise("unchanged"))
+          .groupBy("status").agg(count(lit(1)).as("n_items"))
+          .orderBy("status")
+      },
+      Some("""WITH new_snap AS (
+             |  SELECT p_partkey AS item,
+             |    md5(p_type || CASE WHEN p_partkey % 5 = 0 THEN 'v2' ELSE '' END) AS new_hash
+             |  FROM part),
+             |registry AS (
+             |  SELECT p_partkey AS item, md5(p_type) AS old_hash
+             |  FROM part WHERE p_partkey % 7 <> 0)
+             |SELECT CASE WHEN old_hash IS NULL THEN 'new'
+             |            WHEN new_hash IS NULL THEN 'deleted'
+             |            WHEN new_hash <> old_hash THEN 'changed'
+             |            ELSE 'unchanged' END AS status,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM new_snap FULL OUTER JOIN registry USING (item)
+             |GROUP BY 1 ORDER BY status""".stripMargin)),
+
     // Data-quality constraint validation (reference: core/validators.py
     // prerequisite checks): all row rules in one aggregation pass, plus a
     // referential-integrity orphan count. Rules are chosen so some PASS
