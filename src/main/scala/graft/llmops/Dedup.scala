@@ -122,11 +122,9 @@ object Dedup {
       struct(lit(minhashA(j)).as("a"), lit(minhashB(j)).as("b"))
     }: _*)
     // p is an upper bound for every permutation value, so it is the
-    // fold's identity. Documents shorter than the shingle size have an
-    // EMPTY shingle set and keep the identity signature — they bucket
-    // together in banding (the maxBucket guard's territory) and always
-    // fail exact-Jaccard verification (inter = 0), so they never produce
-    // near-dup pairs, matching the oracle where such docs have no rows.
+    // fold's identity. Callers must drop empty shingle sets first (see
+    // minhashNearDups) — an empty set keeps the identity signature, and a
+    // population of them would share one band bucket.
     val zero = array(Seq.fill(numHashes)(lit(MinhashPrime)): _*)
     val hb = transform(col("shingles"), s => minhashBase(s))
     sets.select(col(idCol),
@@ -211,8 +209,13 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val sigs = minhashSignatureArray(
-      shingleSets(df, idCol, textCol, shingleSize), idCol, numHashes)
+    // docs shorter than the shingle size have empty shingle sets: they can
+    // never verify (inter = 0), but they would all share the identity
+    // signature and pile into ONE band bucket — k short docs expand
+    // k(k-1)/2 guaranteed-dead candidate pairs. Dropped before signing.
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
+      .filter(size(col("shingles")) > 0)
+    val sigs = minhashSignatureArray(sets, idCol, numHashes)
     // candidate pairs are consumed twice (the id semi-filter and the
     // verification join) and their subtree embeds the full signature
     // scan — persist so banding runs once; the table is tiny by

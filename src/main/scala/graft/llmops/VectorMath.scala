@@ -94,7 +94,11 @@ object VectorMath {
 
   /** True when the active session has the GraftExtensions-injected
     * functions — the *Auto forms degrade to the registration-free HOF
-    * fold on sessions built without them, instead of failing analysis. */
+    * fold on sessions built without them, instead of failing analysis.
+    * Thread-local: columns must be built on a thread with an active
+    * session (standard driver-side usage) to get the native tier; a
+    * bare thread silently falls back to the (slower, still correct)
+    * fold. */
   private def nativeAvailable: Boolean =
     org.apache.spark.sql.SparkSession.getActiveSession
       .exists(_.catalog.functionExists("graft_dot"))

@@ -29,6 +29,10 @@ object Funnel {
         col(typeCol).cast("string").as("etype"),
         // micros: exact timestamp representation for strict ordering
         unix_micros(col(tsCol).cast("timestamp")).as("ts_us"))
+      // null entity (or a key that nulls under the long cast) and null ts
+      // rows carry no progression signal and would NPE the primitive
+      // getters below — dropped explicitly
+      .filter(col("entity").isNotNull && col("ts_us").isNotNull)
       .repartition(col("entity"))
       .sortWithinPartitions(col("entity"), col("ts_us"))
     implicit val enc = Encoders.row(StructType(Seq(
@@ -59,12 +63,18 @@ object Funnel {
   }
 
   /** Per-stage entity counts from [[deepestStage]] (stage i counts every
-    * entity that reached i or deeper). */
+    * entity that reached i or deeper). Every stage in 1..stages.length
+    * gets a row — a stage nobody reached reports 0, matching the join
+    * form's per-stage aggregates. */
   def stageCounts(deepest: DataFrame, stages: Seq[String]): DataFrame = {
     val byDepth = deepest.groupBy("deepest").count()
     val exploded = byDepth.select(
       explode(sequence(lit(1), col("deepest"))).as("stage_idx"), col("count"))
-    exploded.groupBy("stage_idx").agg(sum("count").as("n_entities"))
+    val reached = exploded.groupBy("stage_idx").agg(sum("count").as("n_entities"))
+    val allStages = deepest.sparkSession.range(1, stages.length + 1)
+      .select(col("id").cast("int").as("stage_idx"))
+    allStages.join(reached, Seq("stage_idx"), "left")
+      .select(col("stage_idx"), coalesce(col("n_entities"), lit(0L)).as("n_entities"))
       .orderBy("stage_idx")
   }
 }

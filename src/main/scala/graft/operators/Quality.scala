@@ -19,10 +19,14 @@ object Quality {
   final case class Rule(name: String, predicate: Column)
 
   /** One row per rule: (rule, violations, total). A NULL predicate result
-    * counts as a violation — an unknown is not a pass. */
+    * counts as a violation — an unknown is not a pass; an EMPTY table
+    * reports 0 violations (not NULL), so gates like `violations > 0`
+    * behave on empty inputs. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
     val aggs = rules.map { r =>
-      sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)).as(r.name)
+      coalesce(sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(r.name)
     }
     val total = count(lit(1)).as("_total")
     val wide = df.agg(aggs.head, (aggs.tail :+ total): _*)

@@ -582,13 +582,16 @@ object LlmQueries extends QueryFamily {
           .withColumn("n_tokens", sum("tf").over(Window.partitionBy("doc_id")))
         val df = terms.select("doc_id", "term").distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
-        val n = docs.count()
+        // N as a broadcast 1-row aggregate, not an eager count() — the
+        // whole query stays one Spark job
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term").asc)
         tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(nDocs))
           .withColumn("score",
             (col("tf").cast("double") / col("n_tokens")) /
-              (col("df").cast("double") / lit(n.toDouble)))
+              (col("df").cast("double") / col("n_docs")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("doc_id"), col("term"), col("tf"), col("df"),

@@ -85,14 +85,16 @@ object MiscQueries extends QueryFamily {
     // content hashes full-outer-join the registry's recorded hashes;
     // every item classifies as new / changed / unchanged / deleted, and
     // only new+changed feed reprocessing. Synthetic drift: every 5th item
-    // has new content, every 7th is missing from the old registry.
+    // has new content, every 7th is missing from the old registry, every
+    // 11th vanished from the new snapshot — all four statuses occur.
     ("q_change_detection",
       (s: SparkSession, d: String) => {
         val files = Tables.part(s, d)
-        val newSnap = files.select(col("p_partkey").as("item"),
-          md5(concat(col("p_type"),
-            when(pmod(col("p_partkey"), lit(5)) === 0, lit("v2")).otherwise(lit(""))))
-            .as("new_hash"))
+        val newSnap = files.filter(pmod(col("p_partkey"), lit(11)) =!= 0)
+          .select(col("p_partkey").as("item"),
+            md5(concat(col("p_type"),
+              when(pmod(col("p_partkey"), lit(5)) === 0, lit("v2")).otherwise(lit(""))))
+              .as("new_hash"))
         val registry = files.filter(pmod(col("p_partkey"), lit(7)) =!= 0)
           .select(col("p_partkey").as("item"), md5(col("p_type")).as("old_hash"))
         newSnap.join(registry, Seq("item"), "full_outer")
@@ -107,7 +109,7 @@ object MiscQueries extends QueryFamily {
       Some("""WITH new_snap AS (
              |  SELECT p_partkey AS item,
              |    md5(p_type || CASE WHEN p_partkey % 5 = 0 THEN 'v2' ELSE '' END) AS new_hash
-             |  FROM part),
+             |  FROM part WHERE p_partkey % 11 <> 0),
              |registry AS (
              |  SELECT p_partkey AS item, md5(p_type) AS old_hash
              |  FROM part WHERE p_partkey % 7 <> 0)
