@@ -35,13 +35,22 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
+    // Each query is timed `reps` times and reported as the MEDIAN, with
+    // the SQL cache cleared between queries — one sample conflated a
+    // neighbor's leaked state with the query under test in r1
+    // (q_salted_join: 35 s sampled vs 2.5 s isolated).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

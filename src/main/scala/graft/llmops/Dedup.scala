@@ -218,10 +218,16 @@ object Dedup {
     val sigs = minhashSignatureArray(sets, idCol, numHashes)
     // candidate pairs are consumed twice (the id semi-filter and the
     // verification join) and their subtree embeds the full signature
-    // scan — persist so banding runs once; the table is tiny by
-    // construction
-    val cands = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scan. The pair table is broadcast-sized by construction (banding +
+    // maxBucket — the same bound the candIds broadcast below relies on),
+    // so materialize it ONCE to the driver and re-plan it as a local
+    // relation: banding runs a single time and no cache blocks outlive
+    // the call (a .persist here leaked across a long-lived session and
+    // skewed the whole r1 bench tail — VERDICT r1 item 2).
+    val spark = df.sparkSession
+    val candsPlan = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
+    val cands = spark.createDataFrame(
+      java.util.Arrays.asList(candsPlan.collect(): _*), candsPlan.schema)
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val docsRelevant = df.join(broadcast(candIds), Seq(idCol), "left_semi")

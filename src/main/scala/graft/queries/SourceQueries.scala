@@ -60,8 +60,10 @@ object SourceQueries extends QueryFamily {
       },
       None),
 
-    // S2/S3 — scenes.json document build: rows → nested catalog doc
-    // (envelope + maps arrays; rows-only: single-row nested document).
+    // S2/S3 — scenes.json document build: rows → the catalog doc envelope
+    // serialized as a deterministic JSON string (the reference writes a
+    // JSON text file; string output is hash-comparable, nested arrays are
+    // not — VERDICT r1 item 1).
     ("q_scenes_json_doc",
       (s: SparkSession, d: String) => {
         val scenes = Tables.nation(s, d).select(
@@ -73,9 +75,31 @@ object SourceQueries extends QueryFamily {
           .select(col("n_name").as("scene_name"),
             col("s_name").as("map_name"),
             concat(lit("/Game/"), col("n_name"), lit("/Maps/"), col("s_name")).as("map_path"))
-        Sources.scenesJsonDocument(scenes, maps)
+        Sources.scenesJsonText(scenes, maps)
       },
-      None),
+      Some("""WITH scenes AS (
+             |  SELECT n_name AS scene_name, 'dir_' || n_name AS launch_directory,
+             |         '/Game/' || n_name AS base_game_path
+             |  FROM nation),
+             |maps AS (
+             |  SELECT n_name AS scene_name, s_name AS map_name,
+             |         '/Game/' || n_name || '/Maps/' || s_name AS map_path
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+             |mj AS (
+             |  SELECT scene_name,
+             |    '[' || string_agg('{"name":"' || map_name || '","path":"' || map_path || '"}',
+             |                      ',' ORDER BY map_name, map_path) || ']' AS maps_json
+             |  FROM maps GROUP BY scene_name),
+             |sj AS (
+             |  SELECT s.scene_name,
+             |    '{"scene_name":"' || s.scene_name ||
+             |    '","launch_directory":"' || s.launch_directory ||
+             |    '","base_game_path":"' || s.base_game_path ||
+             |    '","maps":' || coalesce(m.maps_json, '[]') || '}' AS scene_json
+             |  FROM scenes s LEFT JOIN mj m USING (scene_name))
+             |SELECT CAST(count(*) AS BIGINT) AS total_scenes,
+             |       '[' || string_agg(scene_json, ',' ORDER BY scene_name) || ']' AS scenes_json
+             |FROM sj""".stripMargin)),
 
     // Multimodal — binary payload → stub-decoded pooled features via
     // mapPartitions batches (deterministic synthetic media; rows-only:

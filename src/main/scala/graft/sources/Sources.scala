@@ -127,4 +127,23 @@ object Sources {
       .agg(collect_list(col("scene")).as("scenes"))
       .select(size(col("scenes")).as("total_scenes"), col("scenes"))
   }
+
+  /** S3 — scenes.json document as TEXT: the same envelope serialized to a
+    * deterministic compact JSON string (scenes sorted by name, maps sorted
+    * by (name, path)), matching what the reference actually produces — a
+    * JSON *text* file (scene_scanner.py:530-587). String output is
+    * hash-comparable by the oracle harness, unlike nested arrays.
+    */
+  def scenesJsonText(scenes: DataFrame, maps: DataFrame): DataFrame = {
+    val mapsBy = maps.groupBy("scene_name")
+      .agg(array_sort(collect_list(struct(col("map_name").as("name"),
+        col("map_path").as("path")))).as("maps"))
+    val emptyMaps = array().cast("array<struct<name:string,path:string>>")
+    scenes.join(mapsBy, Seq("scene_name"), "left")
+      .select(struct(col("scene_name"), col("launch_directory"),
+        col("base_game_path"), coalesce(col("maps"), emptyMaps).as("maps")).as("scene"))
+      .agg(array_sort(collect_list(col("scene"))).as("scenes"))
+      .select(size(col("scenes")).cast("long").as("total_scenes"),
+        to_json(col("scenes")).as("scenes_json"))
+  }
 }
