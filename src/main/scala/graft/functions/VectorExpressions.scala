@@ -22,12 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * bit-identical to the HOF forms and to the DuckDB
   * `list_reduce(list_transform(...))` oracles.
   *
-  * Inputs are `array<double>` with non-null elements (embedding vectors;
-  * other numeric array types are implicitly cast, as built-ins do). Null
-  * ARRAYS null out via `nullSafeEval`/`nullSafeCodeGen`; length-mismatched
-  * pairs return NULL — the same result the `zip_with` null-padding fold
-  * produces, so the tiers stay interchangeable; null ELEMENTS are not
-  * checked.
+  * Inputs are `array<double>` (embedding vectors; other numeric array
+  * types are implicitly cast, as built-ins do). Null ARRAYS null out via
+  * `nullSafeEval`/`nullSafeCodeGen`; length-mismatched pairs and pairs
+  * with any null ELEMENT return NULL — the same results the `zip_with`
+  * null-padding fold produces, so the tiers stay interchangeable
+  * regardless of which one a session resolves to.
   */
 abstract class PairwiseFold extends BinaryExpression with ImplicitCastInputTypes {
   // (type inferred — AbstractDataType is private[sql])
@@ -49,7 +49,13 @@ abstract class PairwiseFold extends BinaryExpression with ImplicitCastInputTypes
       val n = xs.numElements()
       var s = 0.0
       var i = 0
-      while (i < n) { s += step(xs.getDouble(i), ys.getDouble(i)); i += 1 }
+      while (i < n) {
+        // a null element would read as garbage through getDouble; the HOF
+        // fold yields NULL for it, so this tier must too
+        if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+        s += step(xs.getDouble(i), ys.getDouble(i))
+        i += 1
+      }
       s
     }
   }
@@ -68,11 +74,12 @@ abstract class PairwiseFold extends BinaryExpression with ImplicitCastInputTypes
         |  int $n = $a.numElements();
         |  double $s = 0.0;
         |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
         |    double $x = $a.getDouble($i);
         |    double $y = $b.getDouble($i);
         |    $s += ${stepCode(x, y)};
         |  }
-        |  ${ev.value} = $s;
+        |  if (!${ev.isNull}) { ${ev.value} = $s; }
         |}
       """.stripMargin
     })

@@ -190,14 +190,17 @@ object TextStats {
       tokensCol: String, maxTokens: Long): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
+    // the order key stays in its NATIVE type — a cast-to-long would null
+    // out non-numeric keys (string doc ids) and scramble the pack order
+    val ordType = df.select(col(orderCol)).schema.head.dataType
     val prepared = df
       .repartition(col(shardCol))
-      .sortWithinPartitions(col(shardCol), col(orderCol).cast("long"))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
       .select(col(shardCol).cast("string").as("shard"),
-        col(orderCol).cast("long").as("ord"),
+        col(orderCol).as("ord"),
         col(tokensCol).cast("long").as("n_tokens"))
     implicit val enc = Encoders.row(StructType(Seq(
-      StructField("shard", StringType), StructField("ord", LongType),
+      StructField("shard", StringType), StructField("ord", ordType),
       StructField("n_tokens", LongType), StructField("pack_id", LongType),
       StructField("pack_fill", LongType))))
     prepared.mapPartitions { rows =>
@@ -210,7 +213,7 @@ object TextStats {
         val n = r.getLong(2)
         if (fill > 0 && fill + n > maxTokens) { pack += 1; fill = 0L }
         fill += n
-        Row(shard, r.getLong(1), n, pack, fill)
+        Row(shard, r.get(1), n, pack, fill)
       }
     }
   }

@@ -14,11 +14,23 @@ import org.apache.spark.sql.DataFrame
   */
 object FanOut {
 
-  /** Repartition `df` to the session's default parallelism unless it
-    * already has at least that many partitions. Row-set identical — only
-    * the physical layout changes. */
+  /** Repartition `df` to the session's default parallelism unless its
+    * estimated scan width already reaches it. Row-set identical — only
+    * the physical layout changes.
+    *
+    * The width estimate comes from the ANALYZED plan's size statistics
+    * (file-listing bytes / maxPartitionBytes — the same arithmetic the
+    * file scan uses to split), so deciding costs no physical planning, no
+    * RDD conversion, and leaves AQE free to re-plan the actual exchange
+    * (the old `df.rdd.getNumPartitions` probe forced a full plan compile
+    * per wrapped input and read the pre-AQE count). */
   def apply(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    if (estBytes >= BigInt(target) * maxPartitionBytes) df
+    else df.repartition(target)
   }
 }

@@ -24,29 +24,32 @@ object Funnel {
   def deepestStage(events: DataFrame, entityCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty)
+    // the entity key stays in its NATIVE type — a cast-to-long would null
+    // out non-numeric keys and silently empty the funnel (join-form
+    // parity: q_funnel_conversion works for any scalar key type)
+    val entityType = events.select(col(entityCol)).schema.head.dataType
     val prepared = events
-      .select(col(entityCol).cast("long").as("entity"),
+      .select(col(entityCol).as("entity"),
         col(typeCol).cast("string").as("etype"),
         // micros: exact timestamp representation for strict ordering
         unix_micros(col(tsCol).cast("timestamp")).as("ts_us"))
-      // null entity (or a key that nulls under the long cast) and null ts
-      // rows carry no progression signal and would NPE the primitive
-      // getters below — dropped explicitly
+      // null-entity and null-ts rows carry no progression signal and
+      // would NPE the primitive getters below — dropped explicitly
       .filter(col("entity").isNotNull && col("ts_us").isNotNull)
       .repartition(col("entity"))
       .sortWithinPartitions(col("entity"), col("ts_us"))
     implicit val enc = Encoders.row(StructType(Seq(
-      StructField("entity", LongType), StructField("deepest", IntegerType))))
+      StructField("entity", entityType), StructField("deepest", IntegerType))))
     val stageArr = stages.toArray
     prepared.mapPartitions { rows =>
       new Iterator[Row] {
         private val it = rows.buffered
         override def hasNext: Boolean = it.hasNext
         override def next(): Row = {
-          val entity = it.head.getLong(0)
+          val entity = it.head.get(0)
           var depth = 0
           var lastTs = Long.MinValue
-          while (it.hasNext && it.head.getLong(0) == entity) {
+          while (it.hasNext && it.head.get(0) == entity) {
             val r = it.next()
             if (depth < stageArr.length && r.getString(1) == stageArr(depth) &&
                 r.getLong(2) > lastTs) {

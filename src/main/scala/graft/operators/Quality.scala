@@ -24,6 +24,13 @@ object Quality {
     * behave on empty inputs. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
+    // rule names become aggregate column names in the wide row: duplicates
+    // would silently cross-wire violation counts, and "_total" is the
+    // internal total column
+    val names = rules.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate rule names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    require(!names.contains("_total"), "rule name \"_total\" is reserved")
     val aggs = rules.map { r =>
       coalesce(sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)), lit(0L))
         .as(r.name)

@@ -26,10 +26,15 @@ object SkewJoin {
     * and the right side replicated `numSalts` times. */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       numSalts: Int): DataFrame = {
-    // any deterministic-per-row spread works; hashing a unique id avoids
-    // correlating the salt with data columns (which would re-skew)
+    // The salt must be DETERMINISTIC per row content, not per partition
+    // layout: a monotonically_increasing_id-derived salt changes when a
+    // failed map task is recomputed, and a shuffle key that differs
+    // between the original and recomputed attempt can duplicate or drop
+    // join rows. Hashing the row's own columns is stable across retries;
+    // the spread is over distinct row contents, which for real hot keys
+    // (rows differing in payload columns) fans out as intended.
     val salted = left.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(numSalts.toLong)))
+      pmod(xxhash64(left.columns.map(col): _*), lit(numSalts.toLong)))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(numSalts.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -88,6 +88,18 @@ class CatalogOpsSpec extends SparkSpec {
     assert(out("name_not_null") == 1) // the null name row
   }
 
+  test("quality rejects duplicate and reserved rule names") {
+    import graft.operators.Quality
+    val df = Seq((1L, "a")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Quality.check(df, Seq(
+        Quality.Rule("r", col("id") > 0), Quality.Rule("r", col("name").isNotNull)))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.check(df, Seq(Quality.Rule("_total", col("id") > 0)))
+    }
+  }
+
   test("compactTo rewrites a small-files directory to the target file count") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toFile

@@ -62,6 +62,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("native dot/dist return NULL on null vector elements, like the fold") {
+    import graft.functions.VectorExpressions
+    import graft.llmops.VectorMath
+    val df = Seq((Array[java.lang.Double](1.0, null, 3.0),
+        Array[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorExpressions.dot(col("a"), col("b")).as("native"),
+      VectorExpressions.distSq(col("a"), col("b")).as("native_d"),
+      VectorMath.dotPrecast(col("a"), col("b")).as("fold")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("hot-key salted join handles an empty probe side") {
     val left = Seq.empty[(String, Double)].toDF("k", "v")
     val right = Seq(("a", "dim_a")).toDF("k", "label")

@@ -187,6 +187,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("funnel scan keeps non-numeric entity keys (no silent cast-to-null drop)") {
+    import spark.implicits._
+    val ev = Seq(
+      ("user_a", "view", "2026-01-01 00:00:01"),
+      ("user_a", "click", "2026-01-01 00:00:02"),
+      ("user_b", "view", "2026-01-01 00:00:03"))
+      .toDF("uid", "etype", "ts")
+    val out = graft.operators.Funnel
+      .deepestStage(ev, "uid", "etype", "ts", Seq("view", "click"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("user_a" -> 2, "user_b" -> 1))
+  }
+
   test("plan: flagship entry aggregates with partial (map-side) aggregation") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("HashAggregate"), p)
