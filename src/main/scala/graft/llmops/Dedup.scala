@@ -312,4 +312,49 @@ object Dedup {
   def simhash64(text: Column): Column = simhash64FromHalves(tokenHashHalves(text))
 
   def hammingDistance64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Corpus-scale SimHash pair search via pigeonhole banding (Manku et al.,
+    * WWW'07 style): the 64-bit signature is cut into `numChunks`
+    * contiguous chunks; any pair within `maxHamming` differing bits has at
+    * least one chunk with ZERO differing bits when `numChunks > maxHamming`
+    * (pigeonhole), so an equi-join on (chunk index, chunk value) finds
+    * every qualifying pair with no false negatives. Candidates sharing a
+    * chunk are then verified with the exact popcount — identical output to
+    * the all-pairs theta join, at bucket-join cost.
+    *
+    * Same shuffle shape as [[lshCandidates]]: chunk rows are emitted
+    * map-side (one explode, `numChunks` rows/doc), one groupBy builds the
+    * buckets, in-bucket pairs expand locally. `maxBucket` drops degenerate
+    * buckets (a chunk value shared by k docs yields k(k-1)/2 candidates;
+    * e.g. near-empty docs whose signature chunks are all zeros) — standard
+    * LSH practice, a chunk value that common carries no near-dup signal.
+    */
+  def simhashBandedPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
+      numChunks: Int = 7, maxBucket: Int = 100000): DataFrame = {
+    require(numChunks > maxHamming && numChunks <= 64,
+      s"pigeonhole needs maxHamming < numChunks <= 64 (got $maxHamming, $numChunks)")
+    val chunkStructs = array((0 until numChunks).map { c =>
+      val lo = (64 * c) / numChunks
+      val width = (64 * (c + 1)) / numChunks - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask)).as("chunk_val"))
+    }: _*)
+    sigs.select(col(idCol), col("sig"), explode(chunkStructs).as("ch"))
+      .select(col(idCol), col("sig"),
+        col("ch.chunk").as("chunk"), col("ch.chunk_val").as("chunk_val"))
+      .groupBy("chunk", "chunk_val")
+      .agg(sort_array(collect_list(struct(col(idCol), col("sig")))).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(
+        filter(col("members"), m => m.getField(idCol) > col("a").getField(idCol))).as("b"))
+      .select(col("a").getField(idCol).as("id_a"), col("b").getField(idCol).as("id_b"),
+        col("a").getField("sig").as("sig_a"), col("b").getField("sig").as("sig_b"))
+      // the same pair can share several chunks — dedup before verification
+      .distinct()
+      .withColumn("hamming", hammingDistance64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

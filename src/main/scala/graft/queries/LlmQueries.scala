@@ -406,6 +406,39 @@ object LlmQueries extends QueryFamily {
              |SELECT id_a, id_b, hamming FROM ham
              |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
 
+    // SimHash pair search, CORPUS-SCALE form: pigeonhole banding over the
+    // full documents table (no id bound — the banded equi-join replaces
+    // the theta join). 7 chunks > maxHamming 6 ⇒ zero false negatives, so
+    // the output is IDENTICAL to the exact all-pairs search, which is what
+    // the oracle computes (DuckDB is fine with all-pairs at sf0.01).
+    ("q_simhash_banded",
+      (s: SparkSession, d: String) => {
+        val sigs = Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")
+        Dedup.simhashBandedPairs(sigs, "doc_id", maxHamming = 6, numChunks = 7)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+             |  FROM documents),
+             |th AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) AS lo,
+             |    CAST(concat('0x', substring(md5(t), 9, 8)) AS BIGINT) AS hi
+             |  FROM toks),
+             |bits AS (
+             |  SELECT doc_id, r.b,
+             |    sum(CASE WHEN ((CASE WHEN r.b < 32 THEN lo >> r.b
+             |                         ELSE hi >> (r.b - 32) END) & 1) = 1
+             |             THEN 1 ELSE -1 END) > 0 AS bit_set
+             |  FROM th, range(0, 64) r(b) GROUP BY doc_id, r.b),
+             |ham AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(sum(CASE WHEN a.bit_set <> b.bit_set THEN 1 ELSE 0 END) AS INT) AS hamming
+             |  FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT id_a, id_b, hamming FROM ham
+             |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
+
     // LSH-bucketed cosine top-k (the approximate scale path). The random
     // hyperplanes are md5-derived plan-time CONSTANTS, so the oracle
     // inlines the identical ±1 plane literals and reproduces the bucket

@@ -94,6 +94,35 @@ object StreamingQueries extends QueryFamily {
              |  last_ts_us < (SELECT max(last_ts_us) FROM lb) - 1800000000 AS stale
              |FROM lb ORDER BY user_id""".stripMargin)),
 
+    // Q4 batch — the monitor's per-minute summary (reference:
+    // rendering/monitor.py:223-249 prints job counts once per minute):
+    // tumbling 1-minute event-time window × status. Runs the ACTUAL
+    // streaming operator (Monitor.minuteSummary) on a batch frame —
+    // window() and the watermark no-op are batch/stream agnostic, so the
+    // oracle hash-checks the same code the stream executes.
+    ("q_minute_summary",
+      (s: SparkSession, d: String) => {
+        graft.streaming.Monitor.minuteSummary(Tables.events(s, d), "ts", "event_type")
+          .select(unix_micros(col("window.start")).as("minute_start_us"),
+            col("event_type").as("status"), col("count").as("n_events"))
+          .orderBy("minute_start_us", "status")
+      },
+      Some("""SELECT epoch_us(date_trunc('minute', ts)) AS minute_start_us,
+             |  event_type AS status, CAST(count(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY 1, 2
+             |ORDER BY minute_start_us, status""".stripMargin)),
+
+    // Q6 batch — live status counters (`stats:*` hashes): the streaming
+    // update-mode groupBy count, verified on its batch analog.
+    ("q_status_counters",
+      (s: SparkSession, d: String) => {
+        graft.streaming.Monitor.statusCounts(Tables.events(s, d), "event_type")
+          .select(col("event_type").as("status"), col("count").as("n_events"))
+          .orderBy("status")
+      },
+      Some("""SELECT event_type AS status, CAST(count(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY 1 ORDER BY status""".stripMargin)),
+
     // Q5 — "silence ⇒ done" as a native event-time session window
     // (session ends after 10 min without events;
     // reference: run_render_job_headless.py:318-325).

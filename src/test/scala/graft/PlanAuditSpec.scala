@@ -187,6 +187,11 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("plan: banded simhash pair search is bucketed, never all-pairs") {
+    val p = plan(SparkEntry.queries("q_simhash_banded")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("funnel scan keeps non-numeric entity keys (no silent cast-to-null drop)") {
     import spark.implicits._
     val ev = Seq(
