@@ -51,14 +51,18 @@ object SourceQueries extends QueryFamily {
              |WHERE key <> '' ORDER BY key""".stripMargin)),
 
     // S5 — recursive FS inventory via binaryFile listing (metadata-only
-    // scan; rows-only: sizes/mtimes are environment state).
+    // scan). Hash-verified: DuckDB's read_blob() lists the same tree, so
+    // path+size compare exactly (the "file:" URI scheme is stripped to
+    // match plain paths; mtimes stay excluded — not oracle-stable).
     ("q_fs_inventory",
       (s: SparkSession, d: String) => {
         Sources.fsInventory(s, "/root/repo/src", "*.scala")
-          .select(col("path"), col("size"))
+          .select(regexp_replace(col("path"), "^file:", "").as("path"), col("size"))
           .orderBy("path")
       },
-      None),
+      Some("""SELECT filename AS path, CAST(size AS BIGINT) AS size
+             |FROM read_blob('/root/repo/src/**/*.scala')
+             |ORDER BY filename""".stripMargin)),
 
     // S2/S3 — scenes.json document build: rows → the catalog doc envelope
     // serialized as a deterministic JSON string (the reference writes a
