@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   *    candidates only.
   *  - All hashes are md5-based (standard, engine-portable), so every stage
   *    is oracle-checkable; no reliance on engine-private hash functions.
+  *    PRODUCTION SWITCH: at 100 TB the crypto hash is measurable CPU —
+  *    swap [[minhashBase]] (and [[tokenHashHalves]]) to
+  *    `xxhash64(s) & ((1L << 60) - 1)` behind the same interface for a
+  *    several-× cheaper signature stage; every downstream stage (affine
+  *    permutations, banding, verification) is hash-family-agnostic. The
+  *    md5 family stays the default because cross-engine verification
+  *    (the DuckDB oracle) is part of this library's contract.
   */
 object Dedup {
 
