@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the hot vector kernels.
   *
@@ -105,6 +105,106 @@ case class SquaredDistance(left: Expression, right: Expression) extends Pairwise
   override def prettyName: String = "graft_dist_sq"
 }
 
+/** 64-bit SimHash signature from an `array<struct<lo:long,hi:long>>` of
+  * per-token md5 halves (see `graft.llmops.Dedup.tokenHashHalves`): bit b
+  * of the result is set iff Σ_tokens (±1 by bit b of the token hash) > 0.
+  *
+  * The HOF form (`Dedup.simhash64FromHalves`) runs 64 interpreted
+  * `aggregate` folds per document — measured as the dominant cost of the
+  * corpus-scale banded pair search. This expression makes ONE primitive
+  * pass per document inside whole-stage codegen, maintaining all 64 vote
+  * counters in a local int[]. Integer arithmetic only, so results are
+  * exactly identical to the HOF form (and to the DuckDB vote-sign
+  * oracle).
+  *
+  * Null handling matches the fold: a null element / null half votes −1 on
+  * the corresponding bits (the HOF's `when(...).otherwise(-1)` takes the
+  * otherwise branch on null input).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StructType(Seq(
+    StructField("lo", LongType), StructField("hi", LongType)))))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var b = 0; while (b < 64) { votes(b) -= 1; b += 1 }
+      } else {
+        val s = arr.getStruct(i, 2)
+        if (s.isNullAt(0)) {
+          var b = 0; while (b < 32) { votes(b) -= 1; b += 1 }
+        } else {
+          val lo = s.getLong(0)
+          var b = 0
+          while (b < 32) { votes(b) += (if (((lo >> b) & 1L) == 1L) 1 else -1); b += 1 }
+        }
+        if (s.isNullAt(1)) {
+          var b = 32; while (b < 64) { votes(b) -= 1; b += 1 }
+        } else {
+          val hi = s.getLong(1)
+          var b = 32
+          while (b < 64) { votes(b) += (if (((hi >> (b - 32)) & 1L) == 1L) 1 else -1); b += 1 }
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val votes = ctx.freshName("votes")
+      val s = ctx.freshName("s")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val sig = ctx.freshName("sig")
+      val row = "org.apache.spark.sql.catalyst.InternalRow"
+      s"""
+        |int $n = $arr.numElements();
+        |int[] $votes = new int[64];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($arr.isNullAt($i)) {
+        |    for (int $b = 0; $b < 64; $b++) $votes[$b]--;
+        |    continue;
+        |  }
+        |  $row $s = $arr.getStruct($i, 2);
+        |  if ($s.isNullAt(0)) {
+        |    for (int $b = 0; $b < 32; $b++) $votes[$b]--;
+        |  } else {
+        |    long $lo = $s.getLong(0);
+        |    for (int $b = 0; $b < 32; $b++)
+        |      $votes[$b] += ((($lo >> $b) & 1L) == 1L) ? 1 : -1;
+        |  }
+        |  if ($s.isNullAt(1)) {
+        |    for (int $b = 32; $b < 64; $b++) $votes[$b]--;
+        |  } else {
+        |    long $hi = $s.getLong(1);
+        |    for (int $b = 32; $b < 64; $b++)
+        |      $votes[$b] += ((($hi >> ($b - 32)) & 1L) == 1L) ? 1 : -1;
+        |  }
+        |}
+        |long $sig = 0L;
+        |for (int $b = 0; $b < 64; $b++) if ($votes[$b] > 0) $sig |= (1L << $b);
+        |${ev.value} = $sig;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
 /** Column/SQL surface for the native expressions. Constructing a Column
   * from an Expression has no public API in Spark 4, so the expressions are
   * registered through the public `SparkSessionExtensions.injectFunction`
@@ -121,10 +221,15 @@ object VectorExpressions {
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     (FunctionIdentifier("graft_dist_sq"),
       new ExpressionInfo(classOf[SquaredDistance].getName, "graft_dist_sq"),
-      (es: Seq[Expression]) => SquaredDistance(es(0), es(1))))
+      (es: Seq[Expression]) => SquaredDistance(es(0), es(1))),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
 
   /** Requires the session to be built with [[graft.GraftExtensions]]. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def distSq(a: Column, b: Column): Column = call_function("graft_dist_sq", a, b)
+
+  def simhash64(halves: Column): Column = call_function("graft_simhash64", halves)
 }

@@ -82,6 +82,19 @@ class LlmOpsSpec extends SparkSpec {
       .saltedInnerJoinHot(left, right, "k", numSalts = 4).count() == 0)
   }
 
+  test("native simhash64 is bit-identical to the HOF fold (incl. empty docs)") {
+    val texts = docs.select(col("doc_id"), col("text"))
+      .union(Seq((9001L, ""), (9002L, "one")).toDF("doc_id", "text"))
+    val both = texts
+      .withColumn("_th", Dedup.tokenHashHalves(col("text")))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.simhash64(col("_th")).as("native"),
+        Dedup.simhash64FromHalves(col("_th")).as("fold"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.get(0)} sig mismatch") }
+  }
+
   test("simhash: identical texts → distance 0, perturbed → small, unrelated → large") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

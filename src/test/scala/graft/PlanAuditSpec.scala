@@ -188,8 +188,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("plan: banded simhash pair search is bucketed, never all-pairs") {
-    val p = plan(SparkEntry.queries("q_simhash_banded")(spark, sf))
+    val df = SparkEntry.queries("q_simhash_banded")(spark, sf)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the self-join's two sides are the same subplan: the signature/chunk
+    // exchange must be planned once and REUSED, not computed twice. AQE
+    // only performs stage reuse at materialization, so run the query and
+    // assert on the FINAL adaptive plan (collect() executes THIS
+    // QueryExecution; a noop write would build a fresh one).
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"), fin)
   }
 
   test("funnel scan keeps non-numeric entity keys (no silent cast-to-null drop)") {
