@@ -205,6 +205,88 @@ case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCas
   override def prettyName: String = "graft_simhash64"
 }
 
+/** MinHash signature from an `array<long>` of per-shingle base hash
+  * values: component j of the output is min over elements h of
+  * (h·a_j + b_j) mod prime, with the empty-array identity `prime` in
+  * every slot (an upper bound for all permutation values — the same
+  * identity the HOF fold uses).
+  *
+  * The HOF form (`Dedup.minhashSignatureArray`'s `aggregate` +
+  * `zip_with`) allocates a numHashes-element array and dispatches 3·k
+  * interpreted lambdas PER SHINGLE; this expression keeps the running
+  * minima in one primitive long[] inside whole-stage codegen. Integer
+  * arithmetic only — results are exactly identical to the fold (and to
+  * the DuckDB affine-family oracle).
+  *
+  * Coefficients are baked into the node (extracted from foldable literal
+  * arguments at resolution), so two scans with the same family
+  * canonicalize equal and exchange reuse still applies. Null ELEMENTS
+  * are skipped — `least(m, null)` keeps m in the fold — and a null input
+  * array yields NULL.
+  */
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(as.nonEmpty && as.length == bs.length,
+    s"need matching non-empty coefficient vectors (got ${as.length}, ${bs.length})")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val aArr: Array[Long] = as.toArray
+  private lazy val bArr: Array[Long] = bs.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val k = aArr.length
+    val acc = Array.fill(k)(prime)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (h * aArr(j) + bArr(j)) % prime
+          if (v < acc(j)) acc(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val acc = ctx.freshName("acc")
+      val k = aArr.length
+      s"""
+        |long[] $acc = new long[$k];
+        |java.util.Arrays.fill($acc, ${prime}L);
+        |int $n = $hs.numElements();
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($hs.isNullAt($i)) continue;
+        |  long $h = $hs.getLong($i);
+        |  for (int $j = 0; $j < $k; $j++) {
+        |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
+        |    if ($v < $acc[$j]) $acc[$j] = $v;
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($acc);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
 /** Column/SQL surface for the native expressions. Constructing a Column
   * from an Expression has no public API in Spark 4, so the expressions are
   * registered through the public `SparkSessionExtensions.injectFunction`
@@ -224,7 +306,18 @@ object VectorExpressions {
       (es: Seq[Expression]) => SquaredDistance(es(0), es(1))),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (es: Seq[Expression]) => SimHash64(es(0))))
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (es: Seq[Expression]) => {
+        def longs(e: Expression): Seq[Long] = {
+          require(e.foldable, "graft_minhash_sig coefficients must be literal")
+          e.eval().asInstanceOf[ArrayData].toLongArray().toSeq
+        }
+        require(es(3).foldable, "graft_minhash_sig prime must be literal")
+        MinHashSig(es(0), longs(es(1)), longs(es(2)),
+          es(3).eval().asInstanceOf[Long])
+      }))
 
   /** Requires the session to be built with [[graft.GraftExtensions]]. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -232,4 +325,10 @@ object VectorExpressions {
   def distSq(a: Column, b: Column): Column = call_function("graft_dist_sq", a, b)
 
   def simhash64(halves: Column): Column = call_function("graft_simhash64", halves)
+
+  def minhashSig(hashes: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_minhash_sig", hashes,
+      lit(as.toArray), lit(bs.toArray), lit(prime))
+  }
 }

@@ -125,6 +125,28 @@ object Dedup {
     */
   def minhashSignatureArray(sets: DataFrame, idCol: String,
       numHashes: Int): DataFrame = {
+    val hb = transform(col("shingles"), s => minhashBase(s))
+    // Dispatch to the native codegen'd [[graft.functions.MinHashSig]]
+    // when the session registers it — one primitive long[] loop instead
+    // of 3·numHashes interpreted lambda dispatches (and a fresh
+    // numHashes-element array) per shingle. The HOF fold below is the
+    // registration-free fallback; integer arithmetic both ways, results
+    // exactly identical.
+    val nativeAvailable = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("graft_minhash_sig"))
+    if (nativeAvailable) {
+      val as = (0 until numHashes).map(minhashA)
+      val bs = (0 until numHashes).map(minhashB)
+      sets.select(col(idCol),
+        graft.functions.VectorExpressions.minhashSig(hb, as, bs, MinhashPrime).as("sig"))
+    } else minhashSignatureArrayFold(sets, idCol, numHashes)
+  }
+
+  /** The HOF-fold form regardless of session registrations — the
+    * registration-free fallback and the bit-identity test anchor for the
+    * native expression. */
+  private[graft] def minhashSignatureArrayFold(sets: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
     val coeffs = array((0 until numHashes).map { j =>
       struct(lit(minhashA(j)).as("a"), lit(minhashB(j)).as("b"))
     }: _*)

@@ -95,6 +95,21 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getLong(1) == r.getLong(2), s"doc ${r.get(0)} sig mismatch") }
   }
 
+  test("native minhash signature is bit-identical to the HOF fold (incl. empty sets)") {
+    val texts = docs.select(col("doc_id"), col("text"))
+      .union(Seq((9001L, ""), (9002L, "a b")).toDF("doc_id", "text"))
+    val sets = Dedup.shingleSets(texts, "doc_id", "text", n = 3)
+    val native = Dedup.minhashSignatureArray(sets, "doc_id", numHashes = 16)
+    val fold = Dedup.minhashSignatureArrayFold(sets, "doc_id", numHashes = 16)
+    // local-relation inputs constant-fold through ConvertToLocalRelation,
+    // so the native expression only survives in the ANALYZED plan here
+    assert(native.queryExecution.analyzed.toString.contains("graft_minhash_sig"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val f = fold.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n.keySet == f.keySet)
+    n.foreach { case (id, sig) => assert(sig == f(id), s"doc $id sig mismatch") }
+  }
+
   test("simhash: identical texts → distance 0, perturbed → small, unrelated → large") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
