@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.sources.Sources
+import graft.sources.{Manifests, Sources}
 import graft.llmops.Multimodal
 
 /** Source/sink + multimodal family (SURVEY.md §2.1 S5-S8; builder-prompt
@@ -63,6 +63,32 @@ object SourceQueries extends QueryFamily {
       Some("""SELECT filename AS path, CAST(size AS BIGINT) AS size
              |FROM read_blob('/root/repo/src/**/*.scala')
              |ORDER BY filename""".stripMargin)),
+
+    // S15 — manifest-collection source: a directory of job-manifest JSON
+    // files as a DataFrame (nested configs → structs), with the *_dir
+    // run-date resolution applied (reference: core/job_utils.py:53-126).
+    // Committed fixtures under src/test/resources/manifests make the read
+    // hash-verifiable: DuckDB's read_json_auto lists the same files. The
+    // deep-merge/template/placeholder flow is spec-tested (ManifestsSpec)
+    // — it is driver-side config, not data-plane rows.
+    ("q_manifest_source",
+      (s: SparkSession, d: String) => {
+        val m = Manifests.resolveDatedDirs(
+          Manifests.loadCollection(s, "/root/repo/src/test/resources/manifests"),
+          date = "2026_08_13")
+        m.select(col("job_id"), col("job_type"), col("map"),
+            col("output_dir"),
+            col("sequence_config.nav_roam.num_sequences").as("num_sequences"),
+            col("sequence_config.nav_roam.behavior_weights.roam").as("w_roam"))
+          .orderBy("job_id")
+      },
+      Some("""SELECT job_id, job_type, map,
+             |  CASE WHEN output_dir IS NOT NULL
+             |       THEN output_dir || '/2026_08_13' END AS output_dir,
+             |  CAST(sequence_config.nav_roam.num_sequences AS BIGINT) AS num_sequences,
+             |  CAST(sequence_config.nav_roam.behavior_weights.roam AS DOUBLE) AS w_roam
+             |FROM read_json_auto('/root/repo/src/test/resources/manifests/*.json')
+             |ORDER BY job_id""".stripMargin)),
 
     // S2/S3 — scenes.json document build: rows → the catalog doc envelope
     // serialized as a deterministic JSON string (the reference writes a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.trajectory.{TrajectoryOps, BehaviorGenerator, Extrinsics}
-import graft.graph.{Knn, ConnectedComponents}
+import graft.graph.{Knn, ConnectedComponents, ConnectivityCache}
 
 /** Trajectory + graph family (SURVEY.md §2.5 W7/W8, §2.10 generator/CC). */
 object TrajectoryQueries extends QueryFamily {
@@ -144,6 +144,50 @@ object TrajectoryQueries extends QueryFamily {
              |FROM comp GROUP BY component
              |HAVING count(*) / (SELECT n FROM tot) >= 0.10
              |ORDER BY size DESC, component ASC""".stripMargin)),
+
+    // S14 — the per-map connectivity cache DOCUMENT (reference:
+    // navmesh_connectivity.py:209-231): scalar summary fields of the
+    // analysis the cache persists. The nested island_ratios array and the
+    // read-through/invalidation flow are spec-tested
+    // (ConnectivityCacheSpec) — nested columns aren't oracle-hashable.
+    ("q_connectivity_doc",
+      (s: SparkSession, d: String) => {
+        val pts = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+        ConnectivityCache.analysisDoc(pts, mapName = "emb40",
+            idCol = "vec_id", vecCol = "embedding", dim = 64, k = 3,
+            minRatio = 0.10, analysisDate = "2026-08-13", fingerprint = 0L)
+          .select(col("map_name"), col("analysis_date"),
+            col("sample_count"), col("k_nearest").cast("long").as("k_nearest"),
+            col("num_islands"), col("selected_island_size"))
+      },
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id < 40),
+             |pairs AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst,
+             |    sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+             |      i -> (a.v[i]-b.v[i])*(a.v[i]-b.v[i])), (x,y) -> x+y)) AS dist
+             |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+             |knn AS (
+             |  SELECT src, dst FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+             |    FROM pairs) WHERE rn <= 3),
+             |edges AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+             |cc(node, label) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+             |comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM comp),
+             |isl AS (
+             |  SELECT component, CAST(count(*) AS BIGINT) AS size,
+             |    count(*) / (SELECT n FROM tot) AS ratio
+             |  FROM comp GROUP BY component)
+             |SELECT 'emb40' AS map_name, '2026-08-13' AS analysis_date,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM pts) AS sample_count,
+             |  CAST(3 AS BIGINT) AS k_nearest,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM isl) AS num_islands,
+             |  (SELECT max(size) FROM isl WHERE ratio >= 0.10) AS selected_island_size""".stripMargin)),
 
     // E5/E6 — seeded behavior-trajectory generation (UDTF via
     // flatMapGroups; reference: behavior_executor.py:638-857). Rows-only:
