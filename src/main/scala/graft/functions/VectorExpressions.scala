@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
@@ -119,12 +120,23 @@ case class SquaredDistance(left: Expression, right: Expression) extends Pairwise
   *
   * Null handling matches the fold: a null element / null half votes −1 on
   * the corresponding bits (the HOF's `when(...).otherwise(-1)` takes the
-  * otherwise branch on null input).
+  * otherwise branch on null input), and a NULL INPUT ARRAY (null text)
+  * yields signature 0L — the fold's `when(null > 0, ...).otherwise(0L)`
+  * lands every bit in the otherwise branch. Keeping the tiers
+  * bit-identical here matters: a null-text doc must land in the same
+  * banded-join buckets as a zero-signature doc in BOTH tiers, or pairs
+  * silently differ by which implementation is registered.
   */
 case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(StructType(Seq(
     StructField("lo", LongType), StructField("hi", LongType)))))
   override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) 0L else nullSafeEval(value)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -159,17 +171,21 @@ case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCas
     sig
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, arr => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val b = ctx.freshName("b")
-      val votes = ctx.freshName("votes")
-      val s = ctx.freshName("s")
-      val lo = ctx.freshName("lo")
-      val hi = ctx.freshName("hi")
-      val sig = ctx.freshName("sig")
-      val row = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // hand-rolled null guard (not nullSafeCodeGen): a null input array
+    // must produce 0L, not a null result, to stay bit-identical with the
+    // HOF fold
+    val childGen = child.genCode(ctx)
+    val arr = childGen.value
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val b = ctx.freshName("b")
+    val votes = ctx.freshName("votes")
+    val s = ctx.freshName("s")
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val row = "org.apache.spark.sql.catalyst.InternalRow"
+    val compute =
       s"""
         |int $n = $arr.numElements();
         |int[] $votes = new int[64];
@@ -194,11 +210,18 @@ case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCas
         |      $votes[$b] += ((($hi >> ($b - 32)) & 1L) == 1L) ? 1 : -1;
         |  }
         |}
-        |long $sig = 0L;
-        |for (int $b = 0; $b < 64; $b++) if ($votes[$b] > 0) $sig |= (1L << $b);
-        |${ev.value} = $sig;
+        |for (int $b = 0; $b < 64; $b++) if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
       """.stripMargin
-    })
+    val guarded =
+      if (child.nullable) s"if (!${childGen.isNull}) {\n$compute\n}" else compute
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |long ${ev.value} = 0L;
+        |$guarded
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

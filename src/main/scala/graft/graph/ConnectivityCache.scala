@@ -1,5 +1,8 @@
 package graft.graph
 
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,26 +21,32 @@ import org.apache.spark.sql.functions._
   * clock skew, and to task retries) and computable in one map-side
   * aggregation pass.
   *
-  * Scale posture: the fingerprint is an order-independent sum of per-row
-  * `xxhash64`, so it needs no sort and no shuffle beyond one partial
-  * aggregate; the analysis itself reuses [[Knn]] / [[ConnectedComponents]]
-  * (bounded kNN + label propagation). The cache table stays one row per
-  * map — driver-size by construction.
+  * Scale posture: the fingerprint is an order-independent, multiplicity-
+  * sensitive SUM of per-row `xxhash64` (wrapping mod 2^64), so it needs no
+  * sort and no shuffle beyond one partial aggregate; the analysis itself
+  * reuses [[Knn]] / [[ConnectedComponents]] (bounded kNN + label
+  * propagation). The cache table stays one row per map — driver-size by
+  * construction.
   */
 object ConnectivityCache {
 
-  /** Order-independent content fingerprint of the analysis inputs:
-    * XOR of `xxhash64` over the id+coordinate rows (commutative, no
-    * overflow under ANSI mode) mixed with the row count (so duplicate-row
-    * cancellation can't alias two different sets of the same XOR),
-    * combined with the parameters so a k or ratio change also
-    * invalidates. */
+  /** Order-independent content fingerprint of the analysis inputs: SUM of
+    * `xxhash64` over the id+coordinate rows, wrapping mod 2^64
+    * (commutative AND multiplicity-sensitive — unlike XOR, duplicate rows
+    * don't cancel, so {A,A,B} and {C,C,B} can't alias), mixed with the
+    * row count and the parameters so a k or ratio change also
+    * invalidates. The sum runs in decimal(38,0) so ANSI mode can't
+    * overflow it, then wraps to a long.
+    */
   def inputFingerprint(points: DataFrame, idCol: String, vecCol: String,
       k: Int, minRatio: Double): Long = {
     val row = points.agg(
-      bit_xor(xxhash64(col(idCol), col(vecCol).cast("string"))).as("h"),
+      sum(xxhash64(col(idCol), col(vecCol).cast("string"))
+        .cast("decimal(38,0)")).as("h"),
       count(lit(1)).as("n")).head()
-    val dataHash = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val dataHash =
+      if (row.isNullAt(0)) 0L
+      else row.getDecimal(0).toBigInteger.longValue() // wraps mod 2^64
     dataHash ^ java.lang.Long.rotateLeft(row.getLong(1), 31) ^
       java.lang.Long.rotateLeft(k.toLong, 17) ^
       java.lang.Double.doubleToLongBits(minRatio)
@@ -46,7 +55,13 @@ object ConnectivityCache {
   /** The analysis document for one map: kNN edges over the sample
     * embedding, connected components, island ratios — one summary row.
     * `analysisDate` is caller-supplied (the reference stamps the run
-    * date); keeping it a parameter keeps the document deterministic. */
+    * date); keeping it a parameter keeps the document deterministic.
+    *
+    * The whole document is ONE lazy plan — component sizes aggregate
+    * once, the ratio list / island count / selected size derive from that
+    * single-row result with array functions, and `sample_count` rides a
+    * crossJoin of two scalar aggregates. No per-field driver actions.
+    */
   def analysisDoc(points: DataFrame, mapName: String, idCol: String,
       vecCol: String, dim: Int, k: Int, minRatio: Double,
       analysisDate: String, fingerprint: Long): DataFrame = {
@@ -54,20 +69,29 @@ object ConnectivityCache {
         k = k, dim = dim)
       .select(col("src_id").as("src"), col("dst_id").as("dst"))
     val comps = ConnectedComponents.components(edges)
-    val islands = ConnectedComponents.islandRatios(comps, minRatio)
-    val sampleCount = points.count()
-    val numIslands = comps.select("component").distinct().count()
-    islands.agg(
-        collect_list(struct(col("size"), col("ratio"))).as("ratios"),
-        max(struct(col("size"), col("component"))).as("top"))
+    val sizes = comps.groupBy("component").agg(count(lit(1)).as("size"))
+    val compStats = sizes.agg(
+      sum(col("size")).as("total"),
+      count(lit(1)).as("num_islands"),
+      collect_list(struct(col("size"), col("component"))).as("all_islands"))
+    val sampleCount = points.agg(count(lit(1)).as("sample_count"))
+    compStats.crossJoin(sampleCount)
+      .withColumn("island_ratios",
+        filter(
+          transform(sort_array(col("all_islands"), asc = false),
+            s => struct(s.getField("size").as("size"),
+              (s.getField("size").cast("double") /
+                col("total").cast("double")).as("ratio"))),
+          s => s.getField("ratio") >= lit(minRatio)))
       .select(
         lit(mapName).as("map_name"),
         lit(analysisDate).as("analysis_date"),
-        lit(sampleCount).as("sample_count"),
+        col("sample_count"),
         lit(k).as("k_nearest"),
-        lit(numIslands).as("num_islands"),
-        sort_array(col("ratios"), asc = false).as("island_ratios"),
-        col("top.size").as("selected_island_size"),
+        col("num_islands"),
+        col("island_ratios"),
+        try_element_at(col("island_ratios"), lit(1))
+          .getField("size").as("selected_island_size"),
         lit(fingerprint).as("input_fingerprint"))
   }
 
@@ -80,15 +104,25 @@ object ConnectivityCache {
       .partitionBy("map_name").parquet(path)
 
   /** The cached document for `mapName` if present AND its fingerprint
-    * matches; None on cold cache or stale inputs. */
+    * matches; None on cold cache or stale inputs. Existence is probed
+    * through the Hadoop FileSystem API (so HDFS/S3 cache roots hit, not
+    * just local paths), and ANY unreadable state — existing-but-empty
+    * directory (`UNABLE_TO_INFER_SCHEMA`), `_SUCCESS`-only partial write,
+    * corrupt footer — is a normal cold cache, not an error (reference:
+    * navmesh_connectivity.py:272-290 treats load failure as analyze). */
   def readValid(spark: SparkSession, path: String, mapName: String,
       fingerprint: Long): Option[DataFrame] = {
-    val dir = new java.io.File(path)
-    if (!dir.isDirectory) return None
-    val cached = spark.read.parquet(path)
-      .filter(col("map_name") === mapName &&
-        col("input_fingerprint") === fingerprint)
-    if (cached.isEmpty) None else Some(cached)
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return None
+    try {
+      val cached = spark.read.parquet(path)
+        .filter(col("map_name") === mapName &&
+          col("input_fingerprint") === fingerprint)
+      if (cached.isEmpty) None else Some(cached)
+    } catch {
+      case NonFatal(_) => None // unreadable cache == cold cache
+    }
   }
 
   /** Read-through entry point: serve the cached analysis when the inputs

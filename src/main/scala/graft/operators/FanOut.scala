@@ -23,14 +23,26 @@ object FanOut {
     * file scan uses to split), so deciding costs no physical planning, no
     * RDD conversion, and leaves AQE free to re-plan the actual exchange
     * (the old `df.rdd.getNumPartitions` probe forced a full plan compile
-    * per wrapped input and read the pre-AQE count). */
+    * per wrapped input and read the pre-AQE count).
+    *
+    * Plans with NO stats report `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue) — i.e. "unknown", not "huge". Treating that as
+    * already-wide would skip the fan-out exactly when it knows nothing
+    * (e.g. an RDD-backed input that really is 1 partition), so unknown
+    * stats fall back to the partition-count probe. */
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val defaultSize = BigInt(org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get(
+        "spark.sql.defaultSizeInBytes", Long.MaxValue.toString)))
     val estBytes = df.queryExecution.analyzed.stats.sizeInBytes
-    if (estBytes >= BigInt(target) * maxPartitionBytes) df
+    if (estBytes >= defaultSize) {
+      // stats unknown — pay the physical probe rather than guess serial
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    } else if (estBytes >= BigInt(target) * maxPartitionBytes) df
     else df.repartition(target)
   }
 }

@@ -50,6 +50,42 @@ class ConnectivityCacheSpec extends SparkSpec {
     assert(d4.head().getAs[String]("analysis_date") == "2026-04-04")
   }
 
+  test("readValid treats an existing-but-empty cache dir as a cold cache") {
+    val dir = Files.createTempDirectory("conncache-empty").toFile.getAbsolutePath
+    assert(ConnectivityCache.readValid(spark, dir, "m1", 42L).isEmpty)
+    // readOrCompute over the pre-created empty dir computes instead of throwing
+    val d = ConnectivityCache.readOrCompute(spark, dir, points, "m1",
+      "vec_id", "embedding", 64, 3, 0.10, analysisDate = "2026-01-01")
+    assert(d.head().getAs[String]("analysis_date") == "2026-01-01")
+  }
+
+  test("readValid treats a _SUCCESS-only partial write as a cold cache") {
+    val root = Files.createTempDirectory("conncache-partial")
+    Files.createFile(root.resolve("_SUCCESS"))
+    val dir = root.toFile.getAbsolutePath
+    assert(ConnectivityCache.readValid(spark, dir, "m1", 42L).isEmpty)
+    val d = ConnectivityCache.readOrCompute(spark, dir, points, "m1",
+      "vec_id", "embedding", 64, 3, 0.10, analysisDate = "2026-02-02")
+    assert(d.head().getAs[String]("analysis_date") == "2026-02-02")
+  }
+
+  test("fingerprint is multiplicity-sensitive: {A,A,B} vs {C,C,B} differ") {
+    // under a XOR fold the duplicated rows cancel and these two sample
+    // sets alias (same count, same XOR); the sum fold must split them
+    val base = Tables.embeddings(spark, sf)
+    val a = base.filter(col("vec_id") === 0)
+    val b = base.filter(col("vec_id") === 1)
+    val c = base.filter(col("vec_id") === 2)
+    val aab = a.union(a).union(b)
+    val ccb = c.union(c).union(b)
+    val fp1 = ConnectivityCache.inputFingerprint(aab, "vec_id", "embedding", 3, 0.10)
+    val fp2 = ConnectivityCache.inputFingerprint(ccb, "vec_id", "embedding", 3, 0.10)
+    assert(fp1 != fp2)
+    // and row order does not matter
+    val fp3 = ConnectivityCache.inputFingerprint(b.union(a).union(a), "vec_id", "embedding", 3, 0.10)
+    assert(fp1 == fp3)
+  }
+
   test("per-map rows coexist: refreshing one map leaves siblings untouched") {
     val dir = Files.createTempDirectory("conncache2").toFile.getAbsolutePath
     ConnectivityCache.readOrCompute(spark, dir, points, "mA",

@@ -32,6 +32,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated excluded
   }
 
+  test("minhash LSH leaves no cache entries and no driver collect on the data path") {
+    // the candidate table is localCheckpoint'ed (executor blocks, GC-
+    // reclaimed), never .persist'ed — the CacheManager must stay empty
+    // so a long-lived session can run the dedup in a loop without the
+    // r1 bench-tail leak (VERDICT r1 item 2 / r2 item 2)
+    Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5).count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("shingles produce distinct word n-grams") {
     val sh = Dedup.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text"),
       "doc_id", "text", 3).collect().map(_.getString(1)).toSet
@@ -82,9 +92,10 @@ class LlmOpsSpec extends SparkSpec {
       .saltedInnerJoinHot(left, right, "k", numSalts = 4).count() == 0)
   }
 
-  test("native simhash64 is bit-identical to the HOF fold (incl. empty docs)") {
+  test("native simhash64 is bit-identical to the HOF fold (incl. empty and null docs)") {
     val texts = docs.select(col("doc_id"), col("text"))
-      .union(Seq((9001L, ""), (9002L, "one")).toDF("doc_id", "text"))
+      .union(Seq((9001L, Some("")), (9002L, Some("one")), (9003L, None))
+        .toDF("doc_id", "text"))
     val both = texts
       .withColumn("_th", Dedup.tokenHashHalves(col("text")))
       .select(col("doc_id"),
@@ -92,7 +103,13 @@ class LlmOpsSpec extends SparkSpec {
         Dedup.simhash64FromHalves(col("_th")).as("fold"))
       .collect()
     both.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2),
+        s"doc ${r.get(0)} produced a null signature (tiers must yield 0L)")
       assert(r.getLong(1) == r.getLong(2), s"doc ${r.get(0)} sig mismatch") }
+    // null text signs as 0L in both tiers — it must bucket with
+    // zero-signature docs identically regardless of registered tier
+    val nullRow = both.find(_.getLong(0) == 9003L).get
+    assert(nullRow.getLong(1) == 0L && nullRow.getLong(2) == 0L)
   }
 
   test("native minhash signature is bit-identical to the HOF fold (incl. empty sets)") {
