@@ -24,15 +24,21 @@ object Golden {
 }
 
 /** Dev tool: regenerate the committed golden outputs for the seeded
-  * generator queries. Run ONLY after an intended semantic change to
-  * [[graft.trajectory.BehaviorGenerator]] / [[graft.trajectory.Extrinsics]]
-  * (reference: behavior_executor.py:638-857, camera_exporter.py:383-437);
-  * TrajectorySpec fails on any unintended drift.
+  * generator queries and the stub-codec media queries. Run ONLY after an
+  * intended semantic change to [[graft.trajectory.BehaviorGenerator]] /
+  * [[graft.trajectory.Extrinsics]] (reference: behavior_executor.py:638-857,
+  * camera_exporter.py:383-437) or [[graft.llmops.Multimodal]]; GoldenSpec
+  * fails on any unintended drift.
   *
   *   sbt "runMain graft.DumpGolden"
   */
 object DumpGolden {
-  val queries: Seq[String] = Seq("q_behavior_trajectory", "q_extrinsic_export")
+  val queries: Seq[String] = Seq(
+    "q_behavior_trajectory", "q_extrinsic_export",
+    // media queries: deterministic synthetic payloads (md5-seeded) through
+    // the stub codec — byte-exact goldens stand in for the missing SQL
+    // oracle (binary plumbing has no DuckDB analog)
+    "q_media_features", "q_media_resize", "q_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "src/test/resources/golden"
@@ -53,8 +59,9 @@ object DumpGolden {
     spark.stop()
   }
 
-  /** The golden queries read only the (SF-invariant) nation table, so the
-    * committed text is valid at every scale factor. */
+  /** The golden queries read only the (SF-invariant) nation table or
+    * synthesize their input from seeds, so the committed text is valid at
+    * every scale factor. */
   def canonicalFor(spark: SparkSession, name: String): String =
     Golden.canonical(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
 }

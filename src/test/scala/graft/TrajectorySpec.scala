@@ -120,19 +120,6 @@ class TrajectorySpec extends SparkSpec {
     assert(segs == (0 to segs.max))
   }
 
-  test("generator queries match their committed goldens (semantic drift guard)") {
-    // row counts and invariants can stay green through a silent semantic
-    // change of the seeded generators; the byte-exact canonical text
-    // cannot. Regenerate ONLY for intended changes: sbt "runMain graft.DumpGolden"
-    for (name <- DumpGolden.queries) {
-      val got = DumpGolden.canonicalFor(spark, name)
-      val want = new String(
-        getClass.getResourceAsStream(s"/golden/$name.csv").readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      assert(got == want, s"$name drifted from src/test/resources/golden/$name.csv")
-    }
-  }
-
   test("generateAll emits one row per frame per job via flatMapGroups") {
     val jobs = Seq(("s1", 7L), ("s2", 8L)).toDF("sequence_id", "seed")
     val cfg = BehaviorGenerator.Config(durationSeconds = 1.0, fps = 10)
