@@ -42,6 +42,24 @@ object ProfileMinhash {
     time("full pipeline (2nd run)")(
       Dedup.minhashNearDups(docs, "doc_id", "text", 3, 16, 4, 0.8)
         .write.format("noop").mode("overwrite").save())
+
+    // stage split of the full pipeline: candidate materialization
+    // (localCheckpoint, eager) vs the verification joins
+    val sets2 = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .filter(size(col("shingles")) > 0)
+    val sigs2 = Dedup.minhashSignatureArray(sets2, "doc_id", 16)
+    val cands2 = time("cands localCheckpoint (eager)")(
+      Dedup.lshCandidates(sigs2, "doc_id", 16, 4).localCheckpoint(true))
+    println(s"[prof] candidate pairs: ${cands2.count()}")
+    val candIds2 = cands2.select(col("id_a").as("doc_id"))
+      .union(cands2.select(col("id_b").as("doc_id"))).distinct()
+    println(s"[prof] candidate ids: ${candIds2.count()}")
+    val docsRel = docs.join(broadcast(candIds2), Seq("doc_id"), "left_semi")
+    val shRel = Dedup.shingles(docsRel, "doc_id", "text", 3)
+    time("verify joins only")(
+      Dedup.jaccardForPairs(cands2, shRel, "doc_id")
+        .filter(col("jaccard") >= 0.8)
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -187,6 +187,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("plan: minhash LSH verify joins reuse one shingle-set exchange") {
+    val df = SparkEntry.queries("q_minhash_lsh")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the two verification joins attach the SAME shingle-set subplan to
+    // id_a and id_b; the merge hints force identical hashpartition(sets)
+    // exchanges that AQE must plan once and reuse, so the corpus is
+    // tokenized once across both verify sides (run the query — reuse is
+    // decided at materialization, on THIS QueryExecution).
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"), fin)
+  }
+
   test("plan: banded simhash pair search is bucketed, never all-pairs") {
     val df = SparkEntry.queries("q_simhash_banded")(spark, sf)
     val p = plan(df)
