@@ -24,20 +24,21 @@ object Golden {
 }
 
 /** Dev tool: regenerate the committed golden outputs for the seeded
-  * generator queries and the stub-codec media queries. Run ONLY after an
+  * generator queries and the media-codec queries. Run ONLY after an
   * intended semantic change to [[graft.trajectory.BehaviorGenerator]] /
   * [[graft.trajectory.Extrinsics]] (reference: behavior_executor.py:638-857,
-  * camera_exporter.py:383-437) or [[graft.llmops.Multimodal]]; GoldenSpec
-  * fails on any unintended drift.
+  * camera_exporter.py:383-437) or [[graft.llmops.Multimodal]] /
+  * [[graft.llmops.Codecs]]; GoldenSpec fails on any unintended drift.
   *
   *   sbt "runMain graft.DumpGolden"
   */
 object DumpGolden {
   val queries: Seq[String] = Seq(
     "q_behavior_trajectory", "q_extrinsic_export",
-    // media queries: deterministic synthetic payloads (md5-seeded) through
-    // the stub codec — byte-exact goldens stand in for the missing SQL
-    // oracle (binary plumbing has no DuckDB analog)
+    // media queries: deterministic synthetic payloads (md5-seeded, valid
+    // PPM/WAV/Y4M containers) through the real pure-JVM codecs — byte-exact
+    // goldens stand in for the missing SQL oracle (binary plumbing has no
+    // DuckDB analog)
     "q_media_features", "q_media_resize", "q_frame_sample")
 
   def main(args: Array[String]): Unit = {

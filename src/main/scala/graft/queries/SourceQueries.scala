@@ -131,33 +131,42 @@ object SourceQueries extends QueryFamily {
              |       '[' || string_agg(scene_json, ',' ORDER BY scene_name) || ']' AS scenes_json
              |FROM sj""".stripMargin)),
 
-    // Multimodal — binary payload → stub-decoded pooled features via
-    // mapPartitions batches (deterministic synthetic media; rows-only:
-    // binary plumbing has no SQL analog).
+    // Multimodal — binary payload decoded by the real pure-JVM codecs
+    // (PPM/WAV/Y4M, llmops/Codecs.scala) → pooled features via
+    // mapPartitions batches (deterministic synthetic media; golden-locked:
+    // binary plumbing has no SQL analog). kind_detected/meta_ok prove the
+    // container actually parsed and matched its declared metadata.
     ("q_media_features",
       (s: SparkSession, d: String) => {
         Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 64), featureDim = 8)
-          .select("media_id", "kind", "n_values", "mean_value")
+          .select("media_id", "kind", "kind_detected", "meta_ok",
+            "n_values", "mean_value")
           .orderBy("media_id")
       },
       None),
 
-    // Multimodal — nearest-neighbor resize of stub-decoded image rows.
+    // Multimodal — nearest-neighbor resize of decoded PPM image rows;
+    // payload_md5 locks the re-encoded container bytes, not just shapes.
     ("q_media_resize",
       (s: SparkSession, d: String) => {
         Multimodal.resize(Multimodal.syntheticMedia(s, 64), outW = 4, outH = 2)
           .select(col("media_id"), col("out_width"), col("out_height"),
-            size(col("pixels")).as("n_pixels"))
+            size(col("pixels")).as("n_pixels"),
+            md5(col("payload")).as("payload_md5"))
           .orderBy("media_id")
       },
       None),
 
-    // Multimodal — video frame sampling as metadata explosion.
+    // Multimodal — video frame sampling as pure-expression byte slicing
+    // (no decoder in the plan); frames_hash locks the sliced YUV bytes.
     ("q_frame_sample",
       (s: SparkSession, d: String) => {
         Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 64), stride = 5)
           .groupBy("media_id")
-          .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
+          .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"),
+            // frame_idx is unique per group, so XOR cannot cancel duplicates
+            // (and unlike sum it cannot overflow under ANSI mode)
+            expr("bit_xor(xxhash64(frame_idx, frame_bytes))").as("frames_hash"))
           .orderBy("media_id")
       },
       None)

@@ -3,10 +3,10 @@ package graft
 import java.nio.charset.StandardCharsets
 
 /** Byte-exact drift guard for every query without a SQL oracle: the
-  * seeded trajectory/extrinsic generators and the stub-codec media
-  * queries. Row counts and invariants can stay green through a silent
-  * semantic change; the canonical text cannot. Regenerate ONLY for
-  * intended changes: sbt "runMain graft.DumpGolden".
+  * seeded trajectory/extrinsic generators and the media-codec queries.
+  * Row counts and invariants can stay green through a silent semantic
+  * change; the canonical text cannot. Regenerate ONLY for intended
+  * changes: sbt "runMain graft.DumpGolden".
   */
 class GoldenSpec extends SparkSpec {
 

@@ -87,35 +87,74 @@ class SourcesSpec extends SparkSpec {
     assert(assets.last.getAs[String]("asset_path") == "/Game/sub/b")
   }
 
-  test("multimodal: stub decode is deterministic, features have fixed dim") {
+  test("multimodal: real decode is deterministic, sniffs kind, validates metadata") {
     val media = Multimodal.syntheticMedia(spark, 9)
     val f1 = Multimodal.extractFeatures(media, 8).orderBy("media_id").collect()
     val f2 = Multimodal.extractFeatures(media, 8).orderBy("media_id").collect()
     assert(f1.map(_.getAs[Double]("mean_value")).toSeq ==
       f2.map(_.getAs[Double]("mean_value")).toSeq)
     assert(f1.forall(_.getAs[Seq[Float]]("feature").length == 8))
-    assert(f1.forall(_.getAs[Int]("n_values") == 32)) // 8×4 stub pixels
+    // every synthetic payload is a VALID container: detection and declared
+    // metadata must agree for all rows
+    assert(f1.forall(r => r.getAs[String]("kind_detected") == r.getAs[String]("kind")))
+    assert(f1.forall(_.getAs[Boolean]("meta_ok")))
+    // n_values follows the per-kind geometry: image w*h luma pixels,
+    // audio n samples, video frames*w*h luma pixels
+    val nv = f1.map(r => r.getAs[String]("kind") -> r.getAs[Int]("n_values")).toSeq
+    assert(nv == Seq("image" -> 32, "audio" -> 120, "video" -> 960,
+      "image" -> 72, "audio" -> 128, "video" -> 960,
+      "image" -> 64, "audio" -> 136, "video" -> 960))
   }
 
-  test("resize maps corners exactly and is idempotent at the native size") {
+  test("multimodal: corrupt payload degrades to meta_ok=false, not a failure") {
+    import spark.implicits._
+    val bad = Seq((99L, "image", "not media at all".getBytes("UTF-8"), 8, 4, 0, 1))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate", "n_frames")
+    val row = Multimodal.extractFeatures(bad, 8).collect().head
+    assert(row.getAs[String]("kind_detected") == null)
+    assert(!row.getAs[Boolean]("meta_ok"))
+    assert(row.getAs[Int]("n_values") == 0)
+  }
+
+  test("resize maps corners exactly, is the identity at native size, re-encodes valid PPM") {
     val media = Multimodal.syntheticMedia(spark, 3) // media 0 is an image, 8×4
-    def pixels(df: org.apache.spark.sql.DataFrame): Seq[Float] = {
-      val r = df.filter(col("media_id") === 0L).collect().head
+    def resizedRow(w: Int, h: Int) =
+      Multimodal.resize(media, w, h).filter(col("media_id") === 0L).collect().head
+    def pixels(r: org.apache.spark.sql.Row): Seq[Float] =
       r.getSeq[Float](r.fieldIndex("pixels")).toSeq
-    }
-    val native = pixels(Multimodal.resize(media, 8, 4))
-    val decoded = Multimodal.StubCodec.decode(
-      media.filter(col("media_id") === 0L).collect().head.getAs[Array[Byte]]("payload"), 8, 4)
-    assert(native == decoded.toSeq, "resize to native size is the identity")
-    val down = pixels(Multimodal.resize(media, 4, 2))
-    assert(down.length == 8)
-    assert(down.head == decoded(0), "top-left corner preserved")
+    val srcBytes = media.filter(col("media_id") === 0L)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val src = graft.llmops.Codecs.Ppm.decode(srcBytes).get
+    val srcLuma = graft.llmops.Codecs.Ppm.luma(src).toSeq
+    val native = resizedRow(8, 4)
+    assert(pixels(native) == srcLuma, "resize to native size is the identity")
+    assert(native.getAs[Array[Byte]]("payload").toSeq == srcBytes.toSeq,
+      "native-size re-encode reproduces the original container bytes")
+    val down = resizedRow(4, 2)
+    assert(pixels(down).length == 8)
+    assert(pixels(down).head == srcLuma.head, "top-left corner preserved")
+    // output payload is itself a decodable PPM of the target geometry
+    val out = graft.llmops.Codecs.Ppm.decode(down.getAs[Array[Byte]]("payload")).get
+    assert(out.width == 4 && out.height == 2)
   }
 
-  test("frame sampling keeps every stride-th index") {
-    val out = Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, 6), stride = 10)
-    val frames = out.filter(col("media_id") === 2L) // a video row (kind idx 2)
-      .select("frame_idx").as[Int].collect().sorted
-    assert(frames.toSeq == Seq(0, 10, 20)) // n_frames=30, stride 10
+  test("frame sampling slices exact frame bytes with no decoder in the plan") {
+    val media = Multimodal.syntheticMedia(spark, 6)
+    val out = Multimodal.sampleFrames(media, stride = 10)
+    val rows = out.filter(col("media_id") === 2L) // a video row (kind idx 2)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 10, 20)) // n=30
+    // the expression-sliced bytes must equal the codec's view of the frame
+    val payload = media.filter(col("media_id") === 2L)
+      .collect().head.getAs[Array[Byte]]("payload")
+    val video = graft.llmops.Codecs.Y4m.decode(payload).get
+    for (r <- rows) {
+      val idx = r.getAs[Int]("frame_idx")
+      val sliced = r.getAs[Array[Byte]]("frame_bytes")
+      assert(sliced.length == graft.llmops.Codecs.Y4m.frameLen(8, 4) - 6)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(sliced, 0, 32), video.framePlaneY(idx)),
+        s"Y-plane mismatch at frame $idx")
+    }
   }
 }
