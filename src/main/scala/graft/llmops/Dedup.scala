@@ -278,6 +278,37 @@ object Dedup {
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Dedup-cluster canonicalization — the endgame of any near-dup
+    * pipeline: verified pairs become edges, connected components group
+    * transitively-linked documents into clusters, and exactly one
+    * canonical document (the min id, matching the reference's keep-first
+    * convention in its registry merges) survives per cluster. Documents
+    * in no pair are singleton clusters of themselves and always kept.
+    *
+    * Scale shape: CC is the size-adaptive
+    * [[graft.graph.ConnectedComponents.components]] (driver union-find
+    * below 1M edges — pair tables are orders of magnitude smaller than
+    * the corpus — distributed label-propagation fixpoint above), the
+    * membership join is a left join on the doc id, and cluster_size /
+    * is_kept come from ONE window over cluster_id (components labels a
+    * cluster by its min node, so the keeper test is `id == cluster_id`
+    * with no second aggregation). No driver materialization of anything
+    * corpus-sized.
+    */
+  def dedupClusters(universe: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = graft.graph.ConnectedComponents.components(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val ids = universe.select(col(idCol))
+    ids.join(comp, ids(idCol) === comp("node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("is_kept", col(idCol) === col("cluster_id"))
+  }
+
   /** Exact dedup at STREAMING ingest: drop rows whose dedup key was
     * already seen within the watermark horizon. `dropDuplicatesWithinWatermark`
     * keeps the key-set state bounded — entries older than the event-time

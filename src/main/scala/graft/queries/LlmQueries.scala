@@ -169,6 +169,68 @@ object LlmQueries extends QueryFamily {
              |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Dedup-cluster canonicalization: the verified minhash pairs become
+    // edges, connected components group transitive near-dups, and the min
+    // doc_id per cluster is the one kept — the standard endgame of a
+    // web-corpus dedup pipeline. Oracle replays the pair search and walks
+    // the components as a recursive CTE.
+    ("q_dedup_cluster",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashNearDups(docs, idCol = "doc_id",
+          textCol = "text", shingleSize = 3, numHashes = 16,
+          rowsPerBand = 4, threshold = 0.8)
+        Dedup.dedupClusters(docs, "doc_id", pairs).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents),
+             |hb AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substring(md5(shingle),1,15)) AS BIGINT) % ${Dedup.MinhashPrime} AS h
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    ${(0 until 16).map(j => s"min((h * ${Dedup.minhashA(j)} + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j").mkString(", ")}
+             |  FROM hb GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3 AS band_sig FROM sig
+             |  UNION ALL SELECT doc_id, 1, mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7 FROM sig
+             |  UNION ALL SELECT doc_id, 2, mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11 FROM sig
+             |  UNION ALL SELECT doc_id, 3, mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15 FROM sig),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+             |  FROM cand c
+             |  JOIN sh x ON x.doc_id = c.id_a
+             |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+             |  GROUP BY c.id_a, c.id_b),
+             |pairs AS (
+             |  SELECT i.id_a, i.id_b
+             |  FROM inter i
+             |  JOIN sizes sa ON sa.doc_id = i.id_a
+             |  JOIN sizes sb ON sb.doc_id = i.id_b
+             |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |cc(node, label) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+             |comp AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)
+             |SELECT d.doc_id,
+             |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             |  CAST(count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)) AS BIGINT) AS cluster_size,
+             |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_kept
+             |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Benchmark decontamination: drop every corpus doc sharing ANY 3-gram
     // with the benchmark subset (doc_id % 97 == 0) — the test-set-leakage
     // guard. Benchmark shingles broadcast; corpus scanned once.

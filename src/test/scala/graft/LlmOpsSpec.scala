@@ -316,6 +316,25 @@ class LlmOpsSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("dedup clusters: transitive pairs collapse, min id kept, singletons survive") {
+    import spark.implicits._
+    val universe = (1L to 7L).toDF("doc_id")
+    // {1,2,3} linked transitively (1-2, 2-3), {5,6} directly; 4 and 7 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(universe, "doc_id", pairs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true),
+      (5L, 5L, 2L, true), (6L, 5L, 2L, false),
+      (7L, 7L, 1L, true)))
+    // exactly one keeper per cluster, and the doc universe is preserved
+    assert(out.count(_._4) == 4)
+    assert(out.map(_._1).toSeq == (1L to 7L).toSeq)
+  }
+
   test("dataset split is deterministic, complete, and roughly proportional") {
     val df = spark.range(1000).toDF("id")
     val out = df.select(TextStats.datasetSplit(col("id"), 80, 10).as("split"))
