@@ -298,8 +298,15 @@ object Dedup {
   def dedupClusters(universe: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = graft.graph.ConnectedComponents.components(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    // materialize the edge list ONCE on executors: components() issues a
+    // size probe plus the union-find/fixpoint reads, and without this each
+    // action would replay the whole upstream pair search (the minhash
+    // pipeline costs far more than the pair list it emits). Same eager
+    // localCheckpoint pattern as the LSH candidate table above — pair
+    // tables are small (verified near-dups), never corpus-sized.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    val comp = graft.graph.ConnectedComponents.components(edges)
     val ids = universe.select(col(idCol))
     ids.join(comp, ids(idCol) === comp("node"), "left")
       .select(col(idCol),
