@@ -215,6 +215,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(fin.contains("ReusedExchange"), fin)
   }
 
+  test("plan: dedup clusters never broadcast or cartesian the corpus") {
+    val df = SparkEntry.queries("q_dedup_cluster")(spark, sf)
+    // building the DataFrame already materializes the pair search (eager
+    // edge checkpoint) and runs CC; the remaining lazy plan is the
+    // membership join + cluster window over the corpus ids — it must be
+    // join-shaped, never a cartesian/BNLJ, and the corpus side must not
+    // be the broadcast build (components output is the only small side)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly one keeper per cluster id (the canonical-doc invariant)
+    val bad = df.groupBy("cluster_id")
+      .agg(sum(when(col("is_kept"), 1).otherwise(0)).as("keepers"))
+      .filter(col("keepers") =!= 1)
+    assert(bad.isEmpty, "every cluster must keep exactly one document")
+  }
+
   test("funnel scan keeps non-numeric entity keys (no silent cast-to-null drop)") {
     import spark.implicits._
     val ev = Seq(
