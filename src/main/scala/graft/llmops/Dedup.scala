@@ -316,6 +316,46 @@ object Dedup {
       .withColumn("is_kept", col(idCol) === col("cluster_id"))
   }
 
+  /** Span-level dedup (C4-style): documents are cut into consecutive
+    * `spanWords`-word spans, spans whose text appears anywhere earlier in
+    * the corpus (first occurrence = lowest (doc id, span index)) are
+    * dropped, and each document is reassembled from its surviving spans
+    * in order. This removes boilerplate repeated ACROSS documents —
+    * dedup at sub-document granularity, where whole-doc dedup sees
+    * distinct texts.
+    *
+    * Scale shape: one explode (corpus → span rows), one shuffle on the
+    * span text for the first-occurrence window, one shuffle back on the
+    * doc id for reassembly — no self-join, no driver state. A span text
+    * shared by k docs keeps its window partition at k rows, so skew is
+    * bounded by duplication multiplicity, exactly the quantity being
+    * removed. Reassembly collects one doc's spans into a single task —
+    * the same per-document locality the truncate/pack operators rely on.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    // ceil(nTok / spanWords) spans; guard at 1 so empty text yields one
+    // (empty) span instead of a descending sequence() error
+    val nSpans = greatest(
+      ceil(size(toks).cast("double") / spanWords).cast("int"), lit(1))
+    val spans = df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nSpans - 1), i =>
+          array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))))
+      .toDF(idCol, "span_idx", "span_text")
+    val ranked = spans.withColumn("_rn", row_number().over(
+      Window.partitionBy("span_text").orderBy(col(idCol), col("span_idx"))))
+    ranked.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_rn") === 1,
+            struct(col("span_idx"), col("span_text"))))),
+          s => s.getField("span_text")), " ").as("clean_text"))
+  }
+
   /** Exact dedup at STREAMING ingest: drop rows whose dedup key was
     * already seen within the watermark horizon. `dropDuplicatesWithinWatermark`
     * keeps the key-set state bounded — entries older than the event-time

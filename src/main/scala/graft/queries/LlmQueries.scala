@@ -121,6 +121,34 @@ object LlmQueries extends QueryFamily {
              |  FROM fp GROUP BY dedup_key)
              |SELECT dedup_key, doc_id, group_size FROM g ORDER BY doc_id""".stripMargin)),
 
+    // Span-level (C4-style) dedup: consecutive 10-word spans deduped
+    // globally by first occurrence, docs reassembled from survivors —
+    // sub-document dedup that whole-doc fingerprinting can't see.
+    ("q_span_dedup",
+      (s: SparkSession, d: String) => {
+        Dedup.spanDedup(Tables.documents(s, d), idCol = "doc_id",
+            textCol = "text", spanWords = 10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (
+             |  SELECT doc_id, w,
+             |    unnest(range(0, greatest(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS i
+             |  FROM toks),
+             |spans AS (
+             |  SELECT doc_id, CAST(i AS INT) AS span_idx,
+             |    array_to_string(list_slice(w, CAST(i*10+1 AS BIGINT), CAST((i+1)*10 AS BIGINT)), ' ') AS span_text
+             |  FROM idx),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+             |  FROM spans)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+             |  coalesce(string_agg(span_text, ' ' ORDER BY span_idx) FILTER (WHERE rn = 1), '') AS clean_text
+             |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // MinHash + LSH near-dup detection: 3-shingles, 16 md5 min-hashes,
     // 4 bands × 4 rows (4-row bands keep the candidate rate ~3% for the
     // j≈0.3 vocabulary overlap of this corpus while recall at j≥0.9 stays

@@ -335,6 +335,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == (1L to 7L).toSeq)
   }
 
+  test("span dedup drops cross-doc repeats, keeps first occurrence, reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // spans (3 words): "a b c", "d e f"
+      (2L, "a b c x y z"),       // first span duplicates doc 1's — dropped
+      (3L, "x y z d e f"),       // both spans seen earlier (docs 2 and 1)
+      (4L, "q r"))               // single short span, unique
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanWords = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 2L, 0L, ""),
+      (4L, 1L, 1L, "q r")))
+  }
+
   test("dataset split is deterministic, complete, and roughly proportional") {
     val df = spark.range(1000).toDF("id")
     val out = df.select(TextStats.datasetSplit(col("id"), 80, 10).as("split"))
