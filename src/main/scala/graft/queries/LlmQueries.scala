@@ -443,6 +443,43 @@ object LlmQueries extends QueryFamily {
              |FROM pairs WHERE cosine >= 0.4
              |GROUP BY id_b ORDER BY dup_id""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    // (exact, bounded subset — the LSH variant is the unverifiable scale
+    // path) become edges, dedupClusters canonicalizes transitively-linked
+    // vectors, min vec_id kept per semantic cluster.
+    ("q_semantic_dedup",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+        val pairs = Similarity.cosineNearDupPairs(
+            emb, "vec_id", "embedding", threshold = 0.4, dim = 64)
+          .select(col("id_a"), col("id_b"))
+        Dedup.dedupClusters(emb.select("vec_id"), "vec_id", pairs)
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE n AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM embeddings WHERE vec_id < 2000),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |  WHERE list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]), (x,y) -> x+y)
+             |      / (a.nrm * b.nrm) >= 0.4),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |cc(node, label) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+             |comp AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)
+             |SELECT u.vec_id,
+             |  coalesce(c.cluster_id, u.vec_id) AS cluster_id,
+             |  CAST(count(*) OVER (PARTITION BY coalesce(c.cluster_id, u.vec_id)) AS BIGINT) AS cluster_size,
+             |  u.vec_id = coalesce(c.cluster_id, u.vec_id) AS is_kept
+             |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 2000) u
+             |LEFT JOIN comp c ON c.node = u.vec_id
+             |ORDER BY u.vec_id""".stripMargin)),
+
     // Per-label embedding statistics (IVF partition stats): exact-fold
     // norms, min/max only (float-sum means are engine-order-dependent).
     ("q_embedding_label_stats",
