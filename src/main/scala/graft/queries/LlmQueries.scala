@@ -100,6 +100,78 @@ object LlmQueries extends QueryFamily {
            |FROM sc ORDER BY doc_id""".stripMargin
       }),
 
+    // End-to-end corpus curation: the standard preprocessing decision
+    // chain (duplicate → low-quality → too-short/long → language
+    // mismatch) composed from the individually-verified operators into
+    // one keep/drop verdict with a first-failure reason — the flagship
+    // "what survives into training" query. All map-side except the
+    // canonical-copy join (one shuffle on doc_id).
+    ("q_corpus_curation",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val canon = Dedup.exactDedup(
+            docs.select(col("doc_id"), col("text")), idCol = "doc_id",
+            key = TextStats.fingerprint(col("text")))
+          .select(col("doc_id"), lit(true).as("is_canonical"))
+        docs.select(col("doc_id"), col("lang"),
+            TextStats.tokenCount(col("text")).as("n_tokens"),
+            TextStats.qualityScore(col("text"), Stopwords).as("quality"),
+            TextStats.predictedLang(col("text"), LangProfiles).as("predicted"))
+          .join(canon, Seq("doc_id"), "left")
+          .withColumn("is_canonical", coalesce(col("is_canonical"), lit(false)))
+          .withColumn("drop_reason",
+            when(!col("is_canonical"), "duplicate")
+              .when(col("quality") < 0.5, "low_quality")
+              .when(col("n_tokens") < 20, "too_short")
+              .when(col("n_tokens") > 500, "too_long")
+              .when(col("predicted") =!= col("lang"), "lang_mismatch"))
+          .withColumn("keep", col("drop_reason").isNull)
+          .select("doc_id", "n_tokens", "quality", "predicted",
+            "is_canonical", "keep", "drop_reason")
+          .orderBy("doc_id")
+      },
+      Some {
+        val profs = LangProfiles.toSeq.sortBy(_._1)
+        val scoreExprs = profs.map { case (l, ws) =>
+          val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"CAST(len(list_filter(list_distinct(toks), x -> list_contains($list, x))) AS INT) AS s_$l"
+        }.mkString(",\n    ")
+        val langs = profs.map(_._1)
+        val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+        s"""WITH fp AS (
+           |  SELECT doc_id,
+           |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+           |  FROM documents),
+           |canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY k),
+           |t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+           |sc AS (
+           |  SELECT doc_id, lang, toks,
+           |    $scoreExprs
+           |  FROM t),
+           |base AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS INT) AS n_tokens,
+           |    least(1.0, CAST(len(toks) AS DOUBLE)/100.0) * 0.4 +
+           |    (1.0 - CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)/len(toks)) * 0.3 +
+           |    CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) * 0.3 AS quality,
+           |    CASE $pick END AS predicted,
+           |    lang,
+           |    doc_id IN (SELECT doc_id FROM canon) AS is_canonical
+           |  FROM sc),
+           |reasons AS (
+           |  SELECT *, CASE
+           |    WHEN NOT is_canonical THEN 'duplicate'
+           |    WHEN quality < 0.5 THEN 'low_quality'
+           |    WHEN n_tokens < 20 THEN 'too_short'
+           |    WHEN n_tokens > 500 THEN 'too_long'
+           |    WHEN predicted <> lang THEN 'lang_mismatch' END AS drop_reason
+           |  FROM base)
+           |SELECT doc_id, n_tokens, quality, predicted, is_canonical,
+           |  drop_reason IS NULL AS keep, drop_reason
+           |FROM reasons ORDER BY doc_id""".stripMargin
+      }),
+
     // Exact dedup on the canonical fingerprint (sorted distinct token set
     // → md5): keeps min doc_id per group; 21 non-trivial groups at sf0.01.
     ("q_fingerprint_dedup",
