@@ -63,22 +63,26 @@ object TextStats {
     */
   def langScores(text: Column, profiles: Map[String, Seq[String]]): Seq[(String, Column)] =
     profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      lang -> size(filter(array_distinct(tokens(text)),
-        x => x.isin(markers.map(lit(_)): _*)))
+      // array_intersect returns the DISTINCT common elements, so its size
+      // is exactly "distinct marker hits" — and unlike a filter() lambda
+      // (CodegenFallback, interpreted per element) it is a codegen'd
+      // expression
+      lang -> size(array_intersect(tokens(text), array(markers.map(lit(_)): _*)))
     }
 
   def predictedLang(text: Column, profiles: Map[String, Seq[String]]): Column = {
     val scored = langScores(text, profiles)
-    // argmax via greatest over (score, reverse-lang) structs
-    val structs = scored.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
-    // ties: highest score wins; equal scores pick lexicographically LAST
-    // language under struct comparison — make deterministic by prefixing
-    // an inverted-lang key is overkill; instead fold with explicit when
-    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
-      case ((bestScore, bestLang), (lang, s)) =>
-        (when(s > bestScore, s).otherwise(bestScore),
-          when(s > bestScore, lit(lang)).otherwise(bestLang))
-    }._2
+    // Earliest-max argmax in ONE pass: array_max over (score, -index)
+    // structs picks the highest score and, on ties, the smallest index
+    // (= first language in sorted order, matching the oracle's CASE
+    // chain). The previous when()-fold referenced every score expression
+    // O(k) times after CollapseProject inlining — each reference a full
+    // re-tokenization when the caller doesn't hoist the score columns.
+    val entries = scored.zipWithIndex.map { case ((_, s), i) =>
+      struct(s.as("s"), lit(-i).as("nr"))
+    }
+    val langNames = array(scored.map { case (lang, _) => lit(lang) }: _*)
+    element_at(langNames, (-array_max(array(entries: _*)).getField("nr")) + 1)
   }
 
   /** Canonical document fingerprint: md5 over the sorted distinct token
