@@ -34,11 +34,14 @@ object TextStats {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePretokenPattern), lit(0)))
 
-  /** Share of tokens found in `stopwords`. */
+  /** Share of tokens found in `stopwords` (occurrences, not distinct).
+    * Counted as size(toks) - size(toks with every stopword removed): the
+    * array_remove chain is codegen'd end to end, where a filter() lambda
+    * with isin runs as an interpreted CodegenFallback per element. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)
-    val hits = size(filter(t, x => x.isin(stopwords.map(lit(_)): _*)))
-    hits.cast("double") / size(t)
+    val cleaned = stopwords.foldLeft(t)((acc, w) => array_remove(acc, w))
+    (size(t) - size(cleaned)).cast("double") / size(t)
   }
 
   /** Distinct-token / token ratio (repetition detector). */
