@@ -20,6 +20,27 @@ class GraphSpec extends SparkSpec {
     assert(local == Seq((1L,1L),(2L,1L),(3L,1L),(10L,10L),(11L,10L),(12L,10L),(20L,20L),(21L,20L)))
   }
 
+  test("alternating star agrees with union-find on the fixed graph") {
+    val star = ConnectedComponents.alternatingStar(edges)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(star == Seq((1L,1L),(2L,1L),(3L,1L),(10L,10L),(11L,10L),(12L,10L),(20L,20L),(21L,20L)))
+  }
+
+  test("alternating star handles long chains and random graphs like union-find") {
+    // a 60-node path (worst case for O(diameter) propagation) with ids
+    // descending so min-labels must travel the full chain, plus a seeded
+    // random graph
+    val chain = (0 until 59).map(i => (100L - i, 100L - i - 1))
+    val rnd = new scala.util.Random(7)
+    val random = (0 until 120).map(_ => (rnd.nextInt(40).toLong + 200L, rnd.nextInt(40).toLong + 200L))
+      .filter { case (a, b) => a != b }
+    val df = (chain ++ random).toDF("src", "dst")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(canon(ConnectedComponents.alternatingStar(df)) ==
+      canon(ConnectedComponents.localUnionFind(df)))
+  }
+
   test("island ratios filter and order") {
     val comp = ConnectedComponents.components(edges)
     val islands = ConnectedComponents.islandRatios(comp, minRatio = 0.3)
