@@ -85,6 +85,63 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.sniff(null).isEmpty)
   }
 
+  test("property: PPM round-trips for arbitrary geometry and raster bytes") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      w <- Gen.choose(1, 64); h <- Gen.choose(1, 64)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (w, h, seed)
+    val prop = forAll(gen) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val img = Codecs.Ppm.decode(Codecs.Ppm.encode(w, h, rgb)).get
+      img.width == w && img.height == h && java.util.Arrays.equals(img.rgb, rgb)
+    }
+    org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default, prop) match {
+      case r => assert(r.passed, r.status.toString)
+    }
+  }
+
+  test("property: WAV round-trips arbitrary PCM16 sample runs") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(0, 4096); rate <- Gen.choose(1, 192000)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (n, rate, seed)
+    val prop = forAll(gen) { case (n, rate, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val a = Codecs.Wav.decode(Codecs.Wav.encode(rate, samples)).get
+      a.sampleRate == rate && java.util.Arrays.equals(a.samples, samples)
+    }
+    org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default, prop) match {
+      case r => assert(r.passed, r.status.toString)
+    }
+  }
+
+  test("property: Y4M round-trips arbitrary even geometry and frame counts") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      w <- Gen.choose(1, 32).map(_ * 2); h <- Gen.choose(1, 32).map(_ * 2)
+      f <- Gen.choose(1, 8); seed <- Gen.choose(0, Int.MaxValue)
+    } yield (w, h, f, seed)
+    val prop = forAll(gen) { case (w, h, f, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val planeLen = Codecs.Y4m.frameLen(w, h) - 6
+      val planes = Array.fill(f)(Array.fill(planeLen)(rnd.nextInt(256).toByte))
+      val v = Codecs.Y4m.decode(Codecs.Y4m.encode(w, h, f, planes(_))).get
+      v.width == w && v.height == h && v.nFrames == f &&
+        (0 until f).forall(i =>
+          java.util.Arrays.equals(v.framePlaneY(i), planes(i).take(w * h)))
+    }
+    org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default, prop) match {
+      case r => assert(r.passed, r.status.toString)
+    }
+  }
+
   test("sniff needs only the magic prefix") {
     assert(Codecs.sniff("P6\n".getBytes("US-ASCII")).contains("image"))
     assert(Codecs.sniff("RIFFxxxx".getBytes("US-ASCII")).contains("audio"))
