@@ -224,4 +224,53 @@ object TextStats {
       }
     }
   }
+
+  /** Sliding-window token chunking: cut each document into `window`-token
+    * chunks starting every `stride` tokens (overlap = window - stride) —
+    * how long documents become fixed-context training rows, where
+    * [[packSequences]] handles the short ones. Pure map-side explode
+    * (one pass over the token array per row, chunks sliced in place);
+    * the chunk grid is arithmetic, so the whole operator is codegen'd
+    * expressions with no UDF and no shuffle.
+    *
+    * Output: (id, chunk_idx, n_toks, chunk_text); the final chunks are
+    * shorter than `window` when the document tail is reached.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = tokens(col(textCol))
+    // starts 0, stride, 2·stride … ≤ nTok-1 (guard keeps one empty chunk
+    // for empty text instead of a descending sequence() error)
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    df.select(col(idCol), posexplode(transform(starts, st => struct(
+        size(slice(toks, st + 1, lit(window))).as("n_toks"),
+        array_join(slice(toks, st + 1, lit(window)), " ").as("chunk_text")))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.n_toks").as("n_toks"), col("col.chunk_text").as("chunk_text"))
+  }
+
+  /** Balanced domain-mixture downsampling: over-represented domains are
+    * deterministically downsampled toward an equal per-domain share
+    * (cap = ceil(total / numDomains)); under-represented domains pass
+    * through whole. The keep decision is the same md5-bucket device as
+    * [[splitBucket]] — content-keyed, reproducible across engines and
+    * reprocessing, never sample()-based. Two tiny aggregates feed a
+    * broadcast per-domain rate; the corpus is scanned once, map-side.
+    */
+  def balancedSample(df: DataFrame, domainCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+    val stats = counts.agg(sum(col("_n")).as("_total"), count(lit(1)).as("_d"))
+    val rates = counts.crossJoin(broadcast(stats))
+      .withColumn("_cap", ceil(col("_total").cast("double") / col("_d")).cast("long"))
+      .withColumn("_keep_rate",
+        least(lit(1.0), col("_cap").cast("double") / col("_n")))
+      .select(col(domainCol), col("_keep_rate"))
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(10000))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(bucket.cast("double") < col("_keep_rate") * 10000.0)
+      .drop("_keep_rate")
+  }
 }

@@ -742,6 +742,52 @@ object LlmQueries extends QueryFamily {
     // Deterministic train/val/test split: md5-bucket assignment that is
     // stable across runs, engines, partitionings, and reprocessing —
     // never sample(). 80/10/10.
+    // Sliding-window token chunking: long docs become fixed-context
+    // training rows (64-token windows every 48 tokens, 16 overlap);
+    // map-side explode, chunk grid is pure arithmetic.
+    ("q_chunk_windows",
+      (s: SparkSession, d: String) => {
+        TextStats.chunkWindows(Tables.documents(s, d), idCol = "doc_id",
+            textCol = "text", window = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (
+             |  SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 48)) AS st
+             |  FROM t)
+             |SELECT doc_id,
+             |  CAST((st // 48) AS INT) AS chunk_idx,
+             |  CAST(len(list_slice(w, CAST(st + 1 AS BIGINT), CAST(st + 64 AS BIGINT))) AS INT) AS n_toks,
+             |  array_to_string(list_slice(w, CAST(st + 1 AS BIGINT), CAST(st + 64 AS BIGINT)), ' ') AS chunk_text
+             |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Balanced domain-mixture downsampling: over-represented languages
+    // deterministically downsampled to an equal per-domain share via the
+    // md5-bucket device (content-keyed, reproducible — never sample()).
+    ("q_mixture_sample",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val kept = TextStats.balancedSample(docs, domainCol = "lang", idCol = "doc_id")
+        docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+          .join(kept.groupBy("lang").agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")
+          .select(col("lang"), col("n_before"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+             |s AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS d FROM c),
+             |r AS (
+             |  SELECT lang, n,
+             |    least(1.0, ceil(CAST(total AS DOUBLE) / d) / n) AS rate
+             |  FROM c CROSS JOIN s),
+             |k AS (
+             |  SELECT dd.lang FROM documents dd JOIN r USING (lang)
+             |  WHERE CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000 AS DOUBLE) < rate * 10000),
+             |ka AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM k GROUP BY lang)
+             |SELECT r.lang, r.n AS n_before, coalesce(ka.n_kept, 0) AS n_kept
+             |FROM r LEFT JOIN ka USING (lang) ORDER BY lang""".stripMargin)),
+
     ("q_dataset_split",
       (s: SparkSession, d: String) => {
         Tables.documents(s, d).select(col("doc_id"),

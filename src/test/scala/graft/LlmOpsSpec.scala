@@ -367,4 +367,39 @@ class LlmOpsSpec extends SparkSpec {
     val a = df.select(col("id"), TextStats.datasetSplit(col("id"), 80, 10).as("s"))
     assert(a.exceptAll(a).isEmpty)
   }
+
+  test("chunkWindows covers every token with stride overlap and ordered chunks") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks → starts 0,3,6,9
+      (2L, "a b"),                                     // shorter than one window
+      (3L, ""))                                        // empty text → one empty chunk
+      .toDF("doc_id", "text")
+    val out = TextStats.chunkWindows(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._4).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3), "chunk_idx is dense from 0")
+    assert(d1.map(_._3).toSeq == Seq(4, 4, 4, 1), "tail chunk is short, not padded")
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
+    assert(out.filter(_._1 == 3L).length == 1, "empty text yields one chunk row")
+    // every source token appears in some chunk (coverage, no gaps)
+    assert(d1.flatMap(_._4.split(" ")).toSet == (1 to 10).map(i => s"w$i").toSet)
+  }
+
+  test("balancedSample caps over-represented domains, passes small ones whole") {
+    val df = (0 until 300).map(i => (i.toLong, if (i < 280) "big" else "small"))
+      .toDF("doc_id", "domain")
+    val kept = TextStats.balancedSample(df, "domain", "doc_id")
+    val counts = kept.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") == 20L, "under-represented domain passes through whole")
+    // cap = ceil(300/2) = 150; md5-bucket keep is approximate around the rate
+    assert(counts("big") < 280L && counts("big") > 100L,
+      s"big domain downsampled toward the cap, got ${counts("big")}")
+    // deterministic: same input → identical kept set
+    val again = TextStats.balancedSample(df, "domain", "doc_id")
+    assert(kept.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+  }
 }
