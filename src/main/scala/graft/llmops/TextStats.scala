@@ -273,4 +273,31 @@ object TextStats {
       .filter(bucket.cast("double") < col("_keep_rate") * 10000.0)
       .drop("_keep_rate")
   }
+
+  /** Deterministic training-shard layout: the "write the corpus back out
+    * as N shuffled shards" step at the end of a curation pipeline. Each
+    * row gets (shard, pos): shard = md5(seed‖id) mod numShards — a
+    * content-keyed pseudo-random scatter that breaks any source/crawl
+    * ordering — and pos = dense 0-based rank within the shard, ordered by
+    * the same md5 key (id tiebreak), i.e. the order rows are written in
+    * the shard file. One hash-partitioned shuffle + per-shard sort — the
+    * shape `df.repartition(N).sortWithinPartitions` writes with, but with
+    * an engine-portable key so the layout is reproducible across engines
+    * and reprocessing (never rand()/sample(), same doctrine as
+    * [[splitBucket]]). At 100 TB: parallelism = numShards, no global
+    * total-order bottleneck, no driver state.
+    */
+  def trainingShards(df: DataFrame, idCol: String, numShards: Int,
+      seed: String): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val key = md5(concat(lit(seed), lit("-"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 15), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    df.withColumn("_shuffle_key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy(col("_shuffle_key"), col(idCol))) - 1)
+      .drop("_shuffle_key")
+  }
 }

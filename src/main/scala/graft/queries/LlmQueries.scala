@@ -802,6 +802,28 @@ object LlmQueries extends QueryFamily {
              |       ELSE 'test' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic training-shard layout: shard = md5(seed‖id) mod 8,
+    // pos = rank within the shard by the same key — the shuffled-shard
+    // write order, reproducible across engines (never rand()). One
+    // hash-partitioned shuffle + per-shard sort, no global total order.
+    ("q_training_shards",
+      (s: SparkSession, d: String) => {
+        TextStats.trainingShards(Tables.documents(s, d), "doc_id",
+            numShards = 8, seed = "ep0")
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, md5(concat('ep0-', CAST(doc_id AS VARCHAR))) AS key
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, key,
+             |    CAST(concat('0x', substring(key, 1, 15)) AS BIGINT) % 8 AS shard
+             |  FROM k)
+             |SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS INT) AS pos
+             |FROM s ORDER BY shard, pos""".stripMargin)),
+
     // Deterministic stratified sample: k docs per language, selected by
     // md5(doc_id) order — a reproducible per-stratum sample (same rows on
     // every run/engine/layout), unlike sample()/TABLESAMPLE. One shuffle

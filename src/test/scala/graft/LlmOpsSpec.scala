@@ -402,4 +402,30 @@ class LlmOpsSpec extends SparkSpec {
     val again = TextStats.balancedSample(df, "domain", "doc_id")
     assert(kept.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
   }
+
+  test("trainingShards: complete scatter, dense per-shard positions, seed changes layout") {
+    val df = spark.range(400).toDF("id")
+    val out = TextStats.trainingShards(df, "id", numShards = 4, seed = "ep0")
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 400, "every row lands in exactly one shard")
+    assert(out.map(_._2).toSet == Set(0L, 1L, 2L, 3L))
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == g.indices.toSeq, "pos is dense from 0")
+      // a reasonable scatter: no shard takes more than half the corpus
+      assert(g.length < 200, s"shard skew: ${g.length}")
+    }
+    // shard order breaks id order (it's a shuffle, not a range split)
+    val shard0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq != shard0.sorted.toSeq, "write order is shuffled")
+    // a different seed reshuffles; the same seed reproduces exactly
+    val ep1 = TextStats.trainingShards(df, "id", 4, "ep1")
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ep1.toSet != out.toSet, "epoch seed changes the layout")
+    val again = TextStats.trainingShards(df, "id", 4, "ep0")
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSet == out.toSet, "same seed reproduces the layout")
+  }
 }
