@@ -259,7 +259,11 @@ object TextStats {
     * broadcast per-domain rate; the corpus is scanned once, map-side.
     */
   def balancedSample(df: DataFrame, domainCol: String, idCol: String): DataFrame = {
+    // counts feeds both the per-domain rate and the global total; eagerly
+    // materialize the (tiny, one row per domain) aggregate so the corpus
+    // is scanned once for stats, not once per consumer
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
     val stats = counts.agg(sum(col("_n")).as("_total"), count(lit(1)).as("_d"))
     val rates = counts.crossJoin(broadcast(stats))
       .withColumn("_cap", ceil(col("_total").cast("double") / col("_d")).cast("long"))
