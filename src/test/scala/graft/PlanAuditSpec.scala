@@ -250,4 +250,25 @@ class PlanAuditSpec extends SparkSpec {
     // partial + final pair around one exchange — map-side combine is on
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("plan: training shards is one hash shuffle on the shard key (plus output sort)") {
+    val p = plan(SparkEntry.queries("q_training_shards")(spark, sf))
+    // the per-shard window rides a single hashpartitioning(shard)
+    // exchange; the rangepartitioning exchange is the output orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
+  test("plan: mixture sampling joins the per-domain rates by broadcast") {
+    val p = plan(SparkEntry.queries("q_mixture_sample")(spark, sf))
+    // the corpus-side keep-filter pass must see the (domains-sized) rate
+    // table broadcast, never a shuffled join of the corpus on domain
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("plan: quantized top-k runs the pair loop on the native dot kernel") {
+    val p = plan(SparkEntry.queries("q_quantized_topk")(spark, sf))
+    assert(p.contains("graft_dot"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
