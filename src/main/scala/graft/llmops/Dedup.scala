@@ -61,6 +61,25 @@ object Dedup {
     withToks(df, textCol)
       .select(col(idCol), array_distinct(shingleArray(col("_toks"), n)).as("shingles"))
 
+  /** Incremental batch dedup against a fingerprint registry: the daily
+    * ingest pattern — drop new documents whose dedup key already exists
+    * in the accumulated corpus, then exact-dedup the survivors within
+    * the batch, WITHOUT rescanning or re-keying the historical corpus
+    * (the registry is its stored `dedup_key` column). Two hash-key
+    * shuffles — an anti-join on the registry plus [[exactDedup]]'s
+    * window — both on the same key, and the registry side streams (it is
+    * never broadcast or collected), so the pattern holds when the
+    * registry is 100 TB of history and the batch is a day's crawl.
+    * Output = surviving batch rows, ready to append to the registry.
+    */
+  def incrementalDedup(batch: DataFrame, idCol: String, key: Column,
+      registry: DataFrame, registryKeyCol: String): DataFrame = {
+    val novel = batch.withColumn("_key", key).join(
+      registry.select(col(registryKeyCol).as("_key")).distinct(),
+      Seq("_key"), "left_anti")
+    exactDedup(novel.drop("_key"), idCol, key)
+  }
+
   /** Exact dedup by an arbitrary key expression: keeps the row with the
     * minimal `idCol` per key, annotates group size. */
   def exactDedup(df: DataFrame, idCol: String, key: Column): DataFrame = {

@@ -193,6 +193,34 @@ object LlmQueries extends QueryFamily {
              |  FROM fp GROUP BY dedup_key)
              |SELECT dedup_key, doc_id, group_size FROM g ORDER BY doc_id""".stripMargin)),
 
+    // Incremental ingest dedup: the batch (doc_id ≥ 300) deduped against
+    // the registry of already-ingested fingerprints (doc_id < 300) by
+    // anti-join — history is never re-keyed or rescanned — then
+    // exact-deduped within the batch. Registry side streams (no
+    // broadcast/collect): holds at a 100 TB registry.
+    ("q_incremental_dedup",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val registry = docs.filter(col("doc_id") < 300)
+          .select(TextStats.fingerprint(col("text")).as("dedup_key"))
+        Dedup.incrementalDedup(docs.filter(col("doc_id") >= 300), "doc_id",
+            TextStats.fingerprint(col("text")), registry, "dedup_key")
+          .select("dedup_key", "doc_id", "group_size")
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS dedup_key
+             |  FROM documents),
+             |novel AS (
+             |  SELECT doc_id, dedup_key FROM fp WHERE doc_id >= 300
+             |    AND dedup_key NOT IN (SELECT dedup_key FROM fp WHERE doc_id < 300)),
+             |g AS (
+             |  SELECT dedup_key, min(doc_id) AS doc_id,
+             |    CAST(count(*) AS BIGINT) AS group_size
+             |  FROM novel GROUP BY dedup_key)
+             |SELECT dedup_key, doc_id, group_size FROM g ORDER BY doc_id""".stripMargin)),
+
     // Span-level (C4-style) dedup: consecutive 10-word spans deduped
     // globally by first occurrence, docs reassembled from survivors —
     // sub-document dedup that whole-doc fingerprinting can't see.

@@ -23,6 +23,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("group_size") == 2)
   }
 
+  test("incremental dedup drops registry hits, dedups within batch, keeps novel docs") {
+    val registry = Seq(Tuple1(base)).toDF("text")
+      .select(TextStats.fingerprint(col("text")).as("dedup_key"))
+    val batch = Seq(
+      (10L, base),        // already in the registry — dropped
+      (11L, nearDup),     // novel (different fingerprint) — kept
+      (12L, unrelated),   // novel — kept
+      (13L, unrelated))   // within-batch dup of 12 — collapsed
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, "doc_id",
+        TextStats.fingerprint(col("text")), registry, "dedup_key")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_size")))
+    assert(out.toSeq == Seq((11L, 1L), (12L, 2L)))
+  }
+
   test("minhash LSH finds the planted near-duplicate, not the unrelated doc") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
