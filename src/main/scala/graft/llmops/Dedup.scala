@@ -74,8 +74,11 @@ object Dedup {
     */
   def incrementalDedup(batch: DataFrame, idCol: String, key: Column,
       registry: DataFrame, registryKeyCol: String): DataFrame = {
+    // no distinct() on the registry: anti-join semantics ignore duplicate
+    // right-side keys, so pre-aggregating the (huge) registry would be a
+    // pure extra shuffle
     val novel = batch.withColumn("_key", key).join(
-      registry.select(col(registryKeyCol).as("_key")).distinct(),
+      registry.select(col(registryKeyCol).as("_key")),
       Seq("_key"), "left_anti")
     exactDedup(novel.drop("_key"), idCol, key)
   }
