@@ -39,6 +39,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((11L, 1L), (12L, 2L)))
   }
 
+  test("dedup report invariants hold and agree with the dedup kernel") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q_dedup_report")(spark, sf).collect().head
+    val nDocs = r.getAs[Long]("n_docs")
+    val nDistinct = r.getAs[Long]("n_distinct")
+    val nDup = r.getAs[Long]("n_duplicates")
+    assert(nDocs == nDistinct + nDup)
+    assert(r.getAs[Long]("max_cluster") >= 1L)
+    assert(r.getAs[Long]("dup_rate_pct") == nDup * 10000L / nDocs)
+    // the report's distinct count is the dedup kernel's survivor count
+    val survivors = Dedup.exactDedup(
+      graft.model.Tables.documents(spark, sf).select("doc_id", "text"),
+      "doc_id", TextStats.fingerprint(col("text"))).count()
+    assert(survivors == nDistinct)
+  }
+
   test("minhash LSH finds the planted near-duplicate, not the unrelated doc") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)

@@ -271,4 +271,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_dot"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("plan: window chunking is map-side — zero hash shuffles") {
+    // the chunk grid is per-row arithmetic; only the deterministic output
+    // orderBy may add a rangepartitioning exchange
+    val p = plan(SparkEntry.queries("q_chunk_windows")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
 }
