@@ -270,4 +270,25 @@ class PropertySpec extends SparkSpec {
       assert(s == expect, s"bucket $b mapped to $s")
     }
   }
+
+  test("property: stride==window chunking partitions each doc exactly") {
+    import graft.llmops.TextStats
+    val toks = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))).map(_.mkString(" "))
+    val rows = (1 to 40).map(s => (s.toLong, gen(toks, s.toLong)))
+    val w = 7
+    val out = TextStats.chunkWindows(rows.toDF("id", "text"), "id", "text",
+        window = w, stride = w)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    rows.foreach { case (id, text) =>
+      val chunks = out(id).sortBy(_._2)
+      // non-overlapping chunks reassemble the exact original text
+      assert(chunks.map(_._4).mkString(" ") == text, s"doc $id reassembly")
+      // every chunk except the last is full; sizes sum to the token count
+      chunks.init.foreach { c => assert(c._3 == w, s"doc $id mid chunk short") }
+      assert(chunks.map(_._3).sum == text.split(" ").length)
+    }
+  }
 }
