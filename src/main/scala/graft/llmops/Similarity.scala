@@ -236,7 +236,11 @@ object Similarity {
     val v = VectorMath.precast(col(vecCol))
     val amax = array_max(transform(v, x => abs(x)))
     // the greatest(amax, 5e-324) floor keeps an all-zero vector at 0/0-free
-    // q_i = 0 instead of NaN (which ANSI int-cast would reject)
+    // q_i = 0 instead of NaN (which ANSI int-cast would reject).
+    // CollapseProject leaves _amax in its own Project only because BOTH
+    // qvec and scale reference it — if scale ever stops using _amax, the
+    // array_max gets inlined into the transform lambda and the pass goes
+    // O(dim²) per row (verified on the optimized plan)
     df.withColumn("_amax", greatest(amax, lit(java.lang.Double.MIN_VALUE)))
       .withColumn("qvec",
         transform(v, x => floor(x / col("_amax") * 127.0 + 0.5).cast("int")))
