@@ -64,6 +64,29 @@ object Similarity {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  /** Exact top-k by cosine via the bounded-heap partial aggregation
+    * ([[graft.functions.TopK]]) instead of a window sort. Identical rows
+    * to [[bruteForceTopK]] (same scores, same (desc score, asc id) order,
+    * same ranks) but the scale shape differs where it matters: the window
+    * form shuffles EVERY scored pair to its query's task and sorts there;
+    * this form reduces each (query, partition) to ≤ k rows map-side, so
+    * the exchange after the pair scoring carries k·partitions rows per
+    * query instead of |candidates| — the only viable top-k shape when
+    * candidates are corpus-sized. */
+  def bruteForceTopKAgg(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int = 0): DataFrame = {
+    import graft.functions.TopK
+    val q = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
+    val c = FanOut(prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim))
+    broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", pairCosine(dim))
+      .groupBy(col("query_id"))
+      .agg(TopK.topKAgg(k, col("cosine"), col("cand_id")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_s")))
+      .select(col("query_id"), col("_s.id").as("cand_id"),
+        col("_s.score").as("cosine"), (col("_pos") + 1).cast("int").as("rank"))
+  }
+
   /** SQL list literal of plane j's ±1 components — the hyperplanes are
     * plan-time constants, so the DuckDB oracle inlines the same planes
     * and reproduces buckets exactly. */

@@ -502,6 +502,37 @@ object LlmQueries extends QueryFamily {
              |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Same exact top-k, but via the bounded-heap partial aggregation
+    // (functions/TopK) — the 100 TB shape: ≤ k rows per (query, partition)
+    // survive the map side instead of shuffling every scored pair into a
+    // per-query window sort. Oracle is the plain windowed SQL: the rows
+    // must be identical.
+    ("q_topk_agg",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopKAgg(
+            emb.filter(col("vec_id") >= 10 && col("vec_id") < 22), emb,
+            idCol = "vec_id", vecCol = "embedding", k = 8, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, e,
+             |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM v),
+             |pairs AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_reduce(list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i]), (x,y) -> x+y)
+             |      / (q.nrm * c.nrm) AS cosine
+             |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id >= 10 AND q.vec_id < 22),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM pairs)
+             |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin)),
+
     // int8-quantized top-k: symmetric per-vector scalar quantization
     // (q = floor(x/amax·127+0.5)), then exact cosine over the integer
     // codes — every product/add exact in double, so the ranking is

@@ -509,4 +509,41 @@ class LlmOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("heap top-k aggregation returns the exact windowed top-k, ranks included") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 7)
+    val win = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 6, dim = 64)
+      .orderBy("query_id", "rank").collect()
+    val agg = Similarity.bruteForceTopKAgg(q, emb, "vec_id", "embedding", k = 6, dim = 64)
+      .orderBy("query_id", "rank").collect()
+    assert(win.length == agg.length && win.length == 7 * 6)
+    win.zip(agg).foreach { case (w, a) =>
+      assert(w.getLong(0) == a.getLong(0) && w.getLong(1) == a.getLong(1)
+        && w.getDouble(2) == a.getDouble(2) && w.getInt(3) == a.getInt(3),
+        s"windowed=$w agg=$a")
+    }
+  }
+
+  test("heap top-k buffer stays bounded, sorted, and merge-order invariant") {
+    import graft.functions.TopK
+    import graft.functions.TopK.{Scored, TopKBuf}
+    val agg = TopK.topK(3)
+    val ins = Seq(Scored(0.5, 4L), Scored(0.9, 2L), Scored(0.5, 1L),
+      Scored(0.9, 9L), Scored(0.1, 7L), Scored(0.7, 3L))
+    // sequential reduce
+    val seqBuf = ins.foldLeft(agg.zero)(agg.reduce)
+    assert(seqBuf.items == Seq(Scored(0.9, 2L), Scored(0.9, 9L), Scored(0.7, 3L)))
+    // split/merge in every partition shape gives the same buffer
+    (1 until ins.length).foreach { cut =>
+      val (l, r) = ins.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.items == seqBuf.items, s"cut=$cut")
+    }
+    // buffer never exceeds k even mid-stream
+    val big = (0 until 100).map(i => Scored((i % 10) / 10.0, i.toLong))
+    assert(big.foldLeft(agg.zero)(agg.reduce).items.length == 3)
+    assert(agg.merge(TopKBuf(Vector.empty), seqBuf).items == seqBuf.items)
+  }
 }

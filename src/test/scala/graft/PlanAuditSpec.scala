@@ -278,4 +278,21 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q_chunk_windows")(spark, sf))
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
   }
+
+  test("plan: heap top-k reduces to k rows per partition BEFORE the exchange") {
+    // the whole point of TopK vs the window form: a partial
+    // ObjectHashAggregate must sit below the hashpartitioning exchange,
+    // so the shuffle carries k-bounded buffers, not every scored pair —
+    // and no per-query Sort node exists anywhere
+    val p = plan(SparkEntry.queries("q_topk_agg")(spark, sf))
+    val partialIdx = p.indexOf("functions=[partial_")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(query_id")
+    assert(partialIdx >= 0, p)
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial agg must be BELOW (after, in tree print) the exchange\n$p")
+    // no Window node: the windowed form would sort every scored pair
+    // inside its query partition (the deterministic output orderBy's
+    // range-partitioned Sort over the k·|Q| result rows is fine)
+    assert(!p.contains("Window"), p)
+  }
 }
