@@ -20,13 +20,34 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
+    // A failed query must surface as a RED row in the correctness artifact,
+    // never vanish from it: on exception we still create the (empty) output
+    // dir so the gate's no-parquet-files branch counts a fail. Rounds 3/4
+    // lost 16 red queries because failures wrote no dir and the gate only
+    // iterated dirs that existed.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        val dir = new java.io.File(s"$outDir/$name")
+        dir.mkdirs()
+        // overwrite may have left partial parquet before the failure —
+        // scrub so a half-written result can't masquerade as output.
+        Option(dir.listFiles()).foreach(_.foreach { f =>
+          if (f.isFile) f.delete()
+        })
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} failed: ${failed.sorted.mkString(",")}")
+    // Invariant: every selected query produced either parquet output or a
+    // counted failure marker — nothing may silently disappear.
+    val produced = selected.keySet.filter(n => new java.io.File(s"$outDir/$n").isDirectory)
+    require(produced == selected.keySet,
+      s"[verify] queries with no output dir: ${(selected.keySet -- produced).mkString(",")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

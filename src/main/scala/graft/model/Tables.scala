@@ -2,6 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -24,15 +25,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark 4 won't
-    * map to TimestampType directly. Read nanos as long and truncate to
-    * microseconds — exactly what DuckDB's ns→µs conversion does — so both
-    * engines see identical µs timestamps.
+  /** events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (earlier
+    * fixture generations) and plain timestamp[us] (current ones), so the
+    * loader is schema-adaptive: it branches on the type Spark actually
+    * infers rather than hard-coding either era's encoding.
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 won't map nanos to TimestampType; with
+    *    `nanosAsLong` it surfaces as LongType, which we truncate to µs —
+    *    exactly what DuckDB's ns→µs conversion does, so both engines see
+    *    identical values.
+    *  - timestamp[us] (isAdjustedToUTC=false): Spark infers TIMESTAMP_NTZ;
+    *    cast to session-local TimestampType (sessions here pin UTC, so the
+    *    instant is unchanged and downstream window/range arithmetic keeps
+    *    the TimestampType it has always seen).
+    *  - TimestampType: already what downstream expects — pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.model.Tables
+
+/** Smoke test against the LIVE driver fixture (/root/testdata), not a
+  * spec-built one. Guards the harness–fixture contract: in round 3 the
+  * driver regenerated events.parquet with a different ts encoding
+  * (TIMESTAMP(NANOS) → timestamp[us]) and every spec stayed green because
+  * they all build their own fixtures — 16 oracle queries silently erred for
+  * two rounds. This suite loads every Tables.* loader against the real
+  * files and asserts the post-loader column types downstream code depends
+  * on, so fixture drift fails the build loudly.
+  *
+  * Skipped (not failed) when the testdata dir is absent, so the suite still
+  * runs in environments without the driver fixture.
+  */
+class FixtureSmokeSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+  private def fixturePresent = new java.io.File(sfDir).isDirectory
+
+  private val loaders: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    "region"     -> (() => Tables.region(spark, sfDir)),
+    "nation"     -> (() => Tables.nation(spark, sfDir)),
+    "customer"   -> (() => Tables.customer(spark, sfDir)),
+    "supplier"   -> (() => Tables.supplier(spark, sfDir)),
+    "part"       -> (() => Tables.part(spark, sfDir)),
+    "orders"     -> (() => Tables.orders(spark, sfDir)),
+    "lineitem"   -> (() => Tables.lineitem(spark, sfDir)),
+    "events"     -> (() => Tables.events(spark, sfDir)),
+    "documents"  -> (() => Tables.documents(spark, sfDir)),
+    "embeddings" -> (() => Tables.embeddings(spark, sfDir))
+  )
+
+  test("every table loader reads the live fixture and yields a row") {
+    assume(fixturePresent, s"$sfDir not present")
+    loaders.foreach { case (name, load) =>
+      val df = load()
+      assert(df.limit(1).collect().length == 1, s"$name: empty or unreadable")
+    }
+  }
+
+  test("events loader normalizes ts to TimestampType regardless of parquet encoding") {
+    assume(fixturePresent, s"$sfDir not present")
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"events.ts must load as TimestampType, got ${ev.schema("ts").dataType}")
+    // Sanity on the instant itself: fixture events are generated in a
+    // recent, bounded window — a unit mix-up (ns read as µs) would shove
+    // timestamps thousands of years away.
+    import org.apache.spark.sql.functions._
+    val yr = ev.select(year(min("ts")), year(max("ts"))).head()
+    assert(yr.getInt(0) >= 2000 && yr.getInt(1) <= 2100,
+      s"events.ts out of plausible range: years ${yr.getInt(0)}..${yr.getInt(1)}")
+  }
+
+  test("key columns used by operators exist with expected types") {
+    assume(fixturePresent, s"$sfDir not present")
+    def typeOf(df: org.apache.spark.sql.DataFrame, c: String) = df.schema(c).dataType
+    val ev = Tables.events(spark, sfDir)
+    assert(Set("ts", "event_type", "user_id", "value", "props").subsetOf(ev.columns.toSet),
+      s"events columns drifted: ${ev.columns.toSeq}")
+    val doc = Tables.documents(spark, sfDir)
+    assert(typeOf(doc, "text") == StringType, "documents.text must be string")
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(typeOf(emb, "embedding").isInstanceOf[ArrayType],
+      s"embeddings.embedding must be array, got ${typeOf(emb, "embedding")}")
+    val li = Tables.lineitem(spark, sfDir)
+    assert(Set("l_orderkey", "l_quantity").subsetOf(li.columns.toSet),
+      s"lineitem columns drifted: ${li.columns.toSeq}")
+  }
+}

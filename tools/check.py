@@ -72,7 +72,11 @@ def main(sfdir, outdir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    names = sorted({os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)})
+    # Iterate the oracle key set UNION existing output dirs — iterating only
+    # dirs lets a query that errored before writing anything vanish from the
+    # report instead of counting as a failure (how r3/r4 hid 16 red queries).
+    dirs = {os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)}
+    names = sorted(dirs | set(oracle))
     npass = nfail = 0
     for name in names:
         sp = load_spark(outdir, name)
