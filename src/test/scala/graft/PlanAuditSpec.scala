@@ -244,6 +244,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(out == Map("user_a" -> 2, "user_b" -> 1))
   }
 
+  test("funnel scan agrees with the relational join form on string keys") {
+    // Guards the native-type path in Funnel.deepestStage: the long-keyed
+    // equivalence test above would stay green even if a cast-to-long crept
+    // back in, because user_id IS a long there. Same-instant ties included
+    // (user_d's click at the view's timestamp must NOT advance the funnel).
+    import spark.implicits._
+    val ev = Seq(
+      ("user_a", "view",     "2026-01-01 00:00:01"),
+      ("user_a", "click",    "2026-01-01 00:00:02"),
+      ("user_a", "purchase", "2026-01-01 00:00:03"),
+      ("user_b", "view",     "2026-01-01 00:00:04"),
+      ("user_b", "purchase", "2026-01-01 00:00:05"), // skipped click: stays at 1
+      ("user_c", "click",    "2026-01-01 00:00:06"), // no view: absent
+      ("user_d", "view",     "2026-01-01 00:00:07"),
+      ("user_d", "click",    "2026-01-01 00:00:07")) // tie: strict > blocks
+      .toDF("uid", "etype", "ts").withColumn("ts", $"ts".cast("timestamp"))
+    val stages = Seq("view", "click", "purchase")
+    val scan = graft.operators.Funnel.stageCounts(
+      graft.operators.Funnel.deepestStage(ev, "uid", "etype", "ts", stages), stages)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // relational join form, inline: stage i+1 = first matching event
+    // strictly after the event that completed stage i
+    ev.createOrReplaceTempView("funnel_ev_str")
+    val join = spark.sql("""
+      WITH s1 AS (SELECT uid, min(ts) ts FROM funnel_ev_str WHERE etype='view' GROUP BY uid),
+      s2 AS (SELECT e.uid, min(e.ts) ts FROM funnel_ev_str e JOIN s1 ON e.uid=s1.uid
+             AND e.ts > s1.ts WHERE e.etype='click' GROUP BY e.uid),
+      s3 AS (SELECT e.uid, min(e.ts) ts FROM funnel_ev_str e JOIN s2 ON e.uid=s2.uid
+             AND e.ts > s2.ts WHERE e.etype='purchase' GROUP BY e.uid)
+      SELECT (SELECT count(*) FROM s1) c1, (SELECT count(*) FROM s2) c2,
+             (SELECT count(*) FROM s3) c3""").head()
+    assert(scan(1) == join.getLong(0), s"stage1: scan=${scan(1)} join=${join.getLong(0)}")
+    assert(scan(2) == join.getLong(1), s"stage2: scan=${scan(2)} join=${join.getLong(1)}")
+    assert(scan(3) == join.getLong(2), s"stage3: scan=${scan(3)} join=${join.getLong(2)}")
+  }
+
   test("plan: flagship entry aggregates with partial (map-side) aggregation") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("HashAggregate"), p)
