@@ -25,7 +25,8 @@ object SparkEntry {
     StreamingQueries,
     SourceQueries,
     MiscQueries,
-    AnnotationQueries
+    AnnotationQueries,
+    ScaleQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

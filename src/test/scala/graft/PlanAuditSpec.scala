@@ -280,6 +280,63 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan(3) == join.getLong(2), s"stage3: scan=${scan(3)} join=${join.getLong(2)}")
   }
 
+  test("plan: bloom prune probes the sketch on the fact side before the join") {
+    val df = SparkEntry.queries("q_bloom_prune")(spark, sf)
+    val p = plan(df)
+    // the native probe must be in the plan (codegen'd predicate on the
+    // fact scan), and the join must still be a real equi-join
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // and on the fixture it must actually prune: the selective dim filter
+    // keeps ~3% of orders, so the majority of lineitem rows must die at
+    // the probe instead of travelling into the join
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        pmod(col("o_orderkey"), lit(7)) === 0)
+    val pruned = graft.operators.BloomPrune.semiReduce(
+      li, "l_orderkey", urgent, "o_orderkey", expectedItems = 1L << 16)
+    val (kept, total) = (pruned.count(), li.count())
+    assert(kept < total / 2, s"bloom kept $kept of $total fact rows — not pruning")
+  }
+
+  test("z-order range layout bounds every dimension per partition") {
+    // The scale claim behind q_zorder_layout: range-partitioning by the
+    // interleaved z-value yields partitions whose bounding box is small in
+    // BOTH dimensions, unlike round-robin (or any single-column) layout —
+    // that box is exactly what parquet min/max skipping consults.
+    val mask = (1L << 10) - 1
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_partkey").bitwiseAND(lit(mask)).as("x"),
+      col("l_suppkey").bitwiseAND(lit(mask)).as("y"))
+    val withZ = li.withColumn("z",
+      graft.operators.ZOrder.zValue(Seq(col("x"), col("y")), 10))
+    def avgBoxArea(df: DataFrame): Double = df
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(((max("x") - min("x")) * (max("y") - min("y"))).as("area"))
+      .agg(avg("area")).head().getDouble(0)
+    val zArea = avgBoxArea(withZ.repartitionByRange(8, col("z")))
+    val naturalArea = avgBoxArea(withZ.repartition(8))
+    assert(zArea < naturalArea * 0.5,
+      s"z-order avg box area $zArea not better than round-robin $naturalArea")
+  }
+
+  test("z-value matches the reference interleave on known points") {
+    import spark.implicits._
+    // hand-computed Morton codes, 4 bits, 2 dims: bit b of x → 2b, y → 2b+1
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (15L, 15L))
+      .toDF("x", "y")
+    val out = pts.withColumn("z",
+      graft.operators.ZOrder.zValue(Seq(col("x"), col("y")), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def morton(x: Long, y: Long): Long =
+      (0 until 4).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1)))
+        .reduce(_ | _)
+    assert(out == Set((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (15L, 15L))
+      .map { case (x, y) => (x, y, morton(x, y)) })
+  }
+
   test("plan: flagship entry aggregates with partial (map-side) aggregation") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("HashAggregate"), p)
