@@ -42,6 +42,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ inference off: a timestamp[us] (isAdjustedToUTC=false) column
+    // loads DIRECTLY as session-local TimestampType instead of
+    // TIMESTAMP_NTZ. Sessions here pin UTC, so values are identical to a
+    // post-read NTZ→LTZ cast — but without the cast wrapping the column,
+    // ts predicates (the dominant access pattern on an event log: time
+    // ranges) push down into the parquet scan instead of filtering
+    // post-read. The NTZ match arm below stays as a safety net in case a
+    // caller's session overrides the conf.
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -29,6 +29,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<vec_id:bigint>"), p)
   }
 
+  test("plan: events time-range predicates push into the parquet scan") {
+    // The events loader must not wrap ts in a cast that strands time-range
+    // filters above the scan — time windows are THE access pattern on an
+    // event log, and at scale an unpushed ts filter reads the whole table.
+    val df = Tables.events(spark, sf)
+      .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("event_id", "ts")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)
+  }
+
   test("plan: FK-chain rollup joins catalog dims with broadcast hash joins") {
     val p = plan(SparkEntry.queries("q_fk_rollup")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
