@@ -37,11 +37,19 @@ object BloomPrune {
     */
   def semiReduce(fact: DataFrame, factKey: String, keys: DataFrame,
       keyCol: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
-    val bf = keys.select(xxhash64(col(keyCol)).as("__graft_h"))
-      .stat.bloomFilter("__graft_h", expectedItems, fpp)
-    val bos = new ByteArrayOutputStream()
-    bf.writeTo(bos)
-    fact.filter(mightContain(lit(bos.toByteArray), xxhash64(col(factKey))))
+    val hashed = keys.select(xxhash64(col(keyCol)).as("__graft_h"))
+    // Spark's stat.bloomFilter NPEs on a ZERO-ROW input (its internal
+    // aggregate yields null); an empty key set legitimately means "keep
+    // nothing" — same as the plain inner join. The isEmpty probe
+    // short-circuits at the first dim row, so the cost is one cheap job
+    // on the SMALL side, never a fact scan.
+    if (hashed.isEmpty) fact.filter(lit(false))
+    else {
+      val bf = hashed.stat.bloomFilter("__graft_h", expectedItems, fpp)
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      fact.filter(mightContain(lit(bos.toByteArray), xxhash64(col(factKey))))
+    }
   }
 
   /** Inner equi-join with the fact side bloom-pruned first. Result is

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomPrune, ZOrder}
+
+/** Edge semantics of the scan-reduction operators: the contract is
+  * "identical results to the plain form", which has to survive empty
+  * inputs, null keys, and hostile coordinates — the cases a 100 TB run
+  * WILL contain somewhere.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom prune with an empty key set keeps nothing (like the plain join)") {
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val keys = Seq.empty[Long].toDF("k").filter(col("k") > 0)
+    val pruned = BloomPrune.semiReduce(fact, "k", keys, "k", expectedItems = 16)
+    assert(pruned.count() == 0)
+  }
+
+  test("bloom pruned join equals the plain join with null and missing keys") {
+    val fact = Seq(Some(1L), Some(2L), Some(3L), None, Some(99L))
+      .toDF("k").withColumn("v", coalesce(col("k"), lit(-1L)) * 10)
+    val dim = Seq(1L, 3L, 4L).toDF("dk")
+    val pruned = BloomPrune.prunedJoin(fact, dim, "k", "dk", expectedItems = 16)
+      .select("k", "v", "dk")
+    val plain = fact.join(dim, fact("k") === dim("dk")).select("k", "v", "dk")
+    assert(pruned.collect().toSet == plain.collect().toSet)
+    assert(pruned.count() == 2) // null and 2/99 drop, 1 and 3 survive
+  }
+
+  test("z-value masks negative and oversized coordinates instead of corrupting the key") {
+    val df = Seq((-1L, 5L), (1024L + 3L, 2L)).toDF("x", "y")
+    val out = df.withColumn("z", ZOrder.zValue(Seq(col("x"), col("y")), 10))
+      .collect().map(_.getLong(2))
+    def morton(x: Long, y: Long): Long =
+      (0 until 10).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1)))
+        .reduce(_ | _)
+    // -1 & 1023 = 1023; 1027 & 1023 = 3 — same masking as the formula
+    assert(out.toSet == Set(morton(1023L, 5L), morton(3L, 2L)))
+  }
+
+  test("z-value rejects configurations that overflow a long") {
+    intercept[IllegalArgumentException] {
+      ZOrder.zValue(Seq(col("a"), col("b"), col("c")), 22) // 66 bits
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.zValue(Seq(col("a")), 10) // one dimension is just a sort
+    }
+  }
+
+  test("repartitionByZ preserves every row exactly once") {
+    val df = (0L until 1000L).map(i => (i % 37, i % 53)).toDF("x", "y")
+    val laid = ZOrder.repartitionByZ(df, Seq("x", "y"), bits = 6, numPartitions = 4)
+    assert(laid.count() == 1000)
+    assert(laid.rdd.getNumPartitions == 4)
+  }
+}
