@@ -175,6 +175,41 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("minute summary: streaming availableNow equals the batch aggregation") {
+    // Batch/streaming parity over the LIVE fixture: the same
+    // Monitor.minuteSummary transform, run (a) as the batch oracle query
+    // does and (b) as a file-source stream drained with AvailableNow,
+    // must produce identical windows. This is the contract that lets the
+    // monitor queries ship as one implementation for both modes.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val sp = spark
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    // the file source wants a directory; glob-filter it to the events table
+    val stream = sp.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val q = graft.streaming.Monitor.minuteSummary(stream, "ts", "event_type")
+      .writeStream.format("memory").queryName("minute_parity")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "stream did not drain in time")
+    finally q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(org.apache.spark.sql.functions.col("window.start").as("ws"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("count"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = norm(sp.table("minute_parity"))
+    val batch = norm(graft.streaming.Monitor.minuteSummary(
+      graft.model.Tables.events(sp, dir), "ts", "event_type"))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streaming=${streamed.size} windows, batch=${batch.size} windows, " +
+        s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
   test("task state machine runs on the RocksDB state store backend") {
     val sp = spark
     import sp.implicits._
