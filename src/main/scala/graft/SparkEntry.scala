@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val families: Seq[QueryFamily] = Seq(
+  private[graft] val families: Seq[QueryFamily] = Seq(
     CatalogQueries,
     FilterQueries,
     SpatialQueries,
