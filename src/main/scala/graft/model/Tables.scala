@@ -14,8 +14,26 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * copy_scene_assets.py:57-59).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Parquet-reading confs every loader pins BEFORE reading, so a table's
+    * schema never depends on which loader ran first in the session:
+    *  - nanosAsLong: TIMESTAMP(NANOS) columns (earlier fixture
+    *    generations) surface as LongType instead of failing;
+    *  - inferTimestampNTZ off: timestamp[us] (isAdjustedToUTC=false)
+    *    columns load as session-local TimestampType — identical values
+    *    under the pinned UTC sessions, and predicates on them push into
+    *    the scan (no NTZ→LTZ cast above it). Without pinning, lineitem's
+    *    l_shipdate would load as TIMESTAMP_NTZ before the first
+    *    events() call and TimestampType after it.
+    */
+  private def pinParquetConfs(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    pinParquetConfs(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -41,16 +59,8 @@ object Tables {
     *  - TimestampType: already what downstream expects — pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NTZ inference off: a timestamp[us] (isAdjustedToUTC=false) column
-    // loads DIRECTLY as session-local TimestampType instead of
-    // TIMESTAMP_NTZ. Sessions here pin UTC, so values are identical to a
-    // post-read NTZ→LTZ cast — but without the cast wrapping the column,
-    // ts predicates (the dominant access pattern on an event log: time
-    // ranges) push down into the parquet scan instead of filtering
-    // post-read. The NTZ match arm below stays as a safety net in case a
-    // caller's session overrides the conf.
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // confs pinned by table(); the NTZ match arm below stays as a safety
+    // net in case a caller's session overrides inferTimestampNTZ back on
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -68,5 +68,10 @@ class FixtureSmokeSpec extends SparkSpec {
     val li = Tables.lineitem(spark, sfDir)
     assert(Set("l_orderkey", "l_quantity").subsetOf(li.columns.toSet),
       s"lineitem columns drifted: ${li.columns.toSeq}")
+    // pinned parquet confs: timestamp columns load as TimestampType on
+    // EVERY table, independent of loader call order in the session
+    assert(typeOf(li, "l_shipdate") == TimestampType,
+      s"l_shipdate must pin to TimestampType, got ${typeOf(li, "l_shipdate")}")
+    assert(typeOf(Tables.orders(spark, sfDir), "o_orderdate") == TimestampType)
   }
 }
