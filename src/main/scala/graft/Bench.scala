@@ -30,9 +30,13 @@ object Bench {
     // JIT. Warm-up failures are ignored — the measured loop reports them.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case scala.util.control.NonFatal(_) => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        // timeboxed tighter than the measured loop: warm-up is sf0.001,
+        // where any healthy query finishes in well under a minute
+        try Timebox.run(spark, s"warmup-$name", 120) {
+          fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        }
+        catch { case _: Throwable => () }
       }
     }
     // Each query is timed `reps` times and reported as the MEDIAN, with
@@ -48,14 +52,25 @@ object Bench {
     val fastReps = math.max(reps, 5)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
+      // timeboxed so one wedged query costs its budget once, not the
+      // whole bench; a timed-out first rep also skips the remaining reps
+      var timedOut = false
       def rep(): Option[Double] = {
+        if (timedOut) return None
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Timebox.run(spark, name, Timebox.defaultSeconds) {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
+        } catch {
+          case e: java.util.concurrent.TimeoutException =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            timedOut = true
+            None
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
       }
       var times = (1 to reps).flatMap(_ => rep()).toVector

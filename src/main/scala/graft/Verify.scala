@@ -26,9 +26,12 @@ object Verify {
     // lost 16 red queries because failures wrote no dir and the gate only
     // iterated dirs that existed.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val timeoutSec = Timebox.defaultSeconds
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try Timebox.run(spark, name, timeoutSec) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name
