@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.llmops.{TextStats, Dedup, Similarity}
+import graft.llmops.{TextStats, Dedup, KMeansOps, Similarity}
 
 /** Training-data pipeline family (builder-prompt extensions): text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
@@ -569,6 +569,42 @@ object LlmQueries extends QueryFamily {
              |    ORDER BY qcosine DESC, cand_id ASC) AS rank FROM pairs)
              |SELECT query_id, cand_id, qcosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // One Lloyd (k-means) refinement step of the IVF coarse quantizer
+    // over int8-quantized codes: map-side max-cosine assignment, then
+    // per-(cell, dimension) exact integer means. Integer sums commute, so
+    // the refined centroids hash-match the oracle bit-for-bit — the
+    // training step float k-means can't verify cross-engine.
+    ("q_kmeans_refine",
+      (s: SparkSession, d: String) => {
+        val q = Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+          .select(col("vec_id"), col("qvec").cast("array<double>").as("qv"))
+        val centroids = q.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell_id"), col("qv").as("centroid"))
+        KMeansOps.lloydStep(q, "vec_id", "qv", centroids, dim = 64)
+          .orderBy("cell_id", "pos")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |qz AS (
+             |  SELECT vec_id, list_transform(e, x -> floor(x / greatest(
+             |    list_max(list_transform(e, y -> abs(y))), 5e-324) * 127.0 + 0.5)) AS q
+             |  FROM v),
+             |n AS (SELECT vec_id, q,
+             |  sqrt(list_reduce(list_transform(q, x -> x*x), (a,b) -> a+b)) AS nrm FROM qz),
+             |c AS (SELECT vec_id AS cell_id, q AS cq, nrm AS cnrm FROM n WHERE vec_id < 8),
+             |assign AS (
+             |  SELECT vec_id, cell_id FROM (
+             |    SELECT v2.vec_id, c.cell_id, row_number() OVER (PARTITION BY v2.vec_id ORDER BY
+             |      list_reduce(list_transform(range(1, len(v2.q)+1), i -> v2.q[i]*c.cq[i]), (x,y) -> x+y)
+             |        / (v2.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+             |    FROM n v2, c) WHERE rn = 1),
+             |ex AS (
+             |  SELECT a.cell_id,
+             |    unnest(list_transform(range(1, len(q.q)+1), i -> {'pos': i-1, 'x': q.q[i]})) AS u
+             |  FROM assign a JOIN qz q USING (vec_id))
+             |SELECT cell_id, CAST(u.pos AS INT) AS pos, CAST(COUNT(*) AS BIGINT) AS n_points,
+             |  (CAST(SUM(CAST(u.x AS BIGINT)) AS DOUBLE) / COUNT(*)) AS mean
+             |FROM ex GROUP BY cell_id, u.pos ORDER BY cell_id, pos""".stripMargin)),
 
     // IVF approximate nearest-neighbor: coarse-quantize candidates to
     // max-cosine centroid cells (centroids = vec_id < 8, deterministic),

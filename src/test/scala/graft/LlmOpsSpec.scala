@@ -546,4 +546,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(big.foldLeft(agg.zero)(agg.reduce).items.length == 3)
     assert(agg.merge(TopKBuf(Vector.empty), seqBuf).items == seqBuf.items)
   }
+
+  test("lloyd step: centroids move toward their members and iterate cleanly") {
+    import graft.llmops.{KMeansOps, Similarity}
+    import org.apache.spark.sql.functions._
+    // two well-separated clusters around (10,0) and (0,10); seeds off-center
+    val pts = ((0 until 20).map(i => (i.toLong, Array(10.0 + i % 3, (i % 2).toDouble))) ++
+      (20 until 40).map(i => (i.toLong, Array((i % 2).toDouble, 10.0 + i % 3))))
+      .toDF("id", "vec")
+    val seeds = Seq((0L, Array(8.0, 1.0)), (1L, Array(1.0, 8.0)))
+      .toDF("cell_id", "centroid")
+    val step1 = KMeansOps.lloydStep(pts, "id", "vec", seeds, dim = 2)
+    val c1 = KMeansOps.toCentroidTable(step1)
+    val rows = c1.orderBy("cell_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // cell 0 captured the x-heavy cluster, cell 1 the y-heavy one
+    assert(rows.length == 2)
+    assert(rows(0)._2.head > 9.0 && rows(0)._2(1) < 2.0, rows(0).toString)
+    assert(rows(1)._2.head < 2.0 && rows(1)._2(1) > 9.0, rows(1).toString)
+    // a second iteration over the refined table runs and is stable here
+    // (assignments can't change once clusters are separated)
+    val step2 = KMeansOps.lloydStep(pts, "id", "vec", c1, dim = 2)
+    val c2 = KMeansOps.toCentroidTable(step2).orderBy("cell_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(c2.toSeq == rows.toSeq)
+  }
 }

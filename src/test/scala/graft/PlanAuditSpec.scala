@@ -348,6 +348,15 @@ class PlanAuditSpec extends SparkSpec {
       .map { case (x, y) => (x, y, morton(x, y)) })
   }
 
+  test("plan: lloyd refinement is map-side assignment plus one aggregation shuffle") {
+    val p = plan(SparkEntry.queries("q_kmeans_refine")(spark, sf))
+    // the broadcast centroid assignment adds no exchange; the only hash
+    // shuffle is the (cell, dimension) mean aggregation — its combiner
+    // state is k·dim counters per task regardless of corpus size
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("plan: flagship entry aggregates with partial (map-side) aggregation") {
     val p = plan(SparkEntry.entry(spark))
     assert(p.contains("HashAggregate"), p)
