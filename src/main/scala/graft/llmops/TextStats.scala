@@ -161,6 +161,50 @@ object TextStats {
   def topBigramFraction(text: Column): Column =
     topRunFraction(sortedBigrams(tokens(text)))
 
+  // ---- Collocation mining (corpus-level bigram lift) ---------------------
+
+  /** Corpus collocations by LIFT — the log-free PMI form:
+    * lift(a,b) = (c_ab · N_tokens) / (c_a · c_b), i.e. how much more often
+    * the pair occurs than independence predicts. The standard phrase-
+    * detection statistic (word2vec's phrase pass, tokenizer-merge
+    * candidates); log(lift) IS the PMI, and log is monotone, so ranking by
+    * lift ranks by PMI without a transcendental that engines round
+    * differently — every input to the single double division is an exact
+    * integer, making the scores bit-reproducible (same trick as the
+    * TF-IDF ratio form).
+    *
+    * Scale shape: one map-side bigram explode + count shuffle, one
+    * unigram count shuffle, then two joins against the unigram table
+    * (vocabulary-sized — Zipf makes it tiny next to the corpus) and a
+    * broadcast 1-row token total. `minCount` prunes the bigram tail
+    * BEFORE the joins, which is what bounds the join input at corpus
+    * scale.
+    */
+  def collocationLift(docs: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val base = docs.select(tokens(col(textCol)).as("t"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nTok = uni.agg(sum("c_w").cast("double").as("n_tok"))
+    val pairs = base.select(explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_2")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .withColumn("lift",
+        (col("c_ab").cast("double") * col("n_tok")) /
+          (col("c_1").cast("double") * col("c_2").cast("double")))
+      .select("w1", "w2", "c_ab", "c_1", "c_2", "lift")
+  }
+
   // ---- Deterministic dataset split ---------------------------------------
 
   /** Stable train/val/test assignment: bucket = md5(id) mod 100, split by

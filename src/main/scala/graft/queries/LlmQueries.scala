@@ -1089,6 +1089,32 @@ object LlmQueries extends QueryFamily {
     // (freq desc, token asc). Explode → partial-agg count → global top-k;
     // the map-side partial aggregation means the shuffle carries one row
     // per (partition, token), not per token occurrence.
+    // Corpus collocations by lift (log-free PMI): exact integer counts,
+    // one deterministic double division — ranking identical to PMI
+    // because log is monotone, without the transcendental engines round
+    // differently. The min-count prune bounds the join input at scale.
+    ("q_collocations",
+      (s: SparkSession, d: String) => {
+        TextStats.collocationLift(Tables.documents(s, d), "text", minCount = 5)
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(30)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+             |uniw AS (SELECT unnest(t) AS w FROM t),
+             |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM uniw GROUP BY w),
+             |n AS (SELECT CAST(SUM(c_w) AS DOUBLE) AS n_tok FROM uni),
+             |bp AS (
+             |  SELECT unnest(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+             |  FROM t),
+             |bi AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+             |  FROM bp GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+             |sc AS (
+             |  SELECT b.w1, b.w2, b.c_ab, u1.c_w AS c_1, u2.c_w AS c_2,
+             |    (CAST(b.c_ab AS DOUBLE) * (SELECT n_tok FROM n)) /
+             |      (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE)) AS lift
+             |  FROM bi b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w)
+             |SELECT * FROM sc ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin)),
+
     ("q_vocab_topk",
       (s: SparkSession, d: String) => {
         Tables.documents(s, d)

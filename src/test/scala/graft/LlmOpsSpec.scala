@@ -547,6 +547,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(agg.merge(TopKBuf(Vector.empty), seqBuf).items == seqBuf.items)
   }
 
+  test("collocation lift: planted phrase dominates and matches hand arithmetic") {
+    import graft.llmops.TextStats
+    import org.apache.spark.sql.functions._
+    // "new york" always co-occurs; "the cat" / "the dog" split "the"'s mass
+    val docs = Seq.fill(4)("new york the cat the dog").toDF("text")
+    val out = TextStats.collocationLift(docs, "text", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    // 24 tokens total; c(new york)=4, c(new)=4, c(york)=4 → lift = 4·24/(4·4)=6
+    assert(out(("new", "york")) == (4L, 6.0))
+    // c(the cat)=4, c(the)=8, c(cat)=4 → 4·24/(8·4) = 3
+    assert(out(("the", "cat")) == (4L, 3.0))
+    // cross-doc boundaries must NOT create bigrams: "dog new" never occurs
+    assert(!out.contains(("dog", "new")))
+  }
+
   test("lloyd step: centroids move toward their members and iterate cleanly") {
     import graft.llmops.{KMeansOps, Similarity}
     import org.apache.spark.sql.functions._
