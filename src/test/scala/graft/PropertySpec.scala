@@ -291,4 +291,42 @@ class PropertySpec extends SparkSpec {
       assert(chunks.map(_._3).sum == text.split(" ").length)
     }
   }
+
+  test("property: z-order is dominance-monotone and bijective on the grid") {
+    import org.apache.spark.sql.functions.col
+    val bits = 8
+    val coords = Gen.listOfN(2, Gen.chooseNum(0L, (1L << bits) - 1))
+    val rows = (1 to 200).map { s =>
+      val List(x, y) = gen(coords, s.toLong); (x, y)
+    }.distinct
+    val out = rows.toDF("x", "y")
+      .withColumn("z", graft.operators.ZOrder.zValue(Seq(col("x"), col("y")), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // componentwise dominance implies z dominance (locality: a query box's
+    // z-range always contains its points) …
+    for (((x1, y1), z1) <- out; ((x2, y2), z2) <- out
+         if x1 <= x2 && y1 <= y2)
+      assert(z1 <= z2, s"($x1,$y1)->$z1 vs ($x2,$y2)->$z2")
+    // … and distinct points get distinct keys (interleave is a bijection)
+    assert(out.values.toSeq.distinct.size == out.size)
+  }
+
+  test("property: bloom prune never drops a true join key") {
+    import org.apache.spark.sql.functions.col
+    val keys = Gen.listOfN(300, Gen.chooseNum(0L, 10000L))
+    for (seed <- 1 to 5) {
+      val factKeys = gen(keys, seed.toLong)
+      val dimKeys = gen(keys, seed + 100L).distinct.take(40)
+      val fact = factKeys.toDF("k")
+      val dim = dimKeys.toDF("dk")
+      val kept = graft.operators.BloomPrune
+        .semiReduce(fact, "k", dim, "dk", expectedItems = 64)
+        .collect().map(_.getLong(0))
+      // no false negatives: every fact row whose key IS in dim survives
+      // (false positives are allowed; the join removes them)
+      val truePositives = factKeys.filter(dimKeys.contains)
+      assert(truePositives.diff(kept).isEmpty,
+        s"seed $seed dropped true keys: ${truePositives.diff(kept).take(5)}")
+    }
+  }
 }
