@@ -65,6 +65,51 @@ object Funnel {
     }
   }
 
+  case class FunnelEvent(entity: String, etype: String, tsMillis: Long)
+  case class FunnelProgress(entity: String, deepest: Int, lastTsMillis: Long)
+
+  /** Streaming form of [[deepestStage]]: per-entity O(1) state
+    * (deepest stage reached, completing event's timestamp) advanced by
+    * `flatMapGroupsWithState` — emits a row whenever an entity's depth
+    * changes. Events are applied in timestamp order WITHIN a micro-batch;
+    * across batches the state machine assumes per-entity arrival is not
+    * so late that a stage-completing event precedes an already-consumed
+    * one (same strict `ts > lastTs` advance as the batch scan — a late
+    * event can never retro-advance; bound lateness upstream with a
+    * watermark if sources reorder). On an in-order stream the final state
+    * per entity equals the batch [[deepestStage]] row — parity-tested.
+    */
+  def advanceFunnel(stages: Seq[String])(
+      entity: String,
+      events: Iterator[FunnelEvent],
+      state: org.apache.spark.sql.streaming.GroupState[FunnelProgress]): Iterator[FunnelProgress] = {
+    val stageArr = stages.toArray
+    val prev = state.getOption.getOrElse(FunnelProgress(entity, 0, Long.MinValue))
+    var depth = prev.deepest
+    var lastTs = prev.lastTsMillis
+    events.toSeq.sortBy(e => (e.tsMillis, e.etype)).foreach { e =>
+      if (depth < stageArr.length && e.etype == stageArr(depth) && e.tsMillis > lastTs) {
+        lastTs = e.tsMillis
+        depth += 1
+      }
+    }
+    if (depth != prev.deepest) {
+      val st = FunnelProgress(entity, depth, lastTs)
+      state.update(st)
+      Iterator.single(st)
+    } else Iterator.empty
+  }
+
+  def deepestStageStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      stages: Seq[String]): org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val pEnc = E.product[FunnelProgress]
+    events.groupByKey(_.entity)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(advanceFunnel(stages))
+  }
+
   /** Per-stage entity counts from [[deepestStage]] (stage i counts every
     * entity that reached i or deeper). Every stage in 1..stages.length
     * gets a row — a stage nobody reached reports 0, matching the join

@@ -210,6 +210,45 @@ class StreamingSpec extends SparkSpec {
         s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
 
+  test("streaming funnel matches the batch scan across micro-batch splits") {
+    import graft.operators.Funnel
+    import graft.operators.Funnel.{FunnelEvent, FunnelProgress}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val events = Seq(
+      FunnelEvent("a", "view", 100L), FunnelEvent("a", "click", 200L),
+      FunnelEvent("a", "purchase", 300L),
+      FunnelEvent("b", "view", 100L), FunnelEvent("b", "purchase", 200L),
+      FunnelEvent("c", "click", 100L), // no view — never progresses
+      FunnelEvent("d", "view", 100L), FunnelEvent("d", "click", 100L)) // tie blocked
+    // ground truth: the batch scan over the same rows
+    import org.apache.spark.sql.functions.col
+    val batchDf = events.toDF("uid", "etype", "tsm")
+      .withColumn("ts", (col("tsm") / 1000).cast("timestamp"))
+    val expected = Funnel.deepestStage(batchDf, "uid", "etype", "ts", stages)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // stream it with DIFFERENT batch splits; the final per-entity state
+    // must be identical each time
+    for (cut <- Seq(events.length, 3, 5)) {
+      val input = MemoryStream[FunnelEvent]
+      val q = Funnel.deepestStageStream(input.toDS(), stages)
+        .writeStream.format("memory").queryName(s"funnel_stream_$cut")
+        .outputMode("append").start()
+      try {
+        events.grouped(cut).foreach { batch =>
+          input.addData(batch: _*)
+          q.processAllAvailable()
+        }
+        val got = sp.table(s"funnel_stream_$cut").as[FunnelProgress]
+          .collect().groupBy(_.entity)
+          .map { case (e, rows) => e -> rows.maxBy(_.deepest).deepest }
+        assert(got == expected, s"cut=$cut: $got vs $expected")
+      } finally q.stop()
+    }
+  }
+
   test("task state machine runs on the RocksDB state store backend") {
     val sp = spark
     import sp.implicits._
