@@ -176,6 +176,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("plan: bucketed range join is an equi-join, never a nested loop") {
+    // the operator's whole point: point-in-interval via bucket equi-join +
+    // refine, not the O(n·m) theta-join Spark would otherwise plan
+    val p = plan(SparkEntry.queries("q_range_join")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("plan: as-of nearest join is a union plus one window pass, no join operator") {
+    // union + single ordered window scan — no candidate-explosion join
+    // anywhere in the plan, and one hash shuffle for the window partition
+    // (the rangepartitioning exchange is the output orderBy)
+    val p = plan(SparkEntry.queries("q_asof_nearest")(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("plan: sessionize runs on a single shuffle of the entity key") {
+    val p = plan(SparkEntry.queries("q_sessionize")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("plan: funnel stages use hash joins, never a cartesian product") {
     val p = plan(SparkEntry.queries("q_funnel_conversion")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
