@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorExpressions.registrations.foreach(ext.injectFunction)
+    graft.functions.TextExpressions.registrations.foreach(ext.injectFunction)
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
       (es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))))

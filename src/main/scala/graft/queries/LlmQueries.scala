@@ -1089,6 +1089,24 @@ object LlmQueries extends QueryFamily {
     // (freq desc, token asc). Explode → partial-agg count → global top-k;
     // the map-side partial aggregation means the shuffle carries one row
     // per (partition, token), not per token occurrence.
+    // Winnowing-style document fingerprint: min over all 8-byte-window
+    // rolling polynomial hashes (native O(n) Rabin-Karp expression,
+    // graft_rolling_min_hash). No modulus — values stay under 2^53, so
+    // the fingerprint is exact integer arithmetic in both engines.
+    ("q_winnow_fingerprint",
+      (s: SparkSession, d: String) => {
+        import graft.functions.TextExpressions
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            greatest(length(col("text")) - 7, lit(0)).as("n_windows"),
+            TextExpressions.rollingMinHash(col("text"), w = 8, base = 31L).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |  CAST(GREATEST(length(text) - 7, 0) AS INT) AS n_windows,
+             |  ${graft.functions.TextExpressions.rollingMinHashSql("text", 8, 31L)} AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Corpus collocations by lift (log-free PMI): exact integer counts,
     // one deterministic double division — ranking identical to PMI
     // because log is monotone, without the transcendental engines round

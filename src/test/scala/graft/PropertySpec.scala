@@ -311,6 +311,27 @@ class PropertySpec extends SparkSpec {
     assert(out.values.toSeq.distinct.size == out.size)
   }
 
+  test("property: rolling min-hash equals the from-scratch window polynomial") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextExpressions
+    // random ASCII strings incl. lengths straddling the window size
+    val strGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString))
+    val rows = (1 to 120).map(s => (s.toLong, gen(strGen, s.toLong)))
+    val out = rows.toDF("id", "text")
+      .select(col("id"), TextExpressions.rollingMinHash(col("text"), 8, 31L).as("fp"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val pows = Array.iterate(1L, 8)(_ * 31L)
+    rows.foreach { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val expect =
+        if (b.length < 8) None
+        else Some((0 to b.length - 8).map(i =>
+          (0 until 8).map(k => (b(i + k) & 0xffL) * pows(k)).sum).min)
+      assert(out(id) == expect, s"id=$id text='$text'")
+    }
+  }
+
   test("property: bloom prune never drops a true join key") {
     import org.apache.spark.sql.functions.col
     val keys = Gen.listOfN(300, Gen.chooseNum(0L, 10000L))
