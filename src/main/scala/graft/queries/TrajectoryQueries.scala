@@ -33,6 +33,30 @@ object TrajectoryQueries extends QueryFamily {
              |  FROM r JOIN t ON t.seq = r.seq AND t.idx = r.idx + 1)
              |SELECT seq, idx, target, clamped FROM r ORDER BY seq, idx""".stripMargin)),
 
+    // Radial-distance simplification: keep a sample iff it moved ≥ eps
+    // from the last KEPT sample (first always kept) — trajectory storage
+    // decimation as the same single-shuffle recurrence as the rate clamp,
+    // with the recursive-CTE oracle carrying the last-kept state.
+    ("q_radial_simplify",
+      (s: SparkSession, d: String) => {
+        TrajectoryOps.radialSimplify(
+            Tables.events(s, d).filter(col("user_id") < 50),
+            "user_id", orderCols = Seq("ts", "event_id"), "value", eps = 20.0)
+          .orderBy("seq", "idx")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS seq,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS idx,
+             |    value FROM events WHERE user_id < 50),
+             |r(seq, idx, value, kept, last_kept) AS (
+             |  SELECT seq, idx, value, TRUE, value FROM t WHERE idx = 1
+             |  UNION ALL
+             |  SELECT t.seq, t.idx, t.value,
+             |    abs(t.value - r.last_kept) >= 20.0,
+             |    CASE WHEN abs(t.value - r.last_kept) >= 20.0 THEN t.value ELSE r.last_kept END
+             |  FROM r JOIN t ON t.seq = r.seq AND t.idx = r.idx + 1)
+             |SELECT seq, idx, value, kept FROM r ORDER BY seq, idx""".stripMargin)),
+
     // W8 — arc-length-uniform resample to 5 points per sequence with
     // linear interpolation (reference: nav_utils.py:233-271). lineitem
     // quantities are the segment lengths, extendedprice the sampled value.

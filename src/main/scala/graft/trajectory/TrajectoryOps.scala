@@ -121,6 +121,48 @@ object TrajectoryOps {
     }
   }
 
+  /** Radial-distance trajectory simplification: a sample is KEPT iff its
+    * value moved at least `eps` (absolute) from the last KEPT sample; the
+    * first sample per sequence is always kept. The standard streaming-
+    * friendly decimation for trajectory storage (the recursive cousin of
+    * the reference's fixed-count resample, nav_utils.py:233-271): dense
+    * idle stretches collapse to their endpoints while motion is preserved
+    * to ±eps. Output keeps EVERY row with a `kept` flag so the caller
+    * chooses between filtering and auditing the reduction rate.
+    *
+    * Same single-shuffle secondary-sort recurrence as [[rateClamp]]: the
+    * state is one double per sequence (the last kept value), not the
+    * clamped accumulator — O(1) task state at any trajectory length.
+    * Output idx is the 1-based position within the sequence under
+    * `orderCols`.
+    */
+  def radialSimplify(df: DataFrame, seqCol: String, orderCols: Seq[String],
+      valCol: String, eps: Double): DataFrame = {
+    val prepared = df
+      .repartition(col(seqCol))
+      .sortWithinPartitions((seqCol +: orderCols).map(col): _*)
+      .select(
+        col(seqCol).cast("string").as("seq"),
+        col(valCol).cast("double").as("value"))
+    implicit val enc = Encoders.row(StructType(Seq(
+      StructField("seq", StringType), StructField("idx", LongType),
+      StructField("value", DoubleType), StructField("kept", BooleanType))))
+    prepared.mapPartitions { rows =>
+      var cur: String = null
+      var lastKept = Double.NaN
+      var pos = 0L
+      rows.map { r =>
+        val seq = r.getString(0)
+        if (seq != cur) { cur = seq; lastKept = Double.NaN; pos = 0L }
+        pos += 1
+        val v = r.getDouble(1)
+        val keep = lastKept.isNaN || math.abs(v - lastKept) >= eps
+        if (keep) lastKept = v
+        Row(seq, pos, v, keep)
+      }
+    }
+  }
+
   /** W8 — arc-length-uniform resample to `n` points per sequence
     * (reference: nav_utils.py:233-271). Implemented as target generation
     * (`sequence` + `explode`) + a single ordered-window pass (union of

@@ -311,6 +311,32 @@ class PropertySpec extends SparkSpec {
     assert(out.values.toSeq.distinct.size == out.size)
   }
 
+  test("property: radial simplify keeps first, bounds dropped drift, matches reference scan") {
+    import org.apache.spark.sql.functions.col
+    import graft.trajectory.TrajectoryOps
+    val eps = 5.0
+    val vals = Gen.chooseNum(2, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-30.0, 30.0)))
+    val rows = (1 to 25).flatMap { s =>
+      gen(vals, s.toLong).zipWithIndex.map { case (v, i) => (s.toString, i.toLong, v) }
+    }
+    val out = TrajectoryOps.radialSimplify(
+        rows.toDF("sid", "i", "v"), "sid", Seq("i"), "v", eps)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    perSeq(out)(_._1).foreach { seq =>
+      val sorted = seq.sortBy(_._2)
+      assert(sorted.head._4, "first sample must be kept")
+      var lastKept = sorted.head._3
+      sorted.tail.foreach { case (_, _, v, kept) =>
+        if (kept) {
+          assert(math.abs(v - lastKept) >= eps, "kept sample moved less than eps")
+          lastKept = v
+        } else
+          assert(math.abs(v - lastKept) < eps, "dropped sample had drifted >= eps")
+      }
+    }
+  }
+
   test("property: rolling min-hash equals the from-scratch window polynomial") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextExpressions
