@@ -79,4 +79,37 @@ object Windows {
     val prev = lag(progress, 1).over(w(part, order))
     df.withColumn(as, prev.isNotNull && progress <= prev)
   }
+
+  /** Interval-union coverage: total DISTINCT covered duration per group
+    * from (possibly overlapping) [start, end] intervals — busy-time /
+    * uptime from sessions that overlap (the monitor's "how long was a
+    * worker actually rendering" view of its task intervals; double-counted
+    * overlap is the classic bug this operator exists to avoid).
+    *
+    * Merged-island form, no recursion: an interval starts a new island iff
+    * its start exceeds the running max end of everything before it
+    * (`cummax` window); islands then aggregate to [min start, max end] and
+    * coverage is the sum of island lengths. One hash shuffle on the group
+    * key: the window partitions by it and the island aggregation groups by
+    * a superset, so it stays partition-local. Exact in integer units —
+    * callers pass longs (e.g. micros).
+    */
+  def intervalCoverage(df: DataFrame, part: Seq[String], startCol: Column,
+      endCol: Column): DataFrame = {
+    val ws = w(part, Seq(startCol, endCol))
+    val prevMaxEnd = max(endCol).over(
+      ws.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = df
+      .withColumn("_new_island",
+        when(prevMaxEnd.isNull || startCol > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new_island")).over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((part.map(col) :+ col("_island")): _*)
+      .agg(min(startCol).as("_s"), max(endCol).as("_e"),
+        count(lit(1)).as("_n"))
+    islands.groupBy(part.map(col): _*)
+      .agg(sum(col("_e") - col("_s")).as("covered"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_n")).as("n_intervals"))
+  }
 }

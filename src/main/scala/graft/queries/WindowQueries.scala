@@ -148,6 +148,47 @@ object WindowQueries extends QueryFamily {
 
     // W9 — stall detection: progress did not increase vs previous poll
     // (reference: monitor.py:142-149).
+    // Interval-union coverage: distinct busy time per user from
+    // overlapping [ts, ts + value·1s] intervals — cummax island merge,
+    // one shuffle, exact integer micros (floor before the narrowing cast,
+    // per the repo's cross-engine convention).
+    ("q_interval_coverage",
+      (s: SparkSession, d: String) => {
+        val iv = Tables.events(s, d).select(
+          col("user_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            floor(col("value") * 1000000.0).cast("long")).as("e"))
+        Windows.intervalCoverage(iv, part = Seq("user_id"),
+            startCol = col("s"), endCol = col("e"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, epoch_us(ts) AS s,
+             |    epoch_us(ts) + CAST(FLOOR(value * 1000000.0) AS BIGINT) AS e
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, s, e,
+             |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM iv),
+             |isl AS (
+             |  SELECT user_id, s, e,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM m),
+             |g AS (
+             |  SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, CAST(SUM(me - ms) AS BIGINT) AS covered,
+             |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+             |  CAST(SUM(n) AS BIGINT) AS n_intervals
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     ("q_stall_detect",
       (s: SparkSession, d: String) => {
         Windows.stalled(Tables.events(s, d),

@@ -192,6 +192,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("plan: interval coverage rides one shuffle through window, islands, and rollup") {
+    // windows partition by user_id; both aggregations group by a superset
+    // of the partition key, so everything after the first exchange is
+    // partition-local (plus the rangepartitioning output orderBy)
+    val p = plan(SparkEntry.queries("q_interval_coverage")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("plan: sessionize runs on a single shuffle of the entity key") {
     val p = plan(SparkEntry.queries("q_sessionize")(spark, sf))
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)

@@ -311,6 +311,31 @@ class PropertySpec extends SparkSpec {
     assert(out.values.toSeq.distinct.size == out.size)
   }
 
+  test("property: interval coverage equals scalar merge incl. nesting and touching") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Windows
+    val iv = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n,
+      for { s <- Gen.chooseNum(0L, 1000L); len <- Gen.chooseNum(0L, 200L) }
+        yield (s, s + len)))
+    val rows = (1 to 25).flatMap { g =>
+      gen(iv, g.toLong).map { case (s, e) => (g.toLong, s, e) }
+    }
+    val out = Windows.intervalCoverage(rows.toDF("g", "s", "e"),
+        Seq("g"), col("s"), col("e"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, ivs) =>
+      // scalar reference: sort, merge overlapping-or-touching, sum lengths
+      val merged = ivs.map(t => (t._2, t._3)).sortBy(identity)
+        .foldLeft(List.empty[(Long, Long)]) {
+          case ((ms, me) :: rest, (s, e)) if s <= me =>
+            (ms, math.max(me, e)) :: rest
+          case (acc, (s, e)) => (s, e) :: acc
+        }
+      val (covered, islands) = (merged.map(i => i._2 - i._1).sum, merged.size)
+      assert(out(g) == (covered, islands.toLong), s"group $g")
+    }
+  }
+
   test("property: radial simplify keeps first, bounds dropped drift, matches reference scan") {
     import org.apache.spark.sql.functions.col
     import graft.trajectory.TrajectoryOps
