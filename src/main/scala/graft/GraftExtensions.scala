@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.TextExpressions.registrations.foreach(ext.injectFunction)
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
-      (es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))))
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_bloom_contains(bloom, value) takes 2 arguments, got ${es.length}")
+        BloomFilterMightContain(es(0), es(1))
+      }))
   }
 }

@@ -33,8 +33,25 @@ object Timebox {
     catch {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(tag)
+        // cancelJobGroup is async: without a bounded join, the abandoned
+        // worker can commit parquet AFTER the caller scrubs the output dir
+        // (a timed-out query would then look green), or its straggler jobs
+        // overlap the next query's run and skew Bench timings. Give the
+        // cancellation a grace window to actually land; if the worker is
+        // truly wedged past it, the caller's _FAILED marker still makes the
+        // gate treat any late-committed files as a hard fail.
+        t.join(TimeUnit.SECONDS.toMillis(graceSeconds))
+        if (t.isAlive)
+          System.err.println(
+            s"[timebox] $tag worker still alive ${graceSeconds}s after cancel — relying on _FAILED marker")
         throw new TimeoutException(s"$tag exceeded ${seconds}s — jobs cancelled")
       case e: ExecutionException => throw e.getCause
     }
   }
+
+  /** How long to wait for a cancelled worker to actually die before moving
+    * on. Cancellation normally lands in milliseconds; 30 s covers a task
+    * stuck in non-interruptible I/O without eating the harness budget. */
+  def graceSeconds: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CANCEL_GRACE_SEC", "30").toLong
 }

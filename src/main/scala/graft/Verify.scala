@@ -42,6 +42,12 @@ object Verify {
         Option(dir.listFiles()).foreach(_.foreach { f =>
           if (f.isFile) f.delete()
         })
+        // Belt-and-braces vs the cancel race: Timebox joins the cancelled
+        // worker with a grace period, but if a wedged task outlives it and
+        // commits parquet after this scrub, the marker still forces the
+        // gate to count the query as failed (check.py hard-fails on it).
+        Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
       }
     }
     if (failed.nonEmpty)

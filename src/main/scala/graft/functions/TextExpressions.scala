@@ -98,6 +98,8 @@ object TextExpressions {
     (FunctionIdentifier("graft_rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rolling_min_hash"),
       (es: Seq[Expression]) => {
+        require(es.length == 3,
+          s"graft_rolling_min_hash(text, window, base) takes 3 arguments, got ${es.length}")
         require(es(1).foldable && es(2).foldable,
           "graft_rolling_min_hash window and base must be literal")
         RollingMinHash(es(0),

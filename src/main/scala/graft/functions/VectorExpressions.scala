@@ -320,19 +320,35 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lo
 object VectorExpressions {
   import org.apache.spark.sql.functions.call_function
 
+  // Every builder checks arity first: without it a wrong argument count
+  // surfaces as IndexOutOfBoundsException instead of an analysis error
+  // naming the signature.
+  private def arity(name: String, sig: String, n: Int)(es: Seq[Expression]): Unit =
+    require(es.length == n, s"$name($sig) takes $n arguments, got ${es.length}")
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      (es: Seq[Expression]) => {
+        arity("graft_dot", "a, b", 2)(es)
+        DotProduct(es(0), es(1))
+      }),
     (FunctionIdentifier("graft_dist_sq"),
       new ExpressionInfo(classOf[SquaredDistance].getName, "graft_dist_sq"),
-      (es: Seq[Expression]) => SquaredDistance(es(0), es(1))),
+      (es: Seq[Expression]) => {
+        arity("graft_dist_sq", "a, b", 2)(es)
+        SquaredDistance(es(0), es(1))
+      }),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (es: Seq[Expression]) => SimHash64(es(0))),
+      (es: Seq[Expression]) => {
+        arity("graft_simhash64", "halves", 1)(es)
+        SimHash64(es(0))
+      }),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (es: Seq[Expression]) => {
+        arity("graft_minhash_sig", "hashes, as, bs, prime", 4)(es)
         def longs(e: Expression): Seq[Long] = {
           require(e.foldable, "graft_minhash_sig coefficients must be literal")
           e.eval().asInstanceOf[ArrayData].toLongArray().toSeq

@@ -178,7 +178,11 @@ object TextStats {
     * (vocabulary-sized — Zipf makes it tiny next to the corpus) and a
     * broadcast 1-row token total. `minCount` prunes the bigram tail
     * BEFORE the joins, which is what bounds the join input at corpus
-    * scale.
+    * scale. The unigram aggregate is materialized once
+    * (localCheckpoint, same precedent as the dedup pair table): it feeds
+    * three consumers (two joins + the token total), and without the
+    * checkpoint each would re-tokenize the whole corpus — 3 scans
+    * instead of the 2 this doc promises.
     */
   def collocationLift(docs: DataFrame, textCol: String,
       minCount: Long): DataFrame = {
@@ -186,6 +190,7 @@ object TextStats {
     val base = docs.select(tokens(col(textCol)).as("t"))
     val uni = base.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
+      .localCheckpoint()
     val nTok = uni.agg(sum("c_w").cast("double").as("n_tok"))
     val pairs = base.select(explode(when(size(col("t")) >= 2,
         transform(sequence(lit(1), size(col("t")) - 1),

@@ -138,7 +138,12 @@ object TrajectoryOps {
     */
   def radialSimplify(df: DataFrame, seqCol: String, orderCols: Seq[String],
       valCol: String, eps: Double): DataFrame = {
+    // NULL samples are dropped up front (same convention as
+    // Funnel.deepestStage): Row.getDouble would silently read a null as
+    // 0.0, diverging from SQL NULL propagation — a null position is a
+    // missing sample, not a sample at the origin.
     val prepared = df
+      .filter(col(seqCol).isNotNull && col(valCol).isNotNull)
       .repartition(col(seqCol))
       .sortWithinPartitions((seqCol +: orderCols).map(col): _*)
       .select(

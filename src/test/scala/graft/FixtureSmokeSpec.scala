@@ -54,6 +54,22 @@ class FixtureSmokeSpec extends SparkSpec {
       s"events.ts out of plausible range: years ${yr.getInt(0)}..${yr.getInt(1)}")
   }
 
+  test("documents.text is ASCII — the q_winnow_fingerprint oracle precondition") {
+    // The winnowing parity holds because Spark hashes UTF-8 BYTES while the
+    // DuckDB oracle hashes per-character ascii(); the two agree only when
+    // every document is pure ASCII (1 byte = 1 char = same code point). If
+    // a future fixture generation ships a non-ASCII doc, fail HERE at the
+    // harness–fixture contract, not as an opaque FLOATDIFF in the gate.
+    import org.apache.spark.sql.functions._
+    Seq(sfDir, "/root/testdata/sf0.01").filter(d => new java.io.File(d).isDirectory)
+      .foreach { d =>
+        val bad = Tables.documents(spark, d)
+          .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+        assert(bad == 0L,
+          s"$d/documents has $bad non-ASCII texts — winnow oracle parity broken")
+      }
+  }
+
   test("key columns used by operators exist with expected types") {
     assume(fixturePresent, s"$sfDir not present")
     def typeOf(df: org.apache.spark.sql.DataFrame, c: String) = df.schema(c).dataType

@@ -79,6 +79,11 @@ def main(sfdir, outdir):
     names = sorted(dirs | set(oracle))
     npass = nfail = 0
     for name in names:
+        # A _FAILED marker (written by Verify on exception/timeout) is a hard
+        # fail even if a cancelled straggler committed parquet afterwards.
+        if os.path.exists(f"{outdir}/{name}/_FAILED"):
+            msg = open(f"{outdir}/{name}/_FAILED").read().strip()
+            print(f"FAIL   {name}: _FAILED marker: {msg}"); nfail += 1; continue
         sp = load_spark(outdir, name)
         if sp is None:
             print(f"MISS   {name}: no spark output"); nfail += 1; continue
