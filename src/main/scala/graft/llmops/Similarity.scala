@@ -133,6 +133,67 @@ object Similarity {
       .select("query_id", "bucket", "cand_id", "cosine", "rank")
   }
 
+  /** Multi-probe LSH top-k — the recall repair the single-probe form's
+    * scaladoc promises. A vector whose dot with plane j is near zero sits
+    * on that hyperplane's boundary: its j-th signature bit is the one a
+    * true near neighbor is likeliest to disagree on. So each QUERY probes
+    * its own bucket plus the `nProbe` buckets obtained by flipping the
+    * lowest-|margin| bits (|dot| ascending, plane index ascending on
+    * ties), while candidates stay in their one home bucket.
+    *
+    * Scale shape vs [[lshTopK]]: identical equi-join on `bucket` — only
+    * the query side of the exchange grows, by a factor of (nProbe+1);
+    * the corpus-sized candidate side is still hashed once. That is the
+    * whole point of multi-probe over lowering nPlanes: recall rises
+    * without inflating every bucket's candidate population (which would
+    * grow the join output quadratically per bucket). The per-plane dots
+    * are materialized once in `_dots` — deriving bucket and margins from
+    * the same array column, not re-evaluating 2·nPlanes dot folds.
+    *
+    * Probe buckets are pairwise distinct by construction (XOR with
+    * distinct nonzero one-bit masks), so a (query, candidate) pair can
+    * match on at most one probe — no pair-level dedup is needed.
+    */
+  def multiProbeTopK(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dim: Int, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 0 && nProbe <= nPlanes,
+      s"nProbe must be in [0, nPlanes=$nPlanes], got $nProbe")
+    val v = col(vecCol).cast("array<double>")
+    val planeDots = (0 until nPlanes).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeSign(j, i))): _*)
+      VectorMath.dotAuto(v, plane, dim)
+    }
+    val dotAt = (j: Int) => element_at(col("_dots"), j + 1)
+    val bucket = (0 until nPlanes)
+      .map(j => when(dotAt(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    // (|margin|, plane, mask) structs sort ascending exactly like the
+    // oracle's ORDER BY m, j — mask rides along for the XOR.
+    val margins = array((0 until nPlanes).map { j =>
+      struct(abs(dotAt(j)).as("m"), lit(j).as("j"), lit(1L << j).as("mask"))
+    }: _*)
+    val sigs = df
+      .select(col(idCol), VectorMath.precast(col(vecCol)).as("_v"),
+        array(planeDots: _*).as("_dots"))
+      .withColumn("_n", VectorMath.normAuto(col("_v"), dim))
+      .withColumn("bucket", bucket)
+    val qProbes = sigs
+      .withColumn("_flips", slice(sort_array(margins), 1, nProbe))
+      .select(col(idCol).as("query_id"), col("_v").as("_qv"), col("_n").as("_qn"),
+        explode(concat(array(col("bucket")),
+          transform(col("_flips"),
+            f => col("bucket").bitwiseXOR(f.getField("mask"))))).as("bucket"))
+    val cands = sigs.select(col(idCol).as("cand_id"), col("_v").as("_cv"),
+      col("_n").as("_cn"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    qProbes.join(cands, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", pairCosine(dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b)
     * pair with cosine ≥ threshold. O(n²) baseline — correct by
     * construction, and the oracle for the LSH variant below. */

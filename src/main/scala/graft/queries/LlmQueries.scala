@@ -840,6 +840,57 @@ object LlmQueries extends QueryFamily {
            |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // Multi-probe LSH top-k: queries additionally probe the nProbe buckets
+    // reached by flipping their lowest-|margin| signature bits. The planes
+    // are the same md5-derived constants, and the probe selection (|dot|
+    // asc, plane asc) is integer/float-deterministic — so the whole
+    // multi-probe path hash-verifies against DuckDB, including WHICH
+    // buckets each query probes, not just the final neighbor set.
+    ("q_lsh_multiprobe",
+      (s: SparkSession, d: String) => {
+        Similarity.multiProbeTopK(Tables.embeddings(s, d),
+            idCol = "vec_id", vecCol = "embedding",
+            nPlanes = 8, dim = 64, k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        def dotSql(j: Int) = s"list_reduce(list_transform(range(1, len(e)+1), " +
+          s"i -> e[i] * (${Similarity.planeSqlLiteral(j, 64)})[i]), (a,b) -> a+b)"
+        val dotsArr = (0 until 8).map(dotSql).mkString("[", ", ", "]")
+        val bucketSql = (0 until 8)
+          .map(j => s"(CASE WHEN dots[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH n AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
+           |  FROM embeddings),
+           |d AS (
+           |  SELECT vec_id, e, nrm, $dotsArr AS dots FROM n),
+           |b AS (
+           |  SELECT vec_id, e, nrm, dots, CAST($bucketSql AS BIGINT) AS bucket FROM d),
+           |f AS (
+           |  SELECT vec_id, bucket, CAST(1 << r.j AS BIGINT) AS mask,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY abs(dots[r.j + 1]) ASC, r.j ASC) AS rk
+           |  FROM b, range(0, 8) r(j)),
+           |probes AS (
+           |  SELECT vec_id AS query_id, bucket FROM b
+           |  UNION ALL
+           |  SELECT vec_id AS query_id, xor(bucket, mask) AS bucket FROM f WHERE rk <= 2),
+           |pairs AS (
+           |  SELECT p.query_id, c.vec_id AS cand_id,
+           |    list_reduce(list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i]), (x,y) -> x+y)
+           |      / (q.nrm * c.nrm) AS cosine
+           |  FROM probes p
+           |  JOIN b q ON p.query_id = q.vec_id
+           |  JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.query_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM pairs)
+           |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
+
     // PII redaction: email/phone/IPv4 scrub. The corpus text is synthetic
     // word soup with no PII, so contact strings are planted
     // deterministically from doc_id in BOTH engines, then redacted — the

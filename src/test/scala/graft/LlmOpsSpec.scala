@@ -184,6 +184,38 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH: nProbe=0 degenerates to single-probe; probing raises recall") {
+    // perturbed clones (not identical copies): small noise puts some true
+    // neighbors across a hyperplane boundary, which is exactly the case
+    // multi-probe exists for — identical copies can never split buckets.
+    val vecs = (0 until 40).map { i =>
+      val base = new scala.util.Random(i % 10)
+      val noise = new scala.util.Random(1000 + i)
+      (i.toLong, Array.fill(16)(base.nextFloat() * 2 - 1 +
+        (if (i < 10) 0f else noise.nextFloat() * 0.14f - 0.07f)))
+    }.toDF("vec_id", "embedding")
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val exact = hits(Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3, dim = 16))
+    val single = hits(Similarity.lshTopK(vecs, "vec_id", "embedding",
+      nPlanes = 6, dim = 16, k = 3))
+    val zeroProbe = hits(Similarity.multiProbeTopK(vecs, "vec_id", "embedding",
+      nPlanes = 6, dim = 16, k = 3, nProbe = 0))
+    val multi = hits(Similarity.multiProbeTopK(vecs, "vec_id", "embedding",
+      nPlanes = 6, dim = 16, k = 3, nProbe = 2))
+    assert(zeroProbe == single,
+      "nProbe=0 must reproduce the single-probe result exactly")
+    def recall(found: Set[(Long, Long)]) =
+      (found & exact).size.toDouble / exact.size
+    assert(recall(multi) >= recall(single),
+      s"multi-probe recall ${recall(multi)} < single-probe ${recall(single)}")
+    // the fixture must actually exercise the boundary case: single-probe
+    // misses some true neighbors, and probing 2 extra buckets finds more
+    assert(recall(single) < 1.0, "fixture too easy — nothing straddles a boundary")
+    assert(recall(multi) > recall(single),
+      "multi-probe found nothing beyond single-probe — probe selection inert")
+  }
+
   test("cosine near-dup: LSH pairs are a subset of exact pairs, clones found") {
     val vecs = (0 until 30).map { i =>
       val rng = new scala.util.Random(i % 10) // 10 distinct vectors, 3 copies each
