@@ -17,6 +17,60 @@ import graft.llmops.VectorMath
   */
 object Knn {
 
+  /** Bucketed-grid exact kNN for low-dimensional SPATIAL points — the
+    * scale path [[bruteForce]]'s scaladoc defers to for large point sets
+    * outside embedding space (SURVEY J11 maps the reference's navmesh KNN
+    * to "broadcast cross-join or bucketed grid join"; this is the latter,
+    * the spatial analog of `RangeJoin.bucketedJoin`).
+    *
+    * Each point keys to its grid cell (floor(coord/cellSize) per axis);
+    * the SOURCE side fans out to its 3^d neighbor cells and equi-joins
+    * the candidate side on the composite cell key, then a windowed top-k
+    * keeps the k nearest. EXACT — not approximate — whenever
+    * `cellSize >= max over points of the k-th-neighbor distance`: every
+    * true neighbor then lies within one cell of its source, so the
+    * candidate set contains the full answer (GraphSpec asserts this
+    * containment against [[bruteForce]]).
+    *
+    * Scale shape: no broadcast, no cross join — one shuffle of each side
+    * on the cell key (source side ×3^d), per-cell join products bounded
+    * by local density. This is the form that survives millions of points
+    * where the broadcast baseline's |points|² blows up.
+    */
+  def gridKnn(points: DataFrame, idCol: String, coordCols: Seq[String],
+      k: Int, cellSize: Double): DataFrame = {
+    require(coordCols.nonEmpty && coordCols.size <= 4,
+      s"gridKnn is for low-dimensional spatial points; got ${coordCols.size} axes " +
+        "(3^d probe cells — use the LSH/IVF paths for embedding-dimensional data)")
+    val d = coordCols.size
+    def base(idAs: String, prefix: String) = points.select(
+      (col(idCol).as(idAs) +:
+        coordCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"$prefix$i") }): _*)
+    val cands = base("dst_id", "_b").select(
+      (col("dst_id") +: (0 until d).map(i => col(s"_b$i")) :+
+        struct((0 until d).map(i =>
+          floor(col(s"_b$i") / cellSize).cast("long").as(s"c$i")): _*).as("_cell")): _*)
+    // every {-1,0,1}^d offset — the source row fans out to each neighbor
+    // cell it must probe
+    val offsets = (0 until d).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
+      acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)) }
+    val src = base("src_id", "_a").withColumn("_cell",
+        explode(array(offsets.map(off => struct((0 until d).map { i =>
+          (floor(col(s"_a$i") / cellSize).cast("long") + off(i)).as(s"c$i")
+        }: _*)): _*)))
+    val dist = sqrt((0 until d).map { i =>
+      val diff = col(s"_a$i") - col(s"_b$i"); diff * diff
+    }.reduce(_ + _))
+    val w = Window.partitionBy("src_id").orderBy(col("dist").asc, col("dst_id").asc)
+    src.join(cands, Seq("_cell"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src_id", "dst_id", "dist", "rank")
+  }
+
   /** Exact kNN among rows of `points` (id, vec). Excludes self-pairs.
     * Output: (src_id, dst_id, dist, rank) with rank 1..k per src, ties
     * broken by dst id for determinism.

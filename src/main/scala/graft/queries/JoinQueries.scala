@@ -141,6 +141,35 @@ object JoinQueries extends QueryFamily {
              |SELECT src_id, dst_id, dist, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin)),
 
+    // J11 scale path — bucketed-grid kNN over a 3-D spatial projection
+    // (first three embedding components). The ORACLE is the brute-force
+    // all-pairs SQL: the hash compare itself proves the grid join is
+    // EXACT on this fixture (cellSize 0.25 > the measured max 3rd-neighbor
+    // distance ~0.20 at sf0.1), not merely approximate.
+    ("q_knn_grid",
+      (s: SparkSession, d: String) => {
+        val pts = Tables.embeddings(s, d).select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y"),
+          element_at(col("embedding"), 3).cast("double").as("z"))
+        Knn.gridKnn(pts, "vec_id", Seq("x", "y", "z"), k = 3, cellSize = 0.25)
+          .orderBy("src_id", "rank")
+      },
+      Some("""WITH pts AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |p AS (SELECT vec_id, e[1] AS x, e[2] AS y, e[3] AS z FROM pts),
+             |pairs AS (
+             |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             |    sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+             |      + (a.z-b.z)*(a.z-b.z)) AS dist
+             |  FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY src_id
+             |    ORDER BY dist ASC, dst_id ASC) AS rank
+             |  FROM pairs)
+             |SELECT src_id, dst_id, dist, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin)),
+
     // Salted skew join: the explicit hot-key mitigation (salt the skewed
     // probe side, replicate the dim side per salt). Result set must be
     // IDENTICAL to the plain equi-join for any salt routing — which is

@@ -41,6 +41,31 @@ class GraphSpec extends SparkSpec {
       canon(ConnectedComponents.localUnionFind(df)))
   }
 
+  test("grid kNN equals brute force when cellSize covers the k-th-neighbor radius") {
+    import graft.graph.Knn
+    import org.apache.spark.sql.functions.col
+    // deterministic 2-D scatter: enough spread that cells actually prune,
+    // clustered enough that neighbors share cells
+    val rng = new scala.util.Random(42)
+    val pts = (0 until 120).map(i =>
+      (i.toLong, rng.nextDouble() * 10, rng.nextDouble() * 10)).toDF("id", "x", "y")
+    val vecs = pts.select(col("id"),
+      org.apache.spark.sql.functions.array(col("x"), col("y")).as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"), r.getAs[Int]("rank"))).toSet
+    val brute = Knn.bruteForce(vecs, "id", "v", k = 3, dim = 2)
+    // exactness precondition, measured not assumed: cellSize must be >= the
+    // largest 3rd-neighbor distance in this fixture
+    val maxKDist = brute.filter(col("rank") === 3)
+      .agg(org.apache.spark.sql.functions.max("dist")).head().getDouble(0)
+    val cellSize = 3.0
+    assert(maxKDist <= cellSize,
+      s"fixture violates the grid exactness precondition: $maxKDist > $cellSize")
+    val grid = Knn.gridKnn(pts, "id", Seq("x", "y"), k = 3, cellSize = cellSize)
+    assert(rows(grid) == rows(brute),
+      "grid kNN must return exactly the brute-force answer under the precondition")
+  }
+
   test("island ratios filter and order") {
     val comp = ConnectedComponents.components(edges)
     val islands = ConnectedComponents.islandRatios(comp, minRatio = 0.3)
