@@ -33,6 +33,59 @@ object TrajectoryQueries extends QueryFamily {
              |  FROM r JOIN t ON t.seq = r.seq AND t.idx = r.idx + 1)
              |SELECT seq, idx, target, clamped FROM r ORDER BY seq, idx""".stripMargin)),
 
+    // E8 matrix kernel in isolation: q_extrinsic_export stays golden-only
+    // (seeded-RNG upstream), but the 4×4 view-matrix math itself is pure —
+    // fed deterministic lineitem-derived poses it hash-verifies against
+    // DuckDB trig. The oracle mirrors the JVM arithmetic exactly: same
+    // association order, and radians() for the degree conversion — measured
+    // bit-identical to Java's Math.toRadians on all 360 integer degrees,
+    // whereas the spelled-out `deg / 180.0 * pi()` form diverges on 90 of
+    // them (DuckDB evaluates that expression differently).
+    ("q_extrinsic_matrix",
+      (s: SparkSession, d: String) => {
+        val poses = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 17 === 0)
+          .select(
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("frame"),
+            (col("l_quantity") * 37.0).as("px"),
+            (col("l_extendedprice") * 0.001).as("py"),
+            (col("l_discount") * 1000.0).as("pz"),
+            ((col("l_orderkey") * 7) % 360 - 180).cast("double").as("roll"),
+            ((col("l_partkey") * 11) % 360 - 180).cast("double").as("pitch"),
+            ((col("l_suppkey") * 53) % 360 - 180).cast("double").as("yaw"))
+        Extrinsics.extrinsicRows(poses, "frame",
+            "px", "py", "pz", "roll", "pitch", "yaw")
+          .orderBy("frame")
+      },
+      Some("""WITH poses AS (
+             |  SELECT l_orderkey * 10 + l_linenumber AS frame,
+             |    l_quantity * 37.0 AS px, l_extendedprice * 0.001 AS py,
+             |    l_discount * 1000.0 AS pz,
+             |    CAST((l_orderkey * 7) % 360 - 180 AS DOUBLE) AS roll,
+             |    CAST((l_partkey * 11) % 360 - 180 AS DOUBLE) AS pitch,
+             |    CAST((l_suppkey * 53) % 360 - 180 AS DOUBLE) AS yaw
+             |  FROM lineitem WHERE l_orderkey % 17 = 0),
+             |t AS (
+             |  SELECT frame,
+             |    cos(radians(yaw)) AS cy, sin(radians(yaw)) AS sy,
+             |    cos(radians(pitch)) AS cp, sin(radians(pitch)) AS sp,
+             |    cos(radians(roll)) AS cr, sin(radians(roll)) AS sr,
+             |    px * 0.01 AS tx, py * 0.01 AS ty, pz * 0.01 AS tz
+             |  FROM poses),
+             |r AS (
+             |  SELECT frame, tx, ty, tz,
+             |    cy * cp AS r00, cy * sp * sr - sy * cr AS r01, cy * sp * cr + sy * sr AS r02,
+             |    sy * cp AS r10, sy * sp * sr + cy * cr AS r11, sy * sp * cr - cy * sr AS r12,
+             |    -sp AS r20, cp * sr AS r21, cp * cr AS r22
+             |  FROM t)
+             |SELECT frame,
+             |  r00 AS m00, r10 AS m01, r20 AS m02, -(r00 * tx + r10 * ty + r20 * tz) AS m03,
+             |  r01 AS m10, r11 AS m11, r21 AS m12, -(r01 * tx + r11 * ty + r21 * tz) AS m13,
+             |  r02 AS m20, r12 AS m21, r22 AS m22, -(r02 * tx + r12 * ty + r22 * tz) AS m23,
+             |  CAST(0 AS DOUBLE) AS m30, CAST(0 AS DOUBLE) AS m31,
+             |  CAST(0 AS DOUBLE) AS m32, CAST(1 AS DOUBLE) AS m33
+             |FROM r ORDER BY frame""".stripMargin)),
+
     // Radial-distance simplification: keep a sample iff it moved ≥ eps
     // from the last KEPT sample (first always kept) — trajectory storage
     // decimation as the same single-shuffle recurrence as the rate clamp,
