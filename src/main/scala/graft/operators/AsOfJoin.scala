@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Tie-break: equal distance prefers the preceding key; a key at exactly
   * the query time wins outright (keys sort before queries at equal time).
+  *
+  * The key's time and ALL value columns travel as one packed struct, so
+  * the pass runs exactly TWO running windows (last-preceding +
+  * first-following) over the single sort regardless of how many value
+  * columns are attached — per-value windows would cost 2·V window states
+  * on wide payloads.
   */
 object AsOfJoin {
 
@@ -35,24 +41,28 @@ object AsOfJoin {
       queryTime: String,
       keyTime: String,
       keyValues: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val qCols = queries.columns.toSeq
+    // key time + every value column ride in ONE struct: query rows carry a
+    // null struct, so a single last/first(ignoreNulls) pair recovers the
+    // whole key payload — 2 window states total, independent of V
+    val packType = StructType(StructField("_kt", DoubleType) +:
+      keyValues.map(v => StructField(v, keys.schema(v).dataType)))
     val q = queries
       .withColumn("_t", col(queryTime).cast("double"))
       .withColumn("_isq", lit(1))
-      .withColumn("_kt", lit(null).cast("double"))
-    val qAligned = keyValues.foldLeft(q)((df, v) =>
-      df.withColumn(s"_v_$v", lit(null).cast(keys.schema(v).dataType)))
+      .withColumn("_pack", lit(null).cast(packType))
     val k0 = keys
       .withColumn("_t", col(keyTime).cast("double"))
       .withColumn("_isq", lit(0))
-      .withColumn("_kt", col(keyTime).cast("double"))
-    val kAligned0 = keyValues.foldLeft(k0)((df, v) => df.withColumn(s"_v_$v", col(v)))
+      .withColumn("_pack", struct(
+        (col(keyTime).cast("double").as("_kt") +: keyValues.map(col)): _*))
     // align schemas for the union
-    val unionCols = (partCols ++ Seq("_t", "_isq", "_kt") ++ keyValues.map(v => s"_v_$v") ++
-      qCols.filterNot(c => partCols.contains(c))).distinct
-    val kAligned = qCols.filterNot(c => partCols.contains(c) || kAligned0.columns.contains(c))
-      .foldLeft(kAligned0)((df, c) => df.withColumn(c, lit(null).cast(queries.schema(c).dataType)))
-    val all = qAligned.selectExpr(unionCols.map(c => s"`$c`"): _*)
+    val unionCols = (partCols ++ Seq("_t", "_isq", "_pack") ++
+      qCols.filterNot(partCols.contains)).distinct
+    val kAligned = qCols.filterNot(c => partCols.contains(c) || k0.columns.contains(c))
+      .foldLeft(k0)((df, c) => df.withColumn(c, lit(null).cast(queries.schema(c).dataType)))
+    val all = q.selectExpr(unionCols.map(c => s"`$c`"): _*)
       .unionByName(kAligned.selectExpr(unionCols.map(c => s"`$c`"): _*))
 
     // keys sort before queries at equal time → an exact-time key lands in
@@ -63,24 +73,22 @@ object AsOfJoin {
     val wNext = Window.partitionBy(partCols.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val annotated = keyValues.foldLeft(
-      all
-        .withColumn("_prev_t", last(col("_kt"), ignoreNulls = true).over(wPrev))
-        .withColumn("_next_t", first(col("_kt"), ignoreNulls = true).over(wNext))
-    ) { (df, v) =>
-      df.withColumn(s"_prev_$v", last(col(s"_v_$v"), ignoreNulls = true).over(wPrev))
-        .withColumn(s"_next_$v", first(col(s"_v_$v"), ignoreNulls = true).over(wNext))
-    }
+    val annotated = all
+      .withColumn("_prev", last(col("_pack"), ignoreNulls = true).over(wPrev))
+      .withColumn("_next", first(col("_pack"), ignoreNulls = true).over(wNext))
+    val prevT = col("_prev").getField("_kt")
+    val nextT = col("_next").getField("_kt")
 
     val takePrev: Column =
-      col("_next_t").isNull ||
-        (col("_prev_t").isNotNull &&
-          (col("_t") - col("_prev_t")) <= (col("_next_t") - col("_t")))
+      col("_next").isNull ||
+        (col("_prev").isNotNull &&
+          (col("_t") - prevT) <= (nextT - col("_t")))
 
     val result = annotated.filter(col("_isq") === 1)
-      .withColumn("matched_time", when(takePrev, col("_prev_t")).otherwise(col("_next_t")))
+      .withColumn("matched_time", when(takePrev, prevT).otherwise(nextT))
     val withVals = keyValues.foldLeft(result) { (df, v) =>
-      df.withColumn(v, when(takePrev, col(s"_prev_$v")).otherwise(col(s"_next_$v")))
+      df.withColumn(v, when(takePrev, col("_prev").getField(v))
+        .otherwise(col("_next").getField(v)))
     }
     withVals.select((qCols.map(col) ++ Seq(col("matched_time")) ++ keyValues.map(col)): _*)
   }

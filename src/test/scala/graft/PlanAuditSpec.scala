@@ -437,4 +437,28 @@ class PlanAuditSpec extends SparkSpec {
     // range-partitioned Sort over the k·|Q| result rows is fine)
     assert(!p.contains("Window"), p)
   }
+
+  test("plan: near-dup cosine threshold stays ABOVE the nested-loop join") {
+    // Similarity.thresholdAboveJoin's barrier rests on an undocumented
+    // Catalyst contract: nondeterministic predicates are never pushed
+    // through a join. If a future Spark starts pushing them, the dot
+    // product moves into the BroadcastNestedLoopJoin condition — evaluated
+    // per candidate pair and re-evaluated in the output projection,
+    // measured ~5× slower. This pins the plan so that change goes red
+    // here, not in a bench regression.
+    val p = plan(Similarity.cosineNearDupPairs(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", 0.8, dim = 64))
+    val joinLines = p.linesIterator.filter(_.contains("NestedLoopJoin")).toList
+    assert(joinLines.nonEmpty, p)
+    joinLines.foreach { l =>
+      assert(!l.contains("graft_dot") && !l.contains("element_at") && !l.contains("cosine"),
+        s"cosine threshold was pushed into the join condition:\n$l")
+    }
+    // and the threshold must still exist somewhere above: a Filter that
+    // references the cosine (inlined as the native graft_dot kernel at
+    // this dim, or the element_at fold / named column in other shapes)
+    assert(p.linesIterator.exists(l => l.contains("Filter") &&
+      (l.contains("graft_dot") || l.contains("cosine") || l.contains("element_at"))),
+      s"no Filter above the join carries the cosine threshold:\n$p")
+  }
 }
