@@ -85,9 +85,26 @@ object Bench {
     val failures = results.collect { case (k, None) => k }
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    // Streaming throughput (rows/s, rate source, RocksDB backend): the one
+    // surface with a real reference throughput requirement (queue-depth
+    // alarms). Off-switch for fast local iteration; failures report a
+    // null rather than voiding the batch numbers.
+    val streaming =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") ""
+      else try {
+        graft.streaming.StateBackends.rocksDb.foreach { case (k, v) =>
+          spark.conf.set(k, v) }
+        val t = graft.streaming.StreamBench.taskStatesThroughput(spark)
+        val f = graft.streaming.StreamBench.funnelThroughput(spark)
+        f""","streaming":{"task_states_rows_per_sec":$t%.0f,"funnel_rows_per_sec":$f%.0f}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
+          ""","streaming":null"""
+      }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failures.length},"errors":$errs,"sf":"$sfDir"}"""
+      s""""failed":${failures.length},"errors":$errs,"sf":"$sfDir"$streaming}"""
     println(line)
     // Stdout-tail scraping truncated the timing object in r3/r4
     // (BENCH parsed:null) — persist the full line to a file too.

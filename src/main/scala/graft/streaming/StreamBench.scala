@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+import graft.streaming.TaskStateMachine.TaskEvent
+
+/** Streaming micro-benchmark: sustained rows/s of the two stateful
+  * streaming operators with a real throughput requirement (the reference's
+  * queue surface alarms on depth > 1000 — structure.md), measured under a
+  * rate source on the RocksDB state backend.
+  *
+  * Throughput is computed as processed rows / trigger-EXECUTION time (not
+  * wall time), so the number approximates the operator's capacity even
+  * when the source rate is below it. Keys cycle through a bounded id
+  * space: the task lifecycle reaches
+  * `completed` and frees its state slot, so state size stays O(live keys)
+  * for the whole run — the same bounded-state claim the operators make.
+  *
+  * Reported per query as processed rows / trigger-execution time, summed
+  * over post-warmup micro-batches (the first two batches pay source and
+  * state-store cold start).
+  */
+object StreamBench {
+
+  private def measure(out: Dataset[_], name: String, seconds: Int): Double = {
+    val dir = Files.createTempDirectory(s"graft-sbench-$name").toString
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation", dir).start()
+    try {
+      // batch 0 swallows the accumulated backlog plus source/state-store
+      // cold start, so it's excluded; wait (bounded) until ≥3 post-warmup
+      // batches exist rather than sleeping blind — under backlog a single
+      // batch can outlast any fixed sleep and leave zero samples
+      val deadline = System.nanoTime() + seconds * 3 * 1000000000L
+      def prog = q.recentProgress.filter(_.batchId >= 1)
+      while (prog.length < 3 && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      val samples = prog
+      val rows = samples.map(_.numInputRows).sum
+      val execMs = samples.map(p =>
+        p.durationMs.getOrDefault("triggerExecution", 0L).toDouble).sum
+      if (execMs > 0) rows / (execMs / 1000.0) else 0.0
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+  }
+
+  /** Rate rows → task lifecycle events: each task id cycles
+    * queued → assigned → rendering → completed (terminal frees the state
+    * slot), keeping live state bounded while every row hits the state
+    * machine. */
+  def taskEventStream(spark: SparkSession, rowsPerSec: Long,
+      nKeys: Int): Dataset[TaskEvent] = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSec)
+      .option("numPartitions", 8).load()
+      .select(
+        concat(lit("t"), pmod(col("value"), lit(nKeys))).as("taskId"),
+        element_at(
+          array(lit("queued"), lit("assigned"), lit("rendering"), lit("completed")),
+          (pmod(col("value") / nKeys, lit(4)) + 1).cast("int")).as("status"),
+        concat(lit("w"), pmod(col("value"), lit(64))).as("workerId"),
+        col("value").as("tsMillis"),
+        lit("").as("error"))
+      .as[TaskEvent]
+  }
+
+  def taskStatesThroughput(spark: SparkSession, seconds: Int = 12,
+      rowsPerSec: Long = 500000L, nKeys: Int = 100000): Double =
+    measure(TaskStateMachine.taskStates(
+      taskEventStream(spark, rowsPerSec, nKeys)), "taskstates", seconds)
+
+  private val FunnelStages = Seq("visit", "signup", "activate", "purchase")
+
+  def funnelEventStream(spark: SparkSession, rowsPerSec: Long,
+      nKeys: Int): Dataset[Funnel.FunnelEvent] = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSec)
+      .option("numPartitions", 8).load()
+      .select(
+        concat(lit("e"), pmod(col("value"), lit(nKeys))).as("entity"),
+        element_at(array(FunnelStages.map(lit): _*),
+          (pmod(col("value") / nKeys, lit(FunnelStages.length)) + 1).cast("int"))
+          .as("etype"),
+        col("value").as("tsMillis"))
+      .as[Funnel.FunnelEvent]
+  }
+
+  def funnelThroughput(spark: SparkSession, seconds: Int = 12,
+      rowsPerSec: Long = 500000L, nKeys: Int = 100000): Double =
+    measure(Funnel.deepestStageStream(
+      funnelEventStream(spark, rowsPerSec, nKeys), FunnelStages),
+      "funnel", seconds)
+
+  /** Standalone entry: prints one JSON line with both throughputs. */
+  def main(args: Array[String]): Unit = {
+    val seconds = if (args.length > 0) args(0).toInt else 12
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-stream-bench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    StateBackends.rocksDb.foreach { case (k, v) => spark.conf.set(k, v) }
+    val t = taskStatesThroughput(spark, seconds)
+    val f = funnelThroughput(spark, seconds)
+    println(f"""{"task_states_rows_per_sec": $t%.0f, "funnel_rows_per_sec": $f%.0f}""")
+    spark.stop()
+  }
+}

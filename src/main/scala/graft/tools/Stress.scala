@@ -1,0 +1,117 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Timebox}
+
+/** Scale-stress runner: executes the expensive scale-path queries against
+  * a [[ScaleFixture]] directory, times each, and dumps the FINAL (post-AQE)
+  * executed plan per query so plan-shape claims can be audited at real
+  * shuffle sizes. Results feed STRESS.md.
+  *
+  * The list is the top of the per-round bench by cost, restricted to
+  * UNBOUNDED scale paths — bounded correctness baselines (q_knn's
+  * vec_id<40 broadcast form, q_ngram_jaccard's doc_id<300 all-pairs) are
+  * excluded because at a replicated fixture they only measure the scan of
+  * replica 0. Grid kNN runs with a density-scaled cell size: the cell
+  * must cover the k-th-neighbor radius, which shrinks ~n^(-1/3).
+  *
+  * Usage: runMain graft.tools.Stress [sfDir] [outDir]
+  *   SPARK_GRAFT_STRESS_ONLY=a,b to subset.
+  */
+object Stress {
+
+  /** Density-scaled grid kNN over the 3-D embedding projection (the
+    * stress analog of q_knn_grid). */
+  private def stressKnnGrid(s: SparkSession, d: String): DataFrame = {
+    val pts = graft.model.Tables.embeddings(s, d).select(col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"),
+      element_at(col("embedding"), 3).cast("double").as("z"))
+    graft.graph.Knn.gridKnn(pts, "vec_id", Seq("x", "y", "z"),
+      k = 3, cellSize = 0.08)
+  }
+
+  /** Density-scaled multi-probe LSH: nPlanes grows with corpus size so
+    * per-bucket occupancy stays bounded. With the oracle query's fixture
+    * setting (8 planes = 256 buckets) the per-bucket pair products grow
+    * quadratically in n — this variant is the knob a 100 TB deployment
+    * turns, and the stress run measures that it works. */
+  private def stressLshMultiprobe(s: SparkSession, d: String): DataFrame =
+    graft.llmops.Similarity.multiProbeTopK(graft.model.Tables.embeddings(s, d),
+      idCol = "vec_id", vecCol = "embedding",
+      nPlanes = 14, dim = 64, k = 5, nProbe = 2)
+
+  // Unbounded scale paths only: q_tfidf_topk (doc_id<100) and q_knn
+  // (vec_id<40) are bounded correctness baselines and would only measure
+  // the replica-0 scan here.
+  private val names = Seq(
+    "q_salted_join", "q_skew_join_hot", "q_simhash_banded", "q_minhash_lsh",
+    "q_dedup_cluster", "q_span_dedup", "q_repetition_stats",
+    "q_cumsum_arclength", "q_kmeans_refine", "q_lsh_multiprobe",
+    "q_asof_nearest", "q_sessionize", "q_funnel_conversion")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"
+    val outDir = if (args.length > 1) args(1) else "/tmp/stress_out"
+    new java.io.File(outDir).mkdirs()
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STRESS_SHUFFLE", "64"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-stress").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all: Seq[(String, (SparkSession, String) => DataFrame)] =
+      names.map(n => n -> SparkEntry.queries(n)) ++ Seq(
+        "stress_knn_grid" -> (stressKnnGrid _),
+        "stress_lsh_multiprobe14" -> (stressLshMultiprobe _))
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    selected.foreach { case (name, fn) =>
+      try {
+        // 2 timed reps: rep1 includes scan-cache warmup, rep2 is the
+        // steady-state number; report the min. foreachPartition drives the
+        // DataFrame's OWN QueryExecution, so after the action its
+        // executedPlan is the AQE-final plan (a writer would execute a
+        // separate QueryExecution and leave this one isFinalPlan=false).
+        val times = (1 to 2).map { _ =>
+          // fn() runs INSIDE the timer: some pipelines (dedup clusters'
+          // eager pair-table checkpoint, CC's size probe) do real work at
+          // DataFrame-construction time, and timing only the final action
+          // would under-report them
+          var df: DataFrame = null
+          val t0 = System.nanoTime()
+          Timebox.run(spark, name, Timebox.defaultSeconds) {
+            df = fn(spark, sfDir)
+            df.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          Files.writeString(Paths.get(s"$outDir/$name.plan.txt"),
+            df.queryExecution.executedPlan.toString)
+          sec
+        }
+        results(name) = times.min
+        println(f"[stress] $name: ${times.map(t => f"$t%.1f").mkString(", ")} s")
+      } catch {
+        case e: Throwable =>
+          results(name) = -1.0
+          println(s"[stress] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    val json = results.map { case (k, v) => s""""$k": $v""" }
+      .mkString(s"""{"sf_dir": "$sfDir", "queries": {""", ", ", "}}")
+    Files.writeString(Paths.get(s"$outDir/stress_times.json"), json)
+    println(json)
+    spark.stop()
+  }
+}
