@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rolling polynomial hash (Rabin–Karp) document fingerprint: the MINIMUM
@@ -93,6 +94,72 @@ case class RollingMinHash(child: Expression, w: Int, base: Long)
   override def prettyName: String = "graft_rolling_min_hash"
 }
 
+/** One-pass native kernel behind [[RepetitionStats]]: whitespace tokens →
+  * (duplicate-token fraction, top-bigram fraction) with two hash maps.
+  *
+  * Bit-identical to the Catalyst HOF formulation in
+  * `TextStats.duplicateTokenFractionOfTokens` / `topRunFraction`
+  * (LlmOpsSpec asserts it): the split is the same regex split Spark's
+  * `split(text, " ", -1)` performs, the max run of a SORTED bigram array
+  * equals the max bigram multiplicity counted here, and both final
+  * divisions are single exact-int-to-double IEEE ops. The difference is
+  * cost: the HOF chain (transform + array_sort + aggregate with a struct
+  * accumulator) is interpreted per ELEMENT and O(n log n); this is O(n)
+  * compiled JVM — STRESS.md measured the HOF form as the corpus scan's
+  * dominant CPU at 64× scale. */
+object RepetitionKernel {
+  val schema: StructType = StructType(Seq(
+    StructField("dup_token_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(s: UTF8String): InternalRow = {
+    val toks = s.split(Space, -1)
+    val n = toks.length // split(-1) never yields an empty array: "" → [""]
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) { seen.add(toks(i)); i += 1 }
+    val dup = (n - seen.size).toDouble / n
+    var top = 0.0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+      var best = 0
+      var j = 0
+      while (j < n - 1) {
+        val bg = UTF8String.concatWs(Space, toks(j), toks(j + 1))
+        val prev = counts.get(bg)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(bg, c)
+        if (c > best) best = c
+        j += 1
+      }
+      top = best.toDouble / (n - 1)
+    }
+    new GenericInternalRow(Array[Any](dup, top))
+  }
+}
+
+/** `graft_repetition_stats(text)` → struct(dup_token_frac,
+  * top_bigram_frac) via [[RepetitionKernel]]. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = RepetitionKernel.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.RepetitionKernel.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_repetition_stats"
+}
+
 object TextExpressions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_min_hash"),
@@ -104,6 +171,13 @@ object TextExpressions {
           "graft_rolling_min_hash window and base must be literal")
         RollingMinHash(es(0),
           es(1).eval().toString.toInt, es(2).eval().toString.toLong)
+      }),
+    (FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition_stats"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1,
+          s"graft_repetition_stats(text) takes 1 argument, got ${es.length}")
+        RepetitionStats(es(0))
       }))
 
   /** Requires a session built with [[graft.GraftExtensions]]. */
@@ -111,6 +185,12 @@ object TextExpressions {
       base: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{call_function, lit}
     call_function("graft_rolling_min_hash", text, lit(w), lit(base))
+  }
+
+  /** Requires a session built with [[graft.GraftExtensions]]. */
+  def repetitionStats(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.call_function
+    call_function("graft_repetition_stats", text)
   }
 
   /** The identical window polynomial as ANSI SQL (per-character ascii —

@@ -925,15 +925,18 @@ object LlmQueries extends QueryFamily {
     // the fold against an independent formulation.
     ("q_repetition_stats",
       (s: SparkSession, d: String) => {
-        // tokens and the sorted bigram array are materialized as columns
-        // so each is computed once per row; inline forms re-evaluate the
-        // whole HOF chain per reference (measured ~9× this query)
+        // native one-pass kernel (graft_repetition_stats): bit-identical
+        // to the HOF formulation (LlmOpsSpec asserts it) but O(n) compiled
+        // JVM instead of interpreted per-element lambdas — STRESS.md
+        // measured the HOF form as the dominant corpus-scan CPU at 64×.
+        // Both output columns come from ONE struct column so the kernel
+        // runs once per row (GetStructField is CSE'd under codegen).
         Tables.documents(s, d)
-          .withColumn("_toks", TextStats.tokens(col("text")))
-          .withColumn("_grams", TextStats.sortedBigrams(col("_toks")))
+          .withColumn("_r",
+            graft.functions.TextExpressions.repetitionStats(col("text")))
           .select(col("doc_id"),
-            TextStats.duplicateTokenFractionOfTokens(col("_toks")).as("dup_token_frac"),
-            TextStats.topRunFraction(col("_grams")).as("top_bigram_frac"))
+            col("_r").getField("dup_token_frac").as("dup_token_frac"),
+            col("_r").getField("top_bigram_frac").as("top_bigram_frac"))
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (

@@ -184,6 +184,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("native repetition kernel is bit-identical to the HOF formulation") {
+    import graft.llmops.TextStats
+    // edge cases the kernel must match exactly: empty text (split → [""]),
+    // single token (no bigrams), all-same tokens (run == multiplicity),
+    // multi-space runs (empty tokens), plus realistic word soup
+    val texts = Seq("", "one", "a a a a a", "a b a b a b c", "x  y   z",
+      "the quick brown fox the quick brown dog the quick")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .union(graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id").as("id"), col("text")))
+    val hof = df
+      .withColumn("_toks", TextStats.tokens(col("text")))
+      .withColumn("_grams", TextStats.sortedBigrams(col("_toks")))
+      .select(col("id"),
+        TextStats.duplicateTokenFractionOfTokens(col("_toks")).as("d"),
+        TextStats.topRunFraction(col("_grams")).as("t"))
+    val native = df
+      .withColumn("_r", graft.functions.TextExpressions.repetitionStats(col("text")))
+      .select(col("id"), col("_r.dup_token_frac").as("d"), col("_r.top_bigram_frac").as("t"))
+    def bits(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+      java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
+    assert(hof.collect().map(bits).toSet == native.collect().map(bits).toSet)
+  }
+
   test("multi-probe LSH: nProbe=0 degenerates to single-probe; probing raises recall") {
     // perturbed clones (not identical copies): small noise puts some true
     // neighbors across a hyperplane boundary, which is exactly the case
