@@ -37,6 +37,19 @@ object Knn {
     * by local density. This is the form that survives millions of points
     * where the broadcast baseline's |points|² blows up.
     */
+  /** Density-scaled starting point for [[gridKnn]]'s cell size: the
+    * k-th-neighbor radius of ~uniform points shrinks as
+    * extent·((k+1)/n)^(1/d), so a FIXED cell size turns the neighbor join
+    * quadratic as n grows (candidate volume ∝ n²/cells — measured in
+    * STRESS.md). The 3× safety factor covered both measured fixtures
+    * (min 1.6× margin); clustered data needs a per-dataset check, which
+    * GraphSpec shows how to do (measure max k-dist from a sample, assert
+    * ≤ cellSize). */
+  def cellSizeForDensity(extent: Double, n: Long, k: Int, dims: Int): Double = {
+    require(extent > 0 && n > 0 && k > 0 && dims > 0)
+    3.0 * extent * math.pow((k + 1).toDouble / n, 1.0 / dims)
+  }
+
   def gridKnn(points: DataFrame, idCol: String, coordCols: Seq[String],
       k: Int, cellSize: Double): DataFrame = {
     require(coordCols.nonEmpty && coordCols.size <= 4,

@@ -20,6 +20,21 @@ import graft.operators.FanOut
   */
 object Similarity {
 
+  /** Hyperplane-count sizing rule for corpus-scale LSH — the measured
+    * STRESS.md finding: with a FIXED nPlanes the bucket equi-join emits
+    * ~(n/2^nPlanes)² pairs per bucket and total cost goes quadratic in
+    * corpus size (113× time for 64× data at 8 planes; 29× faster at 14).
+    * Size the bucket count to the corpus instead: buckets ≈
+    * n / targetOccupancy, i.e. nPlanes ≈ log₂(n / targetOccupancy), and
+    * recover recall with multi-probe ([[multiProbeTopK]]) rather than by
+    * coarsening the partition. */
+  def planesForCorpus(n: Long, targetOccupancy: Long = 64L): Int = {
+    require(n > 0 && targetOccupancy > 0,
+      s"need positive corpus size and occupancy, got $n / $targetOccupancy")
+    val buckets = math.max(1.0, n.toDouble / targetOccupancy)
+    math.min(62, math.max(1, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
   /** (id, precast vector, norm) projection — one cast + one norm pass per
     * vector, paid before the pairwise join instead of per pair. */
   private def prepped(df: DataFrame, idCol: String, vecCol: String,

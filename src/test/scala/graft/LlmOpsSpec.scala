@@ -184,6 +184,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH plane sizing keeps bucket occupancy bounded as the corpus grows") {
+    // the STRESS.md rule: buckets ≈ n / occupancy, so occupancy stays
+    // within [occ/2, occ] at any n (power-of-two rounding), instead of
+    // growing linearly the way a fixed nPlanes lets it
+    for (n <- Seq(1000L, 128000L, 10000000L, 1000000000L)) {
+      val p = Similarity.planesForCorpus(n, targetOccupancy = 64)
+      val occupancy = n.toDouble / math.pow(2.0, p)
+      assert(occupancy <= 64.0 + 1e-9, s"n=$n planes=$p occupancy=$occupancy")
+      assert(occupancy >= 32.0 || p == 62 || n < 64, s"n=$n planes=$p over-partitions")
+    }
+    assert(Similarity.planesForCorpus(128000) > Similarity.planesForCorpus(2000))
+    assert(Similarity.planesForCorpus(Long.MaxValue) == 57) // log2(2^63/64)
+    assert(Similarity.planesForCorpus(Long.MaxValue, 1) == 62) // capped
+  }
+
+  test("grid cell sizing covers the measured k-th-neighbor radius on both fixtures") {
+    import graft.graph.Knn
+    // GraphSpec scatter: extent 10, n=120, k=3, 2-D — measured max 3rd-NN
+    // dist 2.85; embeddings 3-D projection: extent ~0.8, n=2000 —
+    // measured 0.1975 (STRESS.md)
+    assert(Knn.cellSizeForDensity(10.0, 120, 3, 2) >= 2.85)
+    assert(Knn.cellSizeForDensity(0.8, 2000, 3, 3) >= 0.1975)
+    // and it SHRINKS with density — the property a fixed cell size lacks
+    assert(Knn.cellSizeForDensity(0.8, 128000, 3, 3) <
+      Knn.cellSizeForDensity(0.8, 2000, 3, 3) / 2)
+  }
+
   test("native repetition kernel is bit-identical to the HOF formulation") {
     import graft.llmops.TextStats
     // edge cases the kernel must match exactly: empty text (split → [""]),
