@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.llmops.{TextStats, Dedup, KMeansOps, Similarity}
+import graft.llmops.{TextStats, Dedup, KMeansOps, ProductQuantization, Similarity}
 
 /** Training-data pipeline family (builder-prompt extensions): text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
@@ -605,6 +605,64 @@ object LlmQueries extends QueryFamily {
              |SELECT cell_id, CAST(u.pos AS INT) AS pos, CAST(COUNT(*) AS BIGINT) AS n_points,
              |  (CAST(SUM(CAST(u.x AS BIGINT)) AS DOUBLE) / COUNT(*)) AS mean
              |FROM ex GROUP BY cell_id, u.pos ORDER BY cell_id, pos""".stripMargin)),
+
+    // Product quantization ANN (Jégou et al. 2011): 4 subspace codebooks
+    // cut from sample vectors (vec_id < 8), every candidate encoded as 4
+    // dense code positions (the 64×-compressed index), queries ranked by
+    // ADC — per-pair cost is 4 LUT lookups, zero vector math. Run over
+    // int8-quantized codes so every subspace dot is integer-valued and
+    // the ADC sum is exact → hash-reproducible in DuckDB.
+    ("q_pq_topk",
+      (s: SparkSession, d: String) => {
+        val q = Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+          .select(col("vec_id"), col("qvec").cast("array<double>").as("qv"))
+        val books = ProductQuantization.subspaceCodebooks(
+          q.filter(col("vec_id") < 8), "vec_id", "qv", m = 4, dim = 64)
+        val encoded = ProductQuantization.pqEncode(
+          q.filter(col("vec_id") >= 8), "vec_id", "qv", books, m = 4, dim = 64)
+        ProductQuantization.adcTopK(
+            queries = q.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+            encoded = encoded, codebooks = books,
+            idCol = "vec_id", vecCol = "qv", k = 5, m = 4, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |qz AS (
+             |  SELECT vec_id, list_transform(e, x -> floor(x / greatest(
+             |    list_max(list_transform(e, y -> abs(y))), 5e-324) * 127.0 + 0.5)) AS q
+             |  FROM v),
+             |subs AS (SELECT CAST(s AS INT) AS sub FROM range(4) t(s)),
+             |books AS (
+             |  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+             |    list_slice(q, sub*16+1, sub*16+16) AS cv
+             |  FROM qz, subs WHERE vec_id < 8),
+             |enc AS (
+             |  SELECT vec_id AS cand_id, sub, code FROM (
+             |    SELECT c.vec_id, b.sub, b.code,
+             |      row_number() OVER (PARTITION BY c.vec_id, b.sub ORDER BY
+             |        list_reduce(list_transform(range(1, 17),
+             |          i -> (list_slice(c.q, b.sub*16+1, b.sub*16+16)[i] - b.cv[i])
+             |             * (list_slice(c.q, b.sub*16+1, b.sub*16+16)[i] - b.cv[i])),
+             |          (a, b2) -> a + b2) ASC,
+             |        b.code ASC) AS rn
+             |    FROM qz c JOIN books b ON true WHERE c.vec_id >= 8) WHERE rn = 1),
+             |lut AS (
+             |  SELECT qq.vec_id AS query_id, b.sub, b.code,
+             |    list_reduce(list_transform(range(1, 17),
+             |      i -> list_slice(qq.q, b.sub*16+1, b.sub*16+16)[i] * b.cv[i]),
+             |      (a, b2) -> a + b2) AS part
+             |  FROM qz qq JOIN books b ON true
+             |  WHERE qq.vec_id >= 8 AND qq.vec_id < 18),
+             |scored AS (
+             |  SELECT l.query_id, e2.cand_id, SUM(l.part) AS score
+             |  FROM enc e2 JOIN lut l ON l.sub = e2.sub AND l.code = e2.code
+             |  WHERE l.query_id <> e2.cand_id
+             |  GROUP BY l.query_id, e2.cand_id),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, cand_id ASC) AS rank FROM scored)
+             |SELECT query_id, cand_id, score, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // IVF approximate nearest-neighbor: coarse-quantize candidates to
     // max-cosine centroid cells (centroids = vec_id < 8, deterministic),
