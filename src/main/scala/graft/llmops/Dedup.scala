@@ -111,6 +111,58 @@ object Dedup {
   /** Prime field modulus (2^31 - 1, Mersenne). */
   val MinhashPrime = 2147483647L
 
+  /** Probability that a pair with Jaccard `j` becomes an LSH candidate
+    * under (numHashes / rowsPerBand) banding: 1 − (1 − j^r)^b — the
+    * banding S-curve (Leskovec/Rajaraman/Ullman, MMDS ch. 3). */
+  def minhashCandidateProb(numHashes: Int, rowsPerBand: Int, j: Double): Double = {
+    val b = numHashes / rowsPerBand
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), b)
+  }
+
+  /** Corpus-scale (numHashes, rowsPerBand) sizing — the minhash analog of
+    * [[Similarity.planesForCorpus]]: with FIXED banding the expected
+    * number of background collisions per document grows like n·j₀^r per
+    * band, so when the corpus's background (non-duplicate) similarity j₀
+    * is within collision range of the banding — shared boilerplate,
+    * templated pages, common headers — candidate volume, and the verify
+    * join behind it, goes quadratic in n.
+    *
+    * The rule: rows-per-band `r` is the smallest integer keeping expected
+    * background candidates per (doc, band) bounded,
+    *   n · bgSim^r ≤ maxBgCandidatesPerDoc  ⇒  r ≈ ln(n/c) / ln(1/j₀),
+    * then the band count `b` restores recall at the dedup threshold,
+    *   1 − (1 − t^r)^b ≥ recall  ⇒  b = ln(1−recall) / ln(1 − t^r),
+    * capped at `maxBands` (past the cap, raising r further only buys
+    * sharper precision at reduced recall — the caller sees the achieved
+    * recall via [[minhashCandidateProb]]). Growing r is exponentially
+    * effective against background collisions while b compensates
+    * polynomially at the threshold.
+    *
+    * Measured honestly (STRESS.md round 6): the sizing is INSURANCE, not
+    * a free win. On the replicated stress fixture — whose cross-replica
+    * token rewrite leaves background Jaccard far below collision range —
+    * the fixed 16×4 banding stays sublinear through 1.28M docs while the
+    * sized banding pays 1.3–2× in signature compute (numHashes grows
+    * ~ln n: 144 at 320k, 210 at 1.28M). Pay the premium when the corpus
+    * has real boilerplate mass (set `bgSim` to a measured background
+    * similarity, e.g. from a [[jaccardForPairs]] sample of random pairs);
+    * keep pinned fixture-sized constants when — like the oracle
+    * queries — the corpus profile is known and benign. */
+  def minhashParamsForCorpus(n: Long, threshold: Double, bgSim: Double = 0.3,
+      recall: Double = 0.9, maxBgCandidatesPerDoc: Double = 8.0,
+      maxBands: Int = 64): (Int, Int) = {
+    require(n > 0, s"need a positive corpus size, got $n")
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(bgSim > 0 && bgSim < threshold,
+      s"background similarity must sit below the threshold, got $bgSim vs $threshold")
+    val r = math.max(2, math.ceil(
+      math.log(n.toDouble / maxBgCandidatesPerDoc) / math.log(1.0 / bgSim)).toInt)
+    val pBand = math.pow(threshold, r)
+    val b = math.min(maxBands, math.max(1,
+      math.ceil(math.log1p(-recall) / math.log1p(-pBand)).toInt))
+    (b * r, r)
+  }
+
   /** Multiplier for permutation j (Knuth multiplicative constant; 1 ≤ a < p). */
   def minhashA(j: Int): Long = (j * 2654435761L) % (MinhashPrime - 1) + 1
 
@@ -298,6 +350,20 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** [[minhashNearDups]] with the banding sized to the corpus by
+    * [[minhashParamsForCorpus]] — the entry point for corpora with real
+    * background similarity (boilerplate, templates), where fixed banding
+    * goes quadratic; see the sizing rule's scaladoc for the measured
+    * trade on a benign corpus. Costs one count() job up front — n is
+    * what the sizing needs, and a parquet count is metadata-cheap
+    * relative to the dedup itself. */
+  def minhashNearDupsSized(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double, bgSim: Double = 0.3,
+      recall: Double = 0.9): DataFrame = {
+    val (h, r) = minhashParamsForCorpus(df.count(), threshold, bgSim, recall)
+    minhashNearDups(df, idCol, textCol, shingleSize, h, r, threshold)
   }
 
   /** Dedup-cluster canonicalization — the endgame of any near-dup

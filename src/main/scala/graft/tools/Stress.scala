@@ -45,6 +45,37 @@ object Stress {
       idCol = "vec_id", vecCol = "embedding",
       nPlanes = 14, dim = 64, k = 5, nProbe = 2)
 
+  /** q_dedup_cluster with corpus-sized banding
+    * ([[graft.llmops.Dedup.minhashParamsForCorpus]]) instead of the
+    * oracle's pinned fixture constants (16 hashes × 4 rows/band) — the
+    * remedy for the measured 97×-at-64× superlinearity: rows-per-band
+    * grows with ln(n) so background band collisions stay bounded, and
+    * the band count restores recall at the threshold. The count() is
+    * part of the pipeline (production sizing needs n) and is timed. */
+  private def stressDedupSized(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.model.Tables.documents(s, d)
+    val pairs = graft.llmops.Dedup.minhashNearDupsSized(docs,
+      idCol = "doc_id", textCol = "text", shingleSize = 3, threshold = 0.8)
+    graft.llmops.Dedup.dedupClusters(docs, "doc_id", pairs)
+  }
+
+  /** PQ over the full replicated embedding table: shuffle-free encode of
+    * the corpus + ADC top-k for a bounded query set — measures that the
+    * compressed index build and the lookup-table search stay linear. */
+  private def stressPq(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.{ProductQuantization, Similarity}
+    val q = Similarity.quantizeInt8(graft.model.Tables.embeddings(s, d), "embedding")
+      .select(col("vec_id"), col("qvec").cast("array<double>").as("qv"))
+    val books = ProductQuantization.subspaceCodebooks(
+      q.filter(col("vec_id") < 8), "vec_id", "qv", m = 4, dim = 64)
+    val encoded = ProductQuantization.pqEncode(
+      q.filter(col("vec_id") >= 8), "vec_id", "qv", books, m = 4, dim = 64)
+    ProductQuantization.adcTopK(
+      queries = q.filter(col("vec_id") >= 8 && col("vec_id") < 72),
+      encoded = encoded, codebooks = books,
+      idCol = "vec_id", vecCol = "qv", k = 5, m = 4, dim = 64)
+  }
+
   // Unbounded scale paths only: q_tfidf_topk (doc_id<100) and q_knn
   // (vec_id<40) are bounded correctness baselines and would only measure
   // the replica-0 scan here.
@@ -71,7 +102,9 @@ object Stress {
     val all: Seq[(String, (SparkSession, String) => DataFrame)] =
       names.map(n => n -> SparkEntry.queries(n)) ++ Seq(
         "stress_knn_grid" -> (stressKnnGrid _),
-        "stress_lsh_multiprobe14" -> (stressLshMultiprobe _))
+        "stress_lsh_multiprobe14" -> (stressLshMultiprobe _),
+        "stress_dedup_sized" -> (stressDedupSized _),
+        "stress_pq" -> (stressPq _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }
