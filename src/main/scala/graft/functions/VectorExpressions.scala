@@ -310,6 +310,103 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lo
   override def prettyName: String = "graft_minhash_sig"
 }
 
+/** argmin-L2 code position of a (sub)vector against a position-ordered
+  * codebook (`array<array<double>>`): returns the 0-based index of the
+  * nearest centroid, ties broken toward the lowest index — exactly the
+  * `array_min(transform(codes, (c, i) => struct(distSq, i)))` HOF form
+  * PQ encoding uses, which runs every distance as an interpreted
+  * `aggregate`+`zip_with` fold (measured as the dominant cost of the
+  * corpus-scale index build: the encode pass evaluates ks·dim lambda
+  * steps per subspace per vector). This expression runs the whole argmin
+  * as one primitive nested loop inside whole-stage codegen.
+  *
+  * Null/degenerate handling: NULL vector or a vector with a null element
+  * → NULL; a codebook ENTRY that is null, length-mismatched, or has a
+  * null element is skipped (never the argmin); no valid entry → NULL.
+  * For well-formed codebooks (what [[graft.llmops.ProductQuantization]]
+  * builds) results are identical to the HOF form — pinned by a
+  * bit-identity spec. */
+case class PqNearestCode(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any, cs: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val books = cs.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    var best = Double.PositiveInfinity
+    var bestP = -1
+    var p = 0
+    val k = books.numElements()
+    while (p < k) {
+      if (!books.isNullAt(p)) {
+        val c = books.getArray(p)
+        if (c.numElements() == n) {
+          var d = 0.0
+          var ok = true
+          var j = 0
+          while (ok && j < n) {
+            if (c.isNullAt(j)) ok = false
+            else { val t = a.getDouble(j) - c.getDouble(j); d += t * t; j += 1 }
+          }
+          if (ok && d < best) { best = d; bestP = p }
+        }
+      }
+      p += 1
+    }
+    if (bestP < 0) null else bestP
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, bs) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val ok = ctx.freshName("ok")
+      val best = ctx.freshName("best")
+      val bestP = ctx.freshName("bestP")
+      val c = ctx.freshName("c")
+      s"""
+        |int $n = $a.numElements();
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |}
+        |if (!${ev.isNull}) {
+        |  double $best = Double.POSITIVE_INFINITY;
+        |  int $bestP = -1;
+        |  int $k = $bs.numElements();
+        |  for (int $p = 0; $p < $k; $p++) {
+        |    if ($bs.isNullAt($p)) continue;
+        |    org.apache.spark.sql.catalyst.util.ArrayData $c = $bs.getArray($p);
+        |    if ($c.numElements() != $n) continue;
+        |    double $d = 0.0;
+        |    boolean $ok = true;
+        |    for (int $j = 0; $j < $n; $j++) {
+        |      if ($c.isNullAt($j)) { $ok = false; break; }
+        |      double $t = $a.getDouble($j) - $c.getDouble($j);
+        |      $d += $t * $t;
+        |    }
+        |    if ($ok && $d < $best) { $best = $d; $bestP = $p; }
+        |  }
+        |  if ($bestP < 0) { ${ev.isNull} = true; } else { ${ev.value} = $bestP; }
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_pq_code"
+}
+
 /** Column/SQL surface for the native expressions. Constructing a Column
   * from an Expression has no public API in Spark 4, so the expressions are
   * registered through the public `SparkSessionExtensions.injectFunction`
@@ -345,6 +442,12 @@ object VectorExpressions {
         arity("graft_simhash64", "halves", 1)(es)
         SimHash64(es(0))
       }),
+    (FunctionIdentifier("graft_pq_code"),
+      new ExpressionInfo(classOf[PqNearestCode].getName, "graft_pq_code"),
+      (es: Seq[Expression]) => {
+        arity("graft_pq_code", "vec, centroids", 2)(es)
+        PqNearestCode(es(0), es(1))
+      }),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (es: Seq[Expression]) => {
@@ -364,6 +467,9 @@ object VectorExpressions {
   def distSq(a: Column, b: Column): Column = call_function("graft_dist_sq", a, b)
 
   def simhash64(halves: Column): Column = call_function("graft_simhash64", halves)
+
+  def pqCode(vec: Column, centroids: Column): Column =
+    call_function("graft_pq_code", vec, centroids)
 
   def minhashSig(hashes: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column = {
     import org.apache.spark.sql.functions.lit

@@ -36,12 +36,15 @@ import org.apache.spark.sql.functions._
   *  - [[subspaceCodebooks]]: m·ks rows — broadcast-sized by construction.
   *  - [[pqEncode]]: one map-side pass over the corpus (broadcast
   *    codebook row, argmin per subspace in place) — NO shuffle, no
-  *    per-code row explosion; the per-vector HOF folds are interpreted
-  *    but run once per vector, not per pair.
+  *    per-code row explosion; the argmin runs as the native codegen'd
+  *    `graft_pq_code` kernel when registered (HOF-fold fallback,
+  *    bit-identical).
   *  - [[adcTopK]]: queries broadcast with their LUTs; the corpus-sized
   *    encoded side streams m ints per row; per-pair work is codegen'd
-  *    `element_at` lookups. Top-k via the same (score desc, id asc)
-  *    window contract as every other ANN operator here.
+  *    `element_at` lookups, and the top-k is the bounded-heap partial
+  *    aggregation ([[graft.functions.TopK]]) — scored pairs never
+  *    shuffle. Same (score desc, id asc) order contract as every other
+  *    ANN operator here.
   */
 object ProductQuantization {
 
@@ -75,16 +78,32 @@ object ProductQuantization {
   }
 
   /** The codebook table folded into one broadcastable row:
-    * `_books[sub]._codes[pos]` = (code_id, centroid), both levels sorted
-    * so `pos` is the rank of `code_id` within its subspace — the dense
-    * 0-based code [[pqEncode]] emits and [[adcTopK]]'s LUT indexes. */
+    * `_books[sub]._cents[pos]` = centroid, positions ordered by code_id
+    * within each subspace and subspaces ordered by `sub` — so `pos` is
+    * the dense 0-based code [[pqEncode]] emits and [[adcTopK]]'s LUT
+    * indexes, and `element_at(_books, s+1)` addresses subspace s. */
   private def packedBooks(codebooks: DataFrame): DataFrame =
     codebooks
       .groupBy(col("sub"))
-      .agg(sort_array(collect_list(struct(col("code_id"), col("centroid"))))
-        .as("_codes"))
-      .select(struct(col("sub"), col("_codes")).as("_b"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("code_id"), col("centroid")))),
+        s => s.getField("centroid")).as("_cents"))
+      .select(struct(col("sub"), col("_cents")).as("_b"))
       .agg(sort_array(collect_list(col("_b"))).as("_books"))
+
+  /** True when the active session registered the native PQ kernel (see
+    * [[graft.GraftExtensions]]); the HOF fold is the registration-free
+    * fallback, bit-identical for well-formed codebooks. */
+  private def nativeAvailable: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("graft_pq_code"))
+
+  /** HOF argmin over a position-ordered centroid array — the reference
+    * formulation the native kernel is bit-identity-tested against. */
+  private def hofArgmin(sv: Column, cents: Column): Column =
+    array_min(transform(cents, (c, i) =>
+      struct(distSqFold(sv, c).as("d"), i.cast("int").as("pos"))))
+      .getField("pos")
 
   /** Encode every vector as `m` dense code positions: codes[s] = 0-based
     * index of the L2-nearest centroid in subspace s (ties → lowest
@@ -93,18 +112,54 @@ object ProductQuantization {
     * and NOTHING shuffles; at 100 TB this is the pass that writes the
     * compressed index. Output keeps (idCol, codes array<int>). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+      codebooks: DataFrame, m: Int, dim: Int,
+      carryCols: Seq[String] = Nil): DataFrame =
+    encodeImpl(df, idCol, vecCol, codebooks, m, dim, carryCols, nativeAvailable)
+
+  /** [[pqEncode]] forced onto the HOF fold — the bit-identity reference
+    * for the native kernel (same pattern as minhashSignatureArrayFold). */
+  private[graft] def pqEncodeFold(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame =
+    encodeImpl(df, idCol, vecCol, codebooks, m, dim, Nil, native = false)
+
+  private def encodeImpl(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int, carryCols: Seq[String],
+      native: Boolean): DataFrame = {
     val sd = subDim(m, dim)
-    df.select(col(idCol), VectorMath.precast(col(vecCol)).as("_v"))
+    // the per-subspace loop is UNROLLED (m is a plan-time constant), so
+    // the whole codes array is built from plain expressions — with the
+    // native kernel registered nothing in the encode pass is interpreted
+    val codeAt = (s: Int) => {
+      val sv = slice(col("_v"), s * sd + 1, sd)
+      val cents = element_at(col("_books"), s + 1).getField("_cents")
+      if (native) graft.functions.VectorExpressions.pqCode(sv, cents)
+      else hofArgmin(sv, cents)
+    }
+    df.select(col(idCol) +: carryCols.map(col) :+
+        VectorMath.precast(col(vecCol)).as("_v"): _*)
       .crossJoin(broadcast(packedBooks(codebooks)))
-      .withColumn("codes", transform(col("_books"), b => {
-        val sv = slice(col("_v"), b.getField("sub") * sd + 1, lit(sd))
-        array_min(transform(b.getField("_codes"), (c, i) =>
-          struct(distSqFold(sv, c.getField("centroid")).as("d"),
-            i.cast("int").as("pos")))).getField("pos")
-      }))
-      .select(col(idCol), col("codes"))
+      .withColumn("codes", array((0 until m).map(codeAt): _*))
+      .select(col(idCol) +: carryCols.map(col) :+ col("codes"): _*)
   }
+
+  /** Adds the per-query m×ks partial-dot lookup table (`_lut`) against a
+    * broadcast codebook row; expects the precast query vector in `_qv`. */
+  private def withLut(q: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sd = subDim(m, dim)
+    q.crossJoin(broadcast(packedBooks(codebooks)))
+      .withColumn("_lut", transform(col("_books"), b => {
+        val qs = slice(col("_qv"), b.getField("sub") * sd + 1, lit(sd))
+        transform(b.getField("_cents"), c => dotFold(qs, c))
+      }))
+      .drop("_books")
+  }
+
+  /** ADC score of a (query `_lut`, candidate `codes`) pair: m lookups
+    * summed left-assoc in subspace order (deterministic; exact over
+    * integer-valued quantized codes). */
+  private def adcScore(m: Int): Column = (0 until m).map { s =>
+    element_at(element_at(col("_lut"), s + 1), element_at(col("codes"), s + 1) + 1)
+  }.reduce(_ + _)
 
   /** ADC top-k: rank candidates by the PQ approximation of the inner
     * product, dot(q, x) ≈ Σ_s dot(q_s, centroid[codes[s]]). Each query
@@ -116,34 +171,100 @@ object ProductQuantization {
     * m ints per row and never shuffles. */
   def adcTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int, dim: Int): DataFrame = {
-    val sd = subDim(m, dim)
-    val q = queries
-      .select(col(idCol).as("query_id"), VectorMath.precast(col(vecCol)).as("_qv"))
-      .crossJoin(broadcast(packedBooks(codebooks)))
-      .withColumn("_lut", transform(col("_books"), b => {
-        val qs = slice(col("_qv"), b.getField("sub") * sd + 1, lit(sd))
-        transform(b.getField("_codes"), c => dotFold(qs, c.getField("centroid")))
-      }))
+    import graft.functions.TopK
+    val q = withLut(queries.select(col(idCol).as("query_id"),
+        VectorMath.precast(col(vecCol)).as("_qv")), codebooks, m, dim)
       .select(col("query_id"), col("_lut"))
-    val c = encoded.select(col(idCol).as("cand_id"), col("codes"))
-    val score = (0 until m).map { s =>
-      element_at(element_at(col("_lut"), s + 1), element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    val c = graft.operators.FanOut(graft.operators.EvalBarrier(
+      encoded.select(col(idCol).as("cand_id"), col("codes")), "codes"))
+    // bounded-heap top-k, not a window: the flat scan scores the WHOLE
+    // encoded corpus per query, and a row_number window would shuffle
+    // every scored pair — still carrying its m×ks `_lut` array — into
+    // one task per query and sort it there (measured as the dominant
+    // cost of the 64× stress run, dwarfing the encode pass). The partial
+    // aggregation reduces each (query, partition) to ≤ k (score, id)
+    // pairs map-side, so the LUT column never shuffles at all. Output
+    // contract identical to row_number (score desc, id asc).
     broadcast(q).join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("score", score)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "score", "rank")
+      .withColumn("score", adcScore(m))
+      .groupBy(col("query_id"))
+      .agg(TopK.topKAgg(k, col("score"), col("cand_id")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_s")))
+      .select(col("query_id"), col("_s.id").as("cand_id"),
+        col("_s.score").as("score"), (col("_pos") + 1).cast("int").as("rank"))
   }
 
-  /** One Lloyd refinement sweep over every subspace codebook: slice the
-    * corpus into subspace s, run the exact-integer
-    * [[KMeansOps.lloydStep]] against that subspace's codes, reassemble.
-    * m driver-side iterations (m is 4–16, a plan-time constant), each a
-    * single-shuffle job with ks·(dim/m) combiner state — the training
-    * analog of [[pqEncode]]'s map pass. Feed int8-quantized vectors for
-    * bit-reproducible centroids (same argument as [[KMeansOps]]). */
+  /** Profiling hook: the scored pair table exactly as [[adcTopK]] builds
+    * it, before any top-k — lets a stage-timing harness separate join+
+    * score cost from top-k cost. Expects (`query_id`, `_qv`) queries and
+    * (`cand_id`, `codes`) candidates. */
+  private[graft] def debugScored(q: DataFrame, encoded: DataFrame,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame =
+    broadcast(withLut(q, codebooks, m, dim).select(col("query_id"), col("_lut")))
+      .join(encoded, col("query_id") =!= col("cand_id"))
+      .withColumn("score", adcScore(m))
+      .select("query_id", "cand_id", "score")
+
+  /** Experimental variant of [[debugScored]]: same pairs via a
+    * constant-key BroadcastHashJoin with the self-match exclusion as a
+    * residual condition, instead of a conditioned nested-loop join. */
+  private[graft] def debugScoredEqui(q: DataFrame, encoded: DataFrame,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val qq = withLut(q, codebooks, m, dim)
+      .select(col("query_id"), col("_lut")).withColumn("_oneq", lit(1))
+    broadcast(qq)
+      .join(encoded.withColumn("_onec", lit(1)),
+        col("_oneq") === col("_onec") && col("query_id") =!= col("cand_id"))
+      .withColumn("score", adcScore(m))
+      .select("query_id", "cand_id", "score")
+  }
+
+  /** IVFADC — the production ANN composition (Jégou et al. 2011, minus
+    * residual encoding, a documented simplification): candidates are
+    * coarse-quantized to [[Similarity.ivfAssignments]] cells AND
+    * PQ-encoded in the same map pass, queries probe their `nProbe`
+    * highest-cosine cells, and only the candidates assigned there are
+    * ADC-scored. Cost per query drops from |corpus| LUT lookups to the
+    * probed share, and the probed index streams at m ints + a cell id
+    * per row. Each candidate lives in exactly one cell, so a (query,
+    * candidate) pair is scored at most once — no dedup needed. The
+    * cell join is a broadcast-hash equi-join on cell_id (queries×probes
+    * broadcast); the corpus side never shuffles. The final top-k is a
+    * window (unlike [[adcTopK]]'s bounded heap): the cell pruning has
+    * already cut each query's candidates to the probed share, which is
+    * the set a window can afford — at high nProbe over a huge corpus,
+    * prefer the flat [[adcTopK]] whose heap form never shuffles scored
+    * pairs. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, m: Int, dim: Int): DataFrame = {
+    val encoded = graft.operators.FanOut(graft.operators.EvalBarrier(
+      pqEncode(
+        Similarity.ivfAssignments(candidates, idCol, vecCol, centroids, dim),
+        idCol, "_v", codebooks, m, dim, carryCols = Seq("cell_id"))
+        .select(col(idCol).as("cand_id"), col("cell_id"), col("codes")),
+      "codes"))
+    val qPrep = queries.select(col(idCol).as("query_id"),
+        VectorMath.precast(col(vecCol)).as("_qv"))
+      .withColumn("_qn", VectorMath.normAuto(col("_qv"), dim))
+    // LUT first, probe explosion after — the m×ks table is computed once
+    // per query, not once per probed cell
+    val q = withLut(qPrep, codebooks, m, dim)
+      .crossJoin(broadcast(Similarity.centroidCells(centroids, dim)))
+      .withColumn("_top", slice(sort_array(transform(col("_cells"),
+        c => struct((-Similarity.cellCosine(c, dim, "_qv", "_qn")).as("negCos"),
+          c.getField("cell_id").as("cell_id")))), 1, nProbe))
+      .select(col("query_id"), col("_lut"),
+        explode(col("_top").getField("cell_id")).as("cell_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    broadcast(q).join(encoded, Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", adcScore(m))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell_id", "cand_id", "score", "rank")
+  }
+
   /** Long-form [[pqRefineStep]] output reassembled into the
     * (sub, code_id, centroid) shape the other operators consume — the
     * per-subspace analog of [[KMeansOps.toCentroidTable]]. */
@@ -153,6 +274,13 @@ object ProductQuantization {
         array_sort(collect_list(struct(col("pos"), col("mean")))),
         s => s.getField("mean")).as("centroid"))
 
+  /** One Lloyd refinement sweep over every subspace codebook: slice the
+    * corpus into subspace s, run the exact-integer
+    * [[KMeansOps.lloydStep]] against that subspace's codes, reassemble.
+    * m driver-side iterations (m is 4–16, a plan-time constant), each a
+    * single-shuffle job with ks·(dim/m) combiner state — the training
+    * analog of [[pqEncode]]'s map pass. Feed int8-quantized vectors for
+    * bit-reproducible centroids (same argument as [[KMeansOps]]). */
   def pqRefineStep(points: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
     val sd = subDim(m, dim)

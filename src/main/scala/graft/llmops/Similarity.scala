@@ -243,14 +243,14 @@ object Similarity {
     * single-row, single-array-column frame: (cell_id, precast centroid,
     * norm) structs. Cross-joining this one row onto the vector table is a
     * broadcast — every vector row sees all cells with no row explosion. */
-  private def centroidCells(centroids: DataFrame, dim: Int): DataFrame =
+  private[llmops] def centroidCells(centroids: DataFrame, dim: Int): DataFrame =
     centroids.select(struct(
         col("cell_id"),
         VectorMath.precast(col("centroid")).as("_ce"),
         VectorMath.normAuto(VectorMath.precast(col("centroid")), dim).as("_cen")).as("_c"))
       .agg(sort_array(collect_list(col("_c"))).as("_cells"))
 
-  private def cellCosine(c: Column, dim: Int, vec: String = "_v",
+  private[llmops] def cellCosine(c: Column, dim: Int, vec: String = "_v",
       nrm: String = "_n"): Column =
     VectorMath.dotAuto(col(vec), c.getField("_ce"), dim) /
       (col(nrm) * c.getField("_cen"))
@@ -336,13 +336,21 @@ object Similarity {
     val amax = array_max(transform(v, x => abs(x)))
     // the greatest(amax, 5e-324) floor keeps an all-zero vector at 0/0-free
     // q_i = 0 instead of NaN (which ANSI int-cast would reject).
-    // CollapseProject leaves _amax in its own Project only because BOTH
-    // qvec and scale reference it — if scale ever stops using _amax, the
-    // array_max gets inlined into the transform lambda and the pass goes
-    // O(dim²) per row (verified on the optimized plan)
+    // The `when(_amax >= 0, ...)` wrapper is load-bearing: it makes qvec
+    // reference _amax TWICE, so CollapseProject can never inline the
+    // array_max into the per-element transform lambda — which it DOES do
+    // at a single reference (e.g. when a caller selects qvec and drops
+    // scale), turning the pass O(dim²) per row. Measured on the 64×
+    // stress fixture: the inlined form burns ~190 µs/row (25 s of CPU
+    // for 128k vectors) vs ~2 s total with _amax kept materialized. The
+    // predicate is always true (_amax ≥ 5e-324 by the floor; a NULL
+    // vector falls to the otherwise(null) branch, matching transform's
+    // null propagation), so values are unchanged.
     df.withColumn("_amax", greatest(amax, lit(java.lang.Double.MIN_VALUE)))
       .withColumn("qvec",
-        transform(v, x => floor(x / col("_amax") * 127.0 + 0.5).cast("int")))
+        when(col("_amax") >= 0,
+          transform(v, x => floor(x / col("_amax") * 127.0 + 0.5).cast("int")))
+        .otherwise(lit(null)))
       .withColumn("scale", col("_amax") / 127.0)
       .drop("_amax")
   }

@@ -199,6 +199,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(Similarity.planesForCorpus(Long.MaxValue, 1) == 62) // capped
   }
 
+  test("minhash banding sizing bounds background candidates and holds recall") {
+    for (n <- Seq(1000L, 320000L, 10000000L, 1000000000L)) {
+      val (h, r) = Dedup.minhashParamsForCorpus(n, threshold = 0.8)
+      val b = h / r
+      assert(h % r == 0 && b >= 1 && b <= 64, s"n=$n -> ($h, $r)")
+      // expected background collisions per (doc, band) stay bounded at
+      // any corpus size — the property the fixed 16×4 banding lacks
+      // (STRESS.md: 97× time for 64× data)
+      assert(n * math.pow(0.3, r) <= 8.0 + 1e-9, s"n=$n r=$r")
+      // recall at the dedup threshold holds (slightly relaxed once the
+      // band cap binds — the documented trade)
+      val floor = if (b < 64) 0.9 else 0.8
+      assert(Dedup.minhashCandidateProb(h, r, 0.8) >= floor, s"n=$n ($h, $r)")
+    }
+    // a fixture-sized corpus reproduces the oracle queries' banding depth
+    assert(Dedup.minhashParamsForCorpus(500, 0.8)._2 == 4)
+    // rows-per-band GROWS with the corpus — the anti-quadratic property
+    assert(Dedup.minhashParamsForCorpus(320000L, 0.8)._2 >
+      Dedup.minhashParamsForCorpus(500L, 0.8)._2)
+  }
+
   test("grid cell sizing covers the measured k-th-neighbor radius on both fixtures") {
     import graft.graph.Knn
     // GraphSpec scatter: extent 10, n=120, k=3, 2-D — measured max 3rd-NN
@@ -697,6 +718,28 @@ class LlmOpsSpec extends SparkSpec {
     (0 until 8).foreach(j => assert(codes(j.toLong) == Seq.fill(4)(j)))
   }
 
+  test("native PQ encode kernel is bit-identical to the HOF argmin, incl. ties") {
+    import graft.llmops.ProductQuantization
+    // sample 3 duplicates sample 0 → every subspace codebook holds two
+    // identical centroids; the argmin tie must break to the LOWEST
+    // position in both tiers
+    val dupSamples = pqVecs.filter(col("vec_id") < 3)
+      .union(pqVecs.filter(col("vec_id") === 0)
+        .select(lit(3L).as("vec_id"), col("embedding")))
+    val books = ProductQuantization.subspaceCodebooks(
+      dupSamples, "vec_id", "embedding", m = 4, dim = 16)
+    val native = ProductQuantization.pqEncode(pqVecs, "vec_id", "embedding", books, m = 4, dim = 16)
+    // local-relation inputs constant-fold through ConvertToLocalRelation,
+    // so the native expression only survives in the ANALYZED plan here
+    assert(native.queryExecution.analyzed.toString.contains("graft_pq_code"))
+    val fold = ProductQuantization.pqEncodeFold(pqVecs, "vec_id", "embedding", books, m = 4, dim = 16)
+    val nm = native.collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    val fm = fold.collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    assert(nm == fm)
+    // the family-0 clones sit at distance 0 from BOTH copies — position 0 wins
+    assert(nm(0L) == Seq.fill(4)(0) && nm(10L) == Seq.fill(4)(0))
+  }
+
   test("PQ: ADC top-k recalls most of the exact dot-product ranking") {
     import graft.llmops.ProductQuantization
     val books = ProductQuantization.subspaceCodebooks(
@@ -718,6 +761,33 @@ class LlmOpsSpec extends SparkSpec {
     // measured 0.867 on this deterministic fixture with an 8-code × 4-sub
     // codebook; 0.7 floors it well above chance (3/29 ≈ 0.10)
     assert(recall >= 0.7, s"ADC recall@3 = $recall")
+  }
+
+  test("PQ: IVFADC at full probe equals flat ADC; pruning keeps per-query k") {
+    import graft.llmops.ProductQuantization
+    val books = ProductQuantization.subspaceCodebooks(
+      pqVecs.filter(col("vec_id") < 8), "vec_id", "embedding", m = 4, dim = 16)
+    val centroids = pqVecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    val enc = ProductQuantization.pqEncode(pqVecs, "vec_id", "embedding", books, m = 4, dim = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val flat = rows(ProductQuantization.adcTopK(
+      pqVecs, enc, books, "vec_id", "embedding", k = 3, m = 4, dim = 16))
+    // probing every cell scores every candidate — the two-level index
+    // must then reproduce the flat scan exactly (same scores, same ranks)
+    val full = rows(ProductQuantization.ivfPqTopK(pqVecs, pqVecs, centroids,
+      books, "vec_id", "embedding", k = 3, nProbe = 8, m = 4, dim = 16))
+    assert(full == flat)
+    // nProbe=1 prunes to one cell: every query still finds its 2 fellow
+    // clones (a clone's own sample cell is its exact-cosine-1 argmax),
+    // plus at most k−2 other cell members
+    val pruned = ProductQuantization.ivfPqTopK(pqVecs, pqVecs, centroids,
+      books, "vec_id", "embedding", k = 3, nProbe = 1, m = 4, dim = 16)
+      .groupBy("query_id").count().collect()
+    assert(pruned.length == 30 && pruned.forall(r => r.getLong(1) >= 2L && r.getLong(1) <= 3L),
+      pruned.mkString(","))
   }
 
   test("PQ: one refine sweep reduces total quantization distortion") {

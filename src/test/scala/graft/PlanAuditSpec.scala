@@ -461,4 +461,26 @@ class PlanAuditSpec extends SparkSpec {
       (l.contains("graft_dot") || l.contains("cosine") || l.contains("element_at"))),
       s"no Filter above the join carries the cosine threshold:\n$p")
   }
+
+  test("plan: PQ encode never shuffles the corpus; ADC never shuffles candidates") {
+    import graft.llmops.ProductQuantization
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, sf), "embedding")
+      .select(col("vec_id"), col("qvec").cast("array<double>").as("qv"))
+    val books = ProductQuantization.subspaceCodebooks(
+      q.filter(col("vec_id") < 8), "vec_id", "qv", m = 4, dim = 64)
+    val enc = ProductQuantization.pqEncode(q, "vec_id", "qv", books, m = 4, dim = 64)
+    val pe = plan(enc)
+    // the only exchanges may belong to the 32-row codebook fold; the
+    // corpus (keyed by vec_id) must reach the output without hashing —
+    // the claim that the index build is a single map pass
+    assert(!pe.contains("hashpartitioning(vec_id"), pe)
+    assert(pe.contains("BroadcastNestedLoopJoin") || pe.contains("BroadcastExchange"), pe)
+    val topk = ProductQuantization.adcTopK(q.filter(col("vec_id") < 4), enc,
+      books, "vec_id", "qv", k = 3, m = 4, dim = 64)
+    val pt = plan(topk)
+    // candidates stream through the broadcast join un-shuffled; the only
+    // corpus-keyed exchange is the final per-query top-k window
+    assert(!pt.contains("hashpartitioning(cand_id"), pt)
+    assert(pt.contains("hashpartitioning(query_id"), pt)
+  }
 }
