@@ -90,8 +90,9 @@ object Knn {
     */
   def bruteForce(points: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int = 0): DataFrame = {
-    val a = graft.operators.FanOut(points.select(col(idCol).as("src_id"),
-      VectorMath.precast(col(vecCol)).as("_va")))
+    val a = graft.operators.FanOut(graft.operators.EvalBarrier(
+      points.select(col(idCol).as("src_id"),
+        VectorMath.precast(col(vecCol)).as("_va")), "_va"))
     val b = points.select(col(idCol).as("dst_id"),
       VectorMath.precast(col(vecCol)).as("_vb"))
     val pairs = a.join(broadcast(b), col("src_id") =!= col("dst_id"))

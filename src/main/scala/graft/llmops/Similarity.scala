@@ -70,7 +70,8 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 0): DataFrame = {
     val q = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
-    val c = FanOut(prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim))
+    val c = FanOut(graft.operators.EvalBarrier(
+      prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim), "_cv", "_cn"))
     val pairs = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .withColumn("cosine", pairCosine(dim))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
@@ -92,7 +93,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, dim: Int = 0): DataFrame = {
     import graft.functions.TopK
     val q = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
-    val c = FanOut(prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim))
+    val c = FanOut(graft.operators.EvalBarrier(
+      prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim), "_cv", "_cn"))
     broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .withColumn("cosine", pairCosine(dim))
       .groupBy(col("query_id"))
@@ -214,7 +216,8 @@ object Similarity {
     * construction, and the oracle for the LSH variant below. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int = 0): DataFrame = {
-    val a = FanOut(prepped(df, idCol, vecCol, "id_a", "_qv", "_qn", dim))
+    val a = FanOut(graft.operators.EvalBarrier(
+      prepped(df, idCol, vecCol, "id_a", "_qv", "_qn", dim), "_qv", "_qn"))
     val b = prepped(df, idCol, vecCol, "id_b", "_cv", "_cn", dim)
     thresholdAboveJoin(
       a.join(broadcast(b), col("id_a") < col("id_b")), threshold, dim)
@@ -277,9 +280,11 @@ object Similarity {
     * |cells probed| / |cells| of the corpus instead of all of it. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int, dim: Int = 0): DataFrame = {
-    val assigned = ivfAssignments(candidates, idCol, vecCol, centroids, dim)
-      .select(col(idCol).as("cand_id"), col("_v").as("_cv"),
-        col("_n").as("_cn"), col("cell_id"))
+    val assigned = graft.operators.EvalBarrier(
+      ivfAssignments(candidates, idCol, vecCol, centroids, dim)
+        .select(col(idCol).as("cand_id"), col("_v").as("_cv"),
+          col("_n").as("_cn"), col("cell_id")),
+      "_cv", "_cn")
     // probe selection is map-side like the assignment: score the broadcast
     // centroid array in place, sort (cos desc, cell_id asc), keep nProbe
     val probes = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
@@ -373,7 +378,7 @@ object Similarity {
         .select(col(idCol).as(idAs), col("qvec").cast("array<double>").as(vecAs))
         .withColumn(nAs, VectorMath.normAuto(col(vecAs), dim))
     val q = prep(queries, "query_id", "_qv", "_qn")
-    val c = FanOut(prep(candidates, "cand_id", "_cv", "_cn"))
+    val c = FanOut(graft.operators.EvalBarrier(prep(candidates, "cand_id", "_cv", "_cn"), "_cv", "_cn"))
     val pairs = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .withColumn("qcosine", pairCosine(dim))
     val w = Window.partitionBy("query_id").orderBy(col("qcosine").desc, col("cand_id").asc)

@@ -31,19 +31,25 @@ import org.apache.spark.sql.functions._
   *    expression into the filter and leave the original deferral in
   *    place (measured: the first, filter-only form changed nothing).
   *
-  * An exchange (repartition/FanOut on a small input) is an implicit
-  * barrier; this is the zero-shuffle form for corpus-sized streamed
-  * sides where an extra exchange is real money. Applies to ARRAY columns
-  * (the expensive cases here: precast vectors, PQ code words; scalar
-  * norms ride along free once their source array is materialized).
+  * An exchange (repartition/FanOut on a small input, or any equi-join
+  * shuffle) is an implicit barrier; this is the zero-shuffle form for
+  * corpus-sized streamed sides where an extra exchange is real money.
+  *
+  * The touch is `hash(c) >= Int.MinValue` — a tautology no optimizer
+  * rule folds (no range reasoning on non-literal hashes), it forces full
+  * evaluation of any column TYPE (arrays, structs, scalars — a norm
+  * fold is as deferrable as the array it folds), costs one xxhash pass
+  * over the already-computed value, and is null-safe (hash(null) is the
+  * seed, never null).
   */
 object EvalBarrier {
 
-  /** Force the named array columns to evaluate once per row, here. */
+  /** Force the named columns to evaluate once per row, here. */
   def apply(df: DataFrame, cols: String*): DataFrame = {
     require(cols.nonEmpty, "EvalBarrier needs at least one column to pin")
     val tagged = df.withColumn("_barrier_mid", monotonically_increasing_id())
-    val touches = cols.map(c => coalesce(size(col(c)), lit(0)) >= -1).reduce(_ && _)
+    val touches = cols.map(c =>
+      hash(col(c)).cast("long") >= lit(Int.MinValue.toLong)).reduce(_ && _)
     tagged.filter(touches || col("_barrier_mid") < 0).drop("_barrier_mid")
   }
 }

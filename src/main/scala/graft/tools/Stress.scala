@@ -83,7 +83,10 @@ object Stress {
     "q_salted_join", "q_skew_join_hot", "q_simhash_banded", "q_minhash_lsh",
     "q_dedup_cluster", "q_span_dedup", "q_repetition_stats",
     "q_cumsum_arclength", "q_kmeans_refine", "q_lsh_multiprobe",
-    "q_asof_nearest", "q_sessionize", "q_funnel_conversion")
+    "q_asof_nearest", "q_sessionize", "q_funnel_conversion",
+    // flat ANN scans: bounded query sets over the UNBOUNDED corpus side —
+    // they exercise the EvalBarrier/FanOut posture of the theta joins
+    "q_embedding_topk", "q_quantized_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"
