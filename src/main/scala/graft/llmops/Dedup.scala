@@ -46,6 +46,12 @@ object Dedup {
   private def withToks(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("_toks", split(col(textCol), " "))
 
+  /** All word n-gram INSTANCES of a text column, non-distinct — the
+    * occurrence stream (for frequency statistics like
+    * [[HeavyHitters.heavyHitters]]), as opposed to the per-document SET
+    * forms below (for containment/Jaccard semantics). */
+  def ngramArray(text: Column, n: Int): Column = shingleArray(split(text, " "), n)
+
   /** Word n-gram shingle set: one (id, shingle) row per distinct shingle. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     withToks(df, textCol)
@@ -474,6 +480,35 @@ object Dedup {
       .select(explode(shingleArray(col("_toks"), n)).as("shingle")).distinct()
     val contaminated = corpusShingles
       .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Decontamination when the benchmark side is too large to broadcast as
+    * an exact hash relation (a full eval-suite union easily reaches 10⁸+
+    * distinct shingles ≈ tens of GB — far past any broadcast threshold).
+    * Same RESULT as [[decontaminate]], different transport: the benchmark
+    * shingle set travels to the corpus scan as a compact bloom sketch
+    * (size governed by (expectedShingles, fpp), independent of corpus
+    * size — ~1.2 MB per 10⁶ shingles at 1% fpp), and only the surviving
+    * ~contamination + fpp fraction of corpus shingles reaches the exact
+    * verify join. Bloom filters have NO false negatives, so the survivors
+    * are a superset of the truly contaminated rows and the exact semi-join
+    * kills the fpp-rate impostors — output is bit-identical to the exact
+    * form (the oracle runs the same plain SQL). The verify join is now a
+    * shuffle join over two SMALL sides (bloom survivors × bench shingles)
+    * instead of a corpus-wide broadcast probe.
+    */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      expectedShingles: Long, fpp: Double = 0.01): DataFrame = {
+    val corpusShingles = shingles(corpus, idCol, textCol, n)
+    val benchShingles = withToks(benchmark, benchTextCol)
+      .select(explode(shingleArray(col("_toks"), n)).as("shingle")).distinct()
+    val candidates = graft.operators.BloomPrune.semiReduce(
+      corpusShingles, "shingle", benchShingles, "shingle", expectedShingles, fpp)
+    val contaminated = candidates
+      .join(benchShingles, Seq("shingle"), "left_semi")
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.llmops.{TextStats, Dedup, KMeansOps, ProductQuantization, Similarity}
+import graft.llmops.{TextStats, Dedup, HeavyHitters, KMeansOps, ProductQuantization, Similarity}
 
 /** Training-data pipeline family (builder-prompt extensions): text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
@@ -414,6 +414,50 @@ object LlmQueries extends QueryFamily {
              |SELECT doc_id FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Same contamination answer via the bloom-sketch transport — the
+    // form for benchmark sets too large to broadcast exactly. Identical
+    // oracle: bloom false positives die in the exact verify join.
+    ("q_decontaminate_bloom",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
+        Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text", n = 3,
+            expectedShingles = 1L << 14)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+             |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Frequent 3-grams above a support fraction, exact counts, via the
+    // two-pass Misra-Gries sketch + recount — no vocabulary-sized shuffle.
+    // The oracle runs the classic one-pass groupBy (fine at DuckDB/fixture
+    // scale); identical answers is the operator's contract.
+    ("q_heavy_hitters",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        HeavyHitters.heavyHitters(docs, Dedup.ngramArray(col("text"), 3),
+            minFraction = 0.0002)
+          .orderBy("item")
+      },
+      Some("""WITH s AS (
+             |  SELECT unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS item
+             |  FROM documents),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+             |c AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY item)
+             |SELECT item, cnt FROM c, tot
+             |WHERE CAST(cnt AS DOUBLE) >= 0.0002 * CAST(n AS DOUBLE)
+             |ORDER BY item""".stripMargin)),
 
     // Greedy sequence packing: bin documents into ≤512-token training
     // packs per shard — a true recurrence (pack fill depends on previous

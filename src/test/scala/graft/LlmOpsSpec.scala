@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llmops.{Dedup, Similarity, TextStats}
+import graft.llmops.{Dedup, HeavyHitters, Similarity, TextStats}
 
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -367,6 +367,70 @@ class LlmOpsSpec extends SparkSpec {
     val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L))
+  }
+
+  test("decontaminateBloom is identical to the exact form (bloom fp die in verify)") {
+    val corpus = Seq(
+      (0L, base),
+      (1L, nearDup),
+      (2L, unrelated),
+      (3L, "totally novel words nobody benchmarked ever before now"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1(base)).toDF("text")
+    // fpp deliberately terrible (0.5) so false positives certainly occur
+    // upstream and the exact verify join is what saves the answer
+    val kept = Dedup.decontaminateBloom(corpus, "doc_id", "text", bench, "text",
+        n = 3, expectedShingles = 16, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fixtureBench = fixture.filter(col("doc_id") % 97 === 0).select("text")
+    val exact = Dedup.decontaminate(fixture, "doc_id", "text", fixtureBench, "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.decontaminateBloom(fixture, "doc_id", "text", fixtureBench,
+        "text", 3, expectedShingles = 1L << 14)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == exact)
+  }
+
+  test("misraGries keeps every item above n/(k+1) and bounds summary size") {
+    // adversarial stream: heavy items interleaved with a long singleton tail
+    val heavy = Seq.fill(300)("h1") ++ Seq.fill(150)("h2") ++ Seq.fill(90)("h3")
+    val tail = (0 until 1000).map(i => s"u$i")
+    // deterministic shuffle (seeded) so the test is reproducible
+    val stream = new scala.util.Random(42).shuffle(heavy ++ tail)
+    val k = 20
+    val out = HeavyHitters.misraGries(stream.iterator, k).toSeq
+    val (totals, survivors) = out.partition(_._1 == null)
+    assert(totals == Seq((null, stream.size.toLong)))
+    assert(survivors.size <= k)
+    val threshold = stream.size.toDouble / (k + 1) // 1540/21 = 73.3
+    val trueCounts = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    val mustSurvive = trueCounts.filter(_._2 > threshold).keys.toSet
+    assert(mustSurvive == Set("h1", "h2", "h3"), "fixture sanity")
+    assert(mustSurvive.subsetOf(survivors.map(_._1).toSet))
+    // MG counters are lower bounds within n/(k+1) of the truth
+    survivors.foreach { case (item, c) =>
+      assert(c <= trueCounts(item))
+      assert(trueCounts(item) - c <= threshold + 1)
+    }
+  }
+
+  test("heavyHitters equals the naive groupBy answer under forced decrements") {
+    // per-partition distinct far above capacity (minFraction 0.05 -> k=20),
+    // so the sketch pass must decrement and the recount must repair counts
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(200)("beta") ++ Seq.fill(80)("gamma")
+    val tail = (0 until 2000).map(i => s"rare$i")
+    val rows = new scala.util.Random(7).shuffle(heavy ++ tail)
+      .grouped(5).map(g => Tuple1(g.toArray)).toSeq
+    val df = rows.toDF("items").repartition(4)
+    val got = HeavyHitters.heavyHitters(df, col("items"), minFraction = 0.05)
+      .as[(String, Long)].collect().toMap
+    val n = heavy.size + tail.size
+    val expected = (heavy ++ tail).groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c.toDouble >= 0.05 * n }.toMap
+    assert(expected.nonEmpty, "fixture sanity")
+    assert(got == expected)
   }
 
   test("packSequences respects the budget, resets per shard, covers all docs") {
