@@ -14,6 +14,51 @@ object StreamingQueries extends QueryFamily {
 
   def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
+    // Stream-stream attribution join, run batch-side: every (view,
+    // purchase) pair of the same user with the view inside the 2 h window
+    // before the purchase. Identical code drives the watermarked
+    // streaming form (StreamingSpec parity across micro-batch splits);
+    // withWatermark is a no-op here, so the oracle checks the shared
+    // join semantics.
+    ("q_attribution_join",
+      (s: SparkSession, d: String) => {
+        graft.streaming.StreamJoin.attributeEvents(Tables.events(s, d),
+            keyCol = "user_id", tsCol = "ts", typeCol = "event_type",
+            idCol = "event_id", impType = "view", convType = "purchase",
+            lookback = "2 hours", delay = "10 minutes")
+          .select("user_id", "imp_id", "conv_id")
+          .orderBy("user_id", "imp_id", "conv_id")
+      },
+      Some("""SELECT v.user_id, v.event_id AS imp_id, p.event_id AS conv_id
+             |FROM events v JOIN events p
+             |  ON v.user_id = p.user_id
+             | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 2 HOUR
+             |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+             |ORDER BY v.user_id, imp_id, conv_id""".stripMargin)),
+
+    // The anti side: purchases with NO view in the window ("unattributed
+    // conversions") — same watermark-bounded state story, left-anti form.
+    ("q_unattributed",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("imp_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("conv_id"),
+            col("ts").as("conv_ts"))
+        graft.streaming.StreamJoin.unattributed(purchases, views,
+            keyCol = "user_id", convTsCol = "conv_ts", impTsCol = "imp_ts",
+            lookback = "2 hours", delay = "10 minutes")
+          .select("user_id", "conv_id").orderBy("user_id", "conv_id")
+      },
+      Some("""SELECT p.user_id, p.event_id AS conv_id
+             |FROM events p
+             |WHERE p.event_type = 'purchase' AND NOT EXISTS (
+             |  SELECT 1 FROM events v
+             |  WHERE v.event_type = 'view' AND v.user_id = p.user_id
+             |    AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 2 HOUR)
+             |ORDER BY p.user_id, conv_id""".stripMargin)),
+
     // Ordered-progression funnel: users advancing view → click →
     // purchase, each stage's first event strictly after the previous
     // stage's (the batch analog of the task lifecycle's

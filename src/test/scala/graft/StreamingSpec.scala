@@ -249,6 +249,85 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream attribution join matches batch across micro-batch splits") {
+    import graft.streaming.StreamJoin
+    import graft.streaming.StreamJoin.{Impression, Conversion}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // base offset keeps event times away from epoch 0: the initial
+    // watermark is 0 and the join's derived state watermark clamps there,
+    // so an epoch-0 row sits exactly on the eviction boundary
+    def ts(m: Long) = new java.sql.Timestamp((100000L + m) * 60000L)
+    val imps = Seq(
+      Impression(1, 10, ts(0)), Impression(1, 11, ts(50)),
+      Impression(2, 12, ts(0)), Impression(3, 13, ts(200)))
+    val convs = Seq(
+      Conversion(1, 100, ts(60)), Conversion(2, 101, ts(150)),
+      Conversion(3, 102, ts(210)), Conversion(4, 103, ts(60)))
+    // ground truth from the identical code run batch-side
+    val batch = StreamJoin.attributionJoin(imps.toDF(), convs.toDF(),
+        "user_id", "imp_ts", "conv_ts", "90 minutes", "10 minutes")
+      .select("user_id", "imp_id", "conv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, 10L, 100L), (1L, 11L, 100L), (3L, 13L, 102L)),
+      s"batch ground truth: $batch")
+    for (cut <- Seq(1, 2, 4)) {
+      val impIn = MemoryStream[Impression]
+      val convIn = MemoryStream[Conversion]
+      val q = StreamJoin.attributionJoin(impIn.toDF(), convIn.toDF(),
+          "user_id", "imp_ts", "conv_ts", "90 minutes", "10 minutes")
+        .select("user_id", "imp_id", "conv_id")
+        .writeStream.format("memory").queryName(s"attr_join_$cut")
+        .outputMode("append").start()
+      try {
+        impIn.addData(imps: _*)
+        q.processAllAvailable()
+        convs.grouped(cut).foreach { b =>
+          convIn.addData(b: _*)
+          q.processAllAvailable()
+        }
+        val got = sp.table(s"attr_join_$cut")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == batch, s"cut=$cut: $got vs $batch")
+      } finally q.stop()
+    }
+  }
+
+  test("unattributed conversions emit once the watermark closes the window") {
+    import graft.streaming.StreamJoin
+    import graft.streaming.StreamJoin.{Impression, Conversion}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // base offset keeps event times away from epoch 0: the initial
+    // watermark is 0 and the join's derived state watermark clamps there,
+    // so an epoch-0 row sits exactly on the eviction boundary
+    def ts(m: Long) = new java.sql.Timestamp((100000L + m) * 60000L)
+    val impIn = MemoryStream[Impression]
+    val convIn = MemoryStream[Conversion]
+    val q = StreamJoin.unattributed(convIn.toDF(), impIn.toDF(),
+        "user_id", "conv_ts", "imp_ts", "90 minutes", "10 minutes")
+      .select("user_id", "conv_id")
+      .writeStream.format("memory").queryName("unattr")
+      .outputMode("append").start()
+    try {
+      impIn.addData(Impression(1, 10, ts(0)))
+      convIn.addData(Conversion(1, 100, ts(60)),  // attributed -> silent
+        Conversion(2, 101, ts(60)))               // no impression -> emits
+      q.processAllAvailable()
+      // watermark sentinels push event time far past both windows so the
+      // outer side can prove "no impression can still arrive"
+      impIn.addData(Impression(99, 990, ts(5000)))
+      convIn.addData(Conversion(99, 991, ts(5000)))
+      q.processAllAvailable()
+      val got = sp.table("unattr")
+        .filter(org.apache.spark.sql.functions.col("user_id") =!= 99)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 101L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("task state machine runs on the RocksDB state store backend") {
     val sp = spark
     import sp.implicits._
