@@ -340,6 +340,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(kept < total / 2, s"bloom kept $kept of $total fact rows — not pruning")
   }
 
+  test("plan: heavy hitters shuffles candidates, not the vocabulary") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+    val p = plan(df)
+    // the recount pass must probe the (tiny) candidate relation with a
+    // broadcast join so only candidate rows reach the aggregation...
+    assert(p.contains("BroadcastHashJoin"), p)
+    // ...and the exploded item stream must flow INTO that join directly —
+    // no exchange between the Generate and the join. (The vocabulary-sized
+    // groupBy this operator replaces would hash-exchange the full explode
+    // output; here the only hash exchanges are candidate-bounded: the
+    // sketch distinct and the post-join recount aggregation.) In the
+    // printed tree the join's streamed child is the lines between the
+    // first BroadcastHashJoin and its BroadcastExchange branch.
+    val streamedChild = p.substring(p.indexOf("BroadcastHashJoin"))
+    val untilBroadcast = streamedChild.substring(0, streamedChild.indexOf("BroadcastExchange"))
+    assert(untilBroadcast.contains("Generate explode"), p)
+    assert(!untilBroadcast.contains("Exchange"),
+      s"exchange between explode and the candidate join:\n$p")
+  }
+
+  test("plan: bloom decontamination probes the sketch before the verify join") {
+    val df = SparkEntry.queries("q_decontaminate_bloom")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("plan: attribution join is an equi-join on the key, range in condition") {
+    val df = SparkEntry.queries("q_attribution_join")(spark, sf)
+    val p = plan(df)
+    // the time bounds must ride in an equi-join's condition (hash or
+    // sort-merge on user_id), never degrade to a nested loop over events
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("z-order range layout bounds every dimension per partition") {
     // The scale claim behind q_zorder_layout: range-partitioning by the
     // interleaved z-value yields partitions whose bounding box is small in
