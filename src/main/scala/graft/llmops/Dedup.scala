@@ -49,8 +49,17 @@ object Dedup {
   /** All word n-gram INSTANCES of a text column, non-distinct — the
     * occurrence stream (for frequency statistics like
     * [[HeavyHitters.heavyHitters]]), as opposed to the per-document SET
-    * forms below (for containment/Jaccard semantics). */
-  def ngramArray(text: Column, n: Int): Column = shingleArray(split(text, " "), n)
+    * forms below (for containment/Jaccard semantics).
+    *
+    * The token array is bound through a one-element transform lambda so
+    * `split` runs ONCE per row. Substituting `split(text)` directly into
+    * [[shingleArray]] re-inlines it at every `element_at` — three
+    * re-tokenizations of the whole document per gram, which measured
+    * ~10× on the whole stage at the 64× stress fixture (same
+    * common-subexpression hazard as the PQ quantize re-inlining; the
+    * column-bound `_toks` of [[withToks]] is the other safe form). */
+  def ngramArray(text: Column, n: Int): Column =
+    element_at(transform(array(split(text, " ")), toks => shingleArray(toks, n)), 1)
 
   /** Word n-gram shingle set: one (id, shingle) row per distinct shingle. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

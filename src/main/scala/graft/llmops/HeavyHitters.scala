@@ -34,9 +34,13 @@ import org.apache.spark.sql.functions._
   *
   * Two corpus scans, zero vocabulary-sized state anywhere: summaries are
   * O(k) per partition, the candidate relation is O(k·P), and the final
-  * shuffle is O(candidates). This is the 100 TB shape; the classic
-  * one-pass groupBy stays preferable only when the vocabulary is known
-  * small (it is the plan DuckDB runs as the oracle).
+  * shuffle is O(candidates). Selection rule (both forms measured at the
+  * 64× stress fixture, STRESS.md): the classic one-pass groupBy wins
+  * while the vocabulary is small relative to the stream (its shuffle is
+  * then cheap and it scans the corpus once — 19.9 s vs 24.0 s there, at
+  * vocab ≈ 8% of instances); the sketch wins when the vocabulary
+  * approaches stream size (web-scale n-grams), where the naive shuffle
+  * is corpus-sized but the sketch's stays ≤ capacity·partitions.
   *
   * At the test fixture's size the per-partition distinct count is below k,
   * so MG never decrements and the sketch pass degenerates to exact

@@ -76,6 +76,20 @@ object Stress {
       idCol = "vec_id", vecCol = "qv", k = 5, m = 4, dim = 64)
   }
 
+  /** The naive one-pass heavy-hitters plan (explode → groupBy over the
+    * FULL vocabulary → filter) at the same threshold as q_heavy_hitters —
+    * the baseline the Misra-Gries sketch+recount exists to beat: its
+    * shuffle is vocabulary-sized regardless of how few items qualify. */
+  private def stressHhNaive(s: SparkSession, d: String): DataFrame = {
+    val items = graft.model.Tables.documents(s, d)
+      .select(explode(graft.llmops.Dedup.ngramArray(col("text"), 3)).as("item"))
+    val total = items.agg(count(lit(1)).cast("double").as("_n"))
+    items.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt").cast("double") >= lit(0.0002) * col("_n"))
+      .select("item", "cnt")
+  }
+
   // Unbounded scale paths only: q_tfidf_topk (doc_id<100) and q_knn
   // (vec_id<40) are bounded correctness baselines and would only measure
   // the replica-0 scan here.
@@ -86,7 +100,11 @@ object Stress {
     "q_asof_nearest", "q_sessionize", "q_funnel_conversion",
     // flat ANN scans: bounded query sets over the UNBOUNDED corpus side —
     // they exercise the EvalBarrier/FanOut posture of the theta joins
-    "q_embedding_topk", "q_quantized_topk")
+    "q_embedding_topk", "q_quantized_topk",
+    // round-6 additions: sketch-based frequency stats, bloom-transport
+    // decontamination (vs the broadcast exact form), interval stream join
+    "q_heavy_hitters", "q_decontaminate", "q_decontaminate_bloom",
+    "q_attribution_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"
@@ -107,7 +125,8 @@ object Stress {
         "stress_knn_grid" -> (stressKnnGrid _),
         "stress_lsh_multiprobe14" -> (stressLshMultiprobe _),
         "stress_dedup_sized" -> (stressDedupSized _),
-        "stress_pq" -> (stressPq _))
+        "stress_pq" -> (stressPq _),
+        "stress_hh_naive" -> (stressHhNaive _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }
