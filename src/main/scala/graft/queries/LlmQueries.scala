@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.llmops.{TextStats, Dedup, HeavyHitters, KMeansOps, ProductQuantization, Similarity}
+import graft.llmops.{TextStats, BpeTrainer, Dedup, HeavyHitters, KMeansOps, ProductQuantization, Similarity}
 
 /** Training-data pipeline family (builder-prompt extensions): text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
@@ -458,6 +458,31 @@ object LlmQueries extends QueryFamily {
              |SELECT item, cnt FROM c, tot
              |WHERE CAST(cnt AS DOUBLE) >= 0.0002 * CAST(n AS DOUBLE)
              |ORDER BY item""".stripMargin)),
+
+    // BPE tokenizer-merge training: 8 merges learned from the corpus word
+    // histogram (count-desc + lexicographic argmax — fully deterministic).
+    // The oracle replays the whole iterative training as an unrolled CTE
+    // chain with non-overlapping string replace as the merge step.
+    ("q_bpe_merges",
+      (s: SparkSession, d: String) => {
+        val words = BpeTrainer.wordHistogram(Tables.documents(s, d), "text")
+        BpeTrainer.learnMerges(words, "word", "freq", nMerges = 8)
+          .orderBy("merge_rank")
+      },
+      Some(BpeTrainer.mergesOracleSql(8))),
+
+    // The learned tokenizer applied back to the corpus vocabulary: per
+    // word, its BPE token string + token count. Cross-engine check that
+    // ENCODING with the merge list reproduces training's final state.
+    ("q_bpe_encode",
+      (s: SparkSession, d: String) => {
+        val words = BpeTrainer.wordHistogram(Tables.documents(s, d), "text")
+        val merges = BpeTrainer.learnMerges(words, "word", "freq", nMerges = 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        BpeTrainer.encodeWords(words, "word", merges).orderBy("word")
+      },
+      Some(BpeTrainer.encodeOracleSql(8))),
 
     // Greedy sequence packing: bin documents into ≤512-token training
     // packs per shard — a true recurrence (pack fill depends on previous

@@ -433,6 +433,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("BPE learns the classic merges on the Sennrich-style corpus") {
+    import graft.llmops.BpeTrainer
+    val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = BpeTrainer.learnMergesLocal(hist, 3)
+    // (e,s) and (s,t) tie at 9; lexicographic tie-break picks (e,s),
+    // then (es,t) at 9 — the textbook progression
+    assert(merges(0).lhs == "e" && merges(0).rhs == "s" && merges(0).pair_count == 9L)
+    assert(merges(1).lhs == "es" && merges(1).rhs == "t" && merges(1).pair_count == 9L)
+    assert(merges.map(_.merge_rank) == Seq(1, 2, 3))
+    // encoding with the learned list reproduces training's final state
+    val pairs = merges.map(m => (m.lhs, m.rhs))
+    assert(BpeTrainer.encodeWord("newest", pairs.take(2)) == Vector("n", "e", "w", "est"))
+  }
+
+  test("BPE distributed training equals the in-memory loop on the fixture") {
+    import graft.llmops.BpeTrainer
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = BpeTrainer.wordHistogram(docs, "text")
+    val dist = BpeTrainer.learnMerges(words, "word", "freq", nMerges = 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val local = BpeTrainer.learnMergesLocal(
+      words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 6)
+      .map(m => (m.merge_rank, m.lhs, m.rhs, m.pair_count))
+    assert(dist.length == 6)
+    assert(dist.toSeq == local)
+  }
+
+  test("BPE merge application is greedy left-to-right in all three forms") {
+    import graft.llmops.BpeTrainer
+    // plain-Scala form
+    assert(BpeTrainer.encodeWord("aaa", Seq(("a", "a"))) == Vector("aa", "a"))
+    assert(BpeTrainer.encodeWord("aaaa", Seq(("a", "a"))) == Vector("aa", "aa"))
+    assert(BpeTrainer.encodeWord("abab", Seq(("a", "b"))) == Vector("ab", "ab"))
+    // fold-expression form must agree symbol-for-symbol
+    val df = Seq("aaa", "aaaa", "abab", "aab", "ba").toDF("w")
+      .select(col("w"), BpeTrainer.applyMerge(
+        BpeTrainer.initialSymbols(col("w")), "a", "a").as("m"))
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    for ((w, expected) <- Seq(
+        "aaa" -> Vector("aa", "a"), "aaaa" -> Vector("aa", "aa"),
+        "abab" -> Vector("a", "b", "a", "b"), "aab" -> Vector("aa", "b"),
+        "ba" -> Vector("b", "a")))
+      assert(got(w) == expected, s"fold on $w: ${got(w)}")
+  }
+
   test("packSequences respects the budget, resets per shard, covers all docs") {
     val docs = (0 until 40).map(i => (i % 4, i.toLong, 10L + (i % 7) * 30L))
       .toDF("shard", "doc_id", "n_tok")
