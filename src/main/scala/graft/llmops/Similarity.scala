@@ -104,6 +104,37 @@ object Similarity {
         col("_s.score").as("cosine"), (col("_pos") + 1).cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive retriever training: for each
+    * query vector, the k most-cosine-similar candidates with a DIFFERENT
+    * label — the "looks like a positive, isn't one" rows a contrastive
+    * loss needs. Same bounded-heap shape as [[bruteForceTopKAgg]]
+    * (scored pairs reduce to ≤ k per (query, partition) map-side and
+    * never shuffle); the label inequality rides in the join condition, a
+    * plain column comparison with no barrier cost. For corpus-scale
+    * query sets, bucket candidates first (the LSH/IVF paths) and mine
+    * within probed buckets — identical composition to ANN search.
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, dim: Int = 0): DataFrame = {
+    import graft.functions.TopK
+    def side(df: DataFrame, idAs: String, vecAs: String, nAs: String,
+        lAs: String) =
+      df.select(col(idCol).as(idAs), col(labelCol).as(lAs),
+          VectorMath.precast(col(vecCol)).as(vecAs))
+        .withColumn(nAs, VectorMath.normAuto(col(vecAs), dim))
+    val q = side(queries, "query_id", "_qv", "_qn", "_ql")
+    val c = FanOut(graft.operators.EvalBarrier(
+      side(candidates, "cand_id", "_cv", "_cn", "_cl"), "_cv", "_cn"))
+    broadcast(q).join(c,
+        col("query_id") =!= col("cand_id") && col("_ql") =!= col("_cl"))
+      .withColumn("cosine", pairCosine(dim))
+      .groupBy(col("query_id"))
+      .agg(TopK.topKAgg(k, col("cosine"), col("cand_id")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_s")))
+      .select(col("query_id"), col("_s.id").as("cand_id"),
+        col("_s.score").as("cosine"), (col("_pos") + 1).cast("int").as("rank"))
+  }
+
   /** SQL list literal of plane j's ±1 components — the hyperplanes are
     * plan-time constants, so the DuckDB oracle inlines the same planes
     * and reproduces buckets exactly. */

@@ -571,6 +571,35 @@ object LlmQueries extends QueryFamily {
              |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Hard-negative mining: per query vector, the top-5 most-similar
+    // candidates with a DIFFERENT label (contrastive-training negatives).
+    ("q_hard_negatives",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hardNegatives(
+            emb.filter(col("vec_id") < 10), emb,
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+            k = 5, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, label, e,
+             |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+             |  FROM v),
+             |pairs AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_reduce(list_transform(range(1, len(q.e)+1), i -> q.e[i]*c.e[i]), (x,y) -> x+y)
+             |      / (q.nrm * c.nrm) AS cosine
+             |  FROM n q JOIN n c ON q.vec_id <> c.vec_id AND q.label <> c.label
+             |  WHERE q.vec_id < 10),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM pairs)
+             |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Same exact top-k, but via the bounded-heap partial aggregation
     // (functions/TopK) — the 100 TB shape: ≤ k rows per (query, partition)
     // survive the map side instead of shuffling every scored pair into a

@@ -102,9 +102,10 @@ object Stress {
     // they exercise the EvalBarrier/FanOut posture of the theta joins
     "q_embedding_topk", "q_quantized_topk",
     // round-6 additions: sketch-based frequency stats, bloom-transport
-    // decontamination (vs the broadcast exact form), interval stream join
+    // decontamination (vs the broadcast exact form), interval stream join,
+    // iterative BPE merge training (corpus scan + vocab-sized rounds)
     "q_heavy_hitters", "q_decontaminate", "q_decontaminate_bloom",
-    "q_attribution_join")
+    "q_attribution_join", "q_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

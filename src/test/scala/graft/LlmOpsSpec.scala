@@ -433,6 +433,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hard negatives exclude same-label candidates, match brute topK otherwise") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val neg = Similarity.hardNegatives(queries, emb, "vec_id", "embedding",
+        "label", k = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(neg.nonEmpty)
+    neg.foreach { case (q, c) =>
+      assert(labels(q) != labels(c), s"same-label pair ($q,$c) mined as negative")
+    }
+    // against a candidate set with no same-label rows, mining degenerates
+    // to plain top-k — same rows, same order
+    val q0 = emb.filter(col("vec_id") === 0)
+    val other = emb.filter(col("label") =!= labels(0L))
+    val mined = Similarity.hardNegatives(q0, other, "vec_id", "embedding",
+        "label", k = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val brute = Similarity.bruteForceTopK(q0, other, "vec_id", "embedding",
+        k = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(mined.toSeq == brute.toSeq)
+  }
+
   test("BPE learns the classic merges on the Sennrich-style corpus") {
     import graft.llmops.BpeTrainer
     val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
