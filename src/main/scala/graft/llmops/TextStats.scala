@@ -327,6 +327,48 @@ object TextStats {
       .drop("_keep_rate")
   }
 
+  /** Temperature-smoothed mixture UP-sampling — the multilingual-corpus
+    * balancing scheme (α-smoothing à la XLM-R): each domain is replicated
+    * toward the largest one by the square root of its deficit,
+    * r_d = √(max_n / n_d), so low-resource domains gain representation
+    * without the unbounded duplication of full equalization (α→0) and
+    * without starving the head (α=1 keeps natural proportions; this is
+    * the α=0.5 point). Every doc gets ⌊r⌋ copies plus one more when its
+    * md5 bucket falls below the fractional part — content-keyed like
+    * [[splitBucket]], reproducible across engines and reprocessing.
+    *
+    * Determinism note (why α is FIXED at 0.5 here): `sqrt` is required
+    * correctly-rounded by IEEE 754, so r_d is bit-identical in any
+    * engine from the two integer counts — and r_d deliberately avoids
+    * normalizing by Σ p_d^α, whose cross-domain float sum has no defined
+    * order. An arbitrary-α variant would hash-diverge across engines at
+    * `pow`'s last ulp; at a fixed √ the whole replication plan is
+    * oracle-checkable row for row.
+    *
+    * Scale shape: two tiny aggregates → broadcast per-domain rate → one
+    * map-side corpus pass whose explode emits ⌈r_d⌉ ≤ √(max/min) copies
+    * per row. copies ≥ 1 always (r ≥ 1 by construction), so the
+    * descending-sequence hazard cannot fire. Output: input row + `copy`
+    * index (0-based).
+    */
+  def temperatureUpsample(df: DataFrame, domainCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val maxN = counts.agg(max(col("_n")).as("_max"))
+    val rates = counts.crossJoin(broadcast(maxN))
+      .withColumn("_r", sqrt(col("_max").cast("double") / col("_n")))
+      .select(col(domainCol), col("_r"))
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(10000))
+    df.join(broadcast(rates), Seq(domainCol))
+      .withColumn("_copies", floor(col("_r")).cast("long") +
+        when(bucket.cast("double") < (col("_r") - floor(col("_r"))) * 10000.0, 1L)
+          .otherwise(0L))
+      .withColumn("copy", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_r", "_copies")
+  }
+
   /** Deterministic training-shard layout: the "write the corpus back out
     * as N shuffled shards" step at the end of a curation pipeline. Each
     * row gets (shard, pos): shard = md5(seed‖id) mod numShards — a

@@ -1240,6 +1240,31 @@ object LlmQueries extends QueryFamily {
              |SELECT r.lang, r.n AS n_before, coalesce(ka.n_kept, 0) AS n_kept
              |FROM r LEFT JOIN ka USING (lang) ORDER BY lang""".stripMargin)),
 
+    // Temperature (α=0.5) mixture up-sampling: low-resource languages
+    // replicated toward the largest by √deficit; full replicated table
+    // (doc, copy index) hash-verified — the whole replication plan is
+    // deterministic from integer counts + sqrt + the md5 bucket device.
+    ("q_temperature_mixture",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).select("doc_id", "lang")
+        TextStats.temperatureUpsample(docs, domainCol = "lang", idCol = "doc_id")
+          .select("doc_id", "lang", "copy")
+          .orderBy("doc_id", "copy")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+             |m AS (SELECT max(n) AS mx FROM c),
+             |r AS (SELECT lang, sqrt(CAST(mx AS DOUBLE) / n) AS rr FROM c CROSS JOIN m),
+             |dd AS (
+             |  SELECT doc_id, d0.lang, rr,
+             |    CAST(floor(rr) AS BIGINT) +
+             |    CASE WHEN CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000 AS DOUBLE)
+             |         < (rr - floor(rr)) * 10000 THEN 1 ELSE 0 END AS copies
+             |  FROM documents d0 JOIN r USING (lang))
+             |SELECT doc_id, lang, CAST(i AS BIGINT) AS copy
+             |FROM dd, unnest(range(copies)) t(i)
+             |ORDER BY doc_id, copy""".stripMargin)),
+
     ("q_dataset_split",
       (s: SparkSession, d: String) => {
         Tables.documents(s, d).select(col("doc_id"),

@@ -458,6 +458,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(mined.toSeq == brute.toSeq)
   }
 
+  test("temperature upsample: sqrt-deficit replication, head untouched, deterministic") {
+    val rows = (0 until 90).map(i => (i.toLong, "big")) ++
+      (100 until 110).map(i => (i.toLong, "small")) // 9x deficit -> r=3.0
+    val df = rows.toDF("doc_id", "lang")
+    val out = TextStats.temperatureUpsample(df, "lang", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(2)))
+    // head domain (r = 1.0): exactly one copy each
+    assert(out.count(_._2 == "big") == 90)
+    assert(out.filter(_._2 == "big").forall(_._3 == 0L))
+    // small domain: r = sqrt(9) = 3.0 exactly -> exactly 3 copies each
+    assert(out.count(_._2 == "small") == 30)
+    val bySmallDoc = out.filter(_._2 == "small").groupBy(_._1)
+    assert(bySmallDoc.values.forall(_.map(_._3).sorted.sameElements(Seq(0L, 1L, 2L))))
+    // fractional r: 4 small docs vs 90 -> r = sqrt(22.5) ≈ 4.743; per-doc
+    // copies are 4 or 5 and the total sits within 1 of n*r either side
+    val df2 = ((0 until 90).map(i => (i.toLong, "big")) ++
+      Seq((200L, "tiny"), (201L, "tiny"), (202L, "tiny"), (203L, "tiny")))
+      .toDF("doc_id", "lang")
+    val tiny = TextStats.temperatureUpsample(df2, "lang", "doc_id")
+      .filter(col("lang") === "tiny").collect()
+    val perDoc = tiny.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(perDoc.values.forall(c => c == 4 || c == 5), perDoc.toMap.toString)
+    // determinism: identical plan re-run yields identical rows
+    val again = TextStats.temperatureUpsample(df2, "lang", "doc_id")
+      .filter(col("lang") === "tiny").collect().length
+    assert(again == tiny.length)
+  }
+
   test("BPE learns the classic merges on the Sennrich-style corpus") {
     import graft.llmops.BpeTrainer
     val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
