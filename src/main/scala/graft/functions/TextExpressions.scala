@@ -160,6 +160,99 @@ case class RepetitionStats(child: Expression)
   override def prettyName: String = "graft_repetition_stats"
 }
 
+/** Content-defined chunk boundaries (FastCDC/rsync-style): cut offsets
+  * c = i + w for every w-byte window position i whose rolling polynomial
+  * hash h(i) = Σ_{k<w} byte(i+k)·base^k has (h & mask) == 0. Cutting on
+  * CONTENT instead of fixed offsets makes chunk identity shift-robust:
+  * inserting one byte re-chunks only the window it lands in, so chunk-
+  * level dedup still matches everything downstream of the edit (the same
+  * shift-robustness argument as [[RollingMinHash]], applied to dedup of
+  * large/binary payloads rather than fingerprinting). Same exact-integer
+  * rolling update, same < 2^53 bound, engine-reproducible. Average chunk
+  * length ≈ 1/(P(h & mask == 0)) ≈ mask+1 bytes for mixing hashes.
+  * Returns an ascending int array of 0-based cut offsets (possibly
+  * empty — a document shorter than w, or with no qualifying window, is
+  * one whole chunk).
+  */
+case class CdcBoundaries(child: Expression, w: Int, base: Long, mask: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(w >= 2 && w <= 16, s"window must be 2..16 bytes, got $w")
+  require(base > 1, s"base must be > 1, got $base")
+  require(mask > 0, s"mask must be positive, got $mask")
+  require(255.0 * math.pow(base.toDouble, (w - 1).toDouble) * w < math.pow(2.0, 53.0),
+    s"w=$w base=$base overflows exact-integer range")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val topPow: Long = {
+    var p = 1L; var k = 0
+    while (k < w - 1) { p *= base; k += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    val n = b.length
+    if (n < w) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+    else {
+      val cuts = new Array[Int](n - w + 1)
+      var cnt = 0
+      var h = 0L
+      var p = 1L
+      var k = 0
+      while (k < w) { h += (b(k) & 0xffL) * p; p *= base; k += 1 }
+      if ((h & mask) == 0L) { cuts(cnt) = w; cnt += 1 }
+      var i = 1
+      while (i <= n - w) {
+        h = (h - (b(i - 1) & 0xffL)) / base + (b(i + w - 1) & 0xffL) * topPow
+        if ((h & mask) == 0L) { cuts(cnt) = i + w; cnt += 1 }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(cuts, cnt))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val p = ctx.freshName("p")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val cuts = ctx.freshName("cuts")
+      val cnt = ctx.freshName("cnt")
+      s"""
+        |byte[] $b = $s.getBytes();
+        |int $n = $b.length;
+        |if ($n < $w) {
+        |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new int[0]);
+        |} else {
+        |  int[] $cuts = new int[$n - $w + 1];
+        |  int $cnt = 0;
+        |  long $h = 0L;
+        |  long $p = 1L;
+        |  for (int $k = 0; $k < $w; $k++) { $h += ($b[$k] & 0xffL) * $p; $p *= ${base}L; }
+        |  if (($h & ${mask}L) == 0L) { $cuts[$cnt++] = $w; }
+        |  for (int $i = 1; $i <= $n - $w; $i++) {
+        |    $h = ($h - ($b[$i - 1] & 0xffL)) / ${base}L + ($b[$i + $w - 1] & 0xffL) * ${topPow}L;
+        |    if (($h & ${mask}L) == 0L) { $cuts[$cnt++] = $i + $w; }
+        |  }
+        |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |    java.util.Arrays.copyOf($cuts, $cnt));
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_boundaries"
+}
+
 object TextExpressions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_min_hash"),
@@ -178,6 +271,16 @@ object TextExpressions {
         require(es.length == 1,
           s"graft_repetition_stats(text) takes 1 argument, got ${es.length}")
         RepetitionStats(es(0))
+      }),
+    (FunctionIdentifier("graft_cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "graft_cdc_boundaries"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4,
+          s"graft_cdc_boundaries(text, window, base, mask) takes 4 arguments, got ${es.length}")
+        require(es(1).foldable && es(2).foldable && es(3).foldable,
+          "graft_cdc_boundaries window, base, and mask must be literal")
+        CdcBoundaries(es(0), es(1).eval().toString.toInt,
+          es(2).eval().toString.toLong, es(3).eval().toString.toLong)
       }))
 
   /** Requires a session built with [[graft.GraftExtensions]]. */
@@ -191,6 +294,27 @@ object TextExpressions {
   def repetitionStats(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.call_function
     call_function("graft_repetition_stats", text)
+  }
+
+  /** Requires a session built with [[graft.GraftExtensions]]. */
+  def cdcBoundaries(text: org.apache.spark.sql.Column, w: Int, base: Long,
+      mask: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    call_function("graft_cdc_boundaries", text, lit(w), lit(base), lit(mask))
+  }
+
+  /** The identical per-window polynomial-and-mask cut rule as ANSI SQL
+    * (1-based positions; equals the expression's byte arithmetic on
+    * ASCII text): an ascending list of 0-based cut offsets. */
+  def cdcBoundariesSql(textExpr: String, w: Int, base: Long, mask: Long): String = {
+    val poly = (0 until w).map { k =>
+      val p = BigInt(base).pow(k)
+      s"CAST(ascii(substr($textExpr, i+$k, 1)) AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"CASE WHEN length($textExpr) >= $w THEN " +
+      s"list_filter(list_transform(range(1, length($textExpr) - ${w - 2}), " +
+      s"i -> CASE WHEN (($poly) & $mask) = 0 THEN i + ${w - 1} END), x -> x IS NOT NULL) " +
+      s"ELSE [] END"
   }
 
   /** The identical window polynomial as ANSI SQL (per-character ascii —

@@ -522,6 +522,32 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Content-defined chunking (FastCDC/rsync-style) + chunk fingerprints:
+    * each document is cut wherever the [[graft.functions.CdcBoundaries]]
+    * rolling-hash rule fires (average chunk ≈ mask+1 bytes), and every
+    * chunk gets an md5 fingerprint. Because cuts follow CONTENT, an edit
+    * re-chunks only its own neighborhood — all downstream chunks keep
+    * their identity, which is what makes chunk-level dedup effective on
+    * large documents and binary payloads where whole-doc hashes miss
+    * near-misses and fixed-offset blocks lose alignment after one insert.
+    * Entirely map-side (native codegen'd boundary scan + expression
+    * slicing); dedup across the corpus is then a plain groupBy on
+    * chunk_md5. Requires a [[graft.GraftExtensions]] session.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, base: Long = 31L, mask: Long = 63L): DataFrame = {
+    val cuts = graft.functions.TextExpressions.cdcBoundaries(col(textCol), w, base, mask)
+    val allCuts = concat(array(lit(0)), cuts, array(length(col(textCol))))
+    val chunks = zip_with(
+      slice(allCuts, lit(1), size(allCuts) - 1),
+      slice(allCuts, lit(2), size(allCuts) - 1),
+      (a, b) => col(textCol).substr(a + 1, b - a))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .filter(length(col("chunk")) > 0)
+      .select(col(idCol), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+  }
+
   /** 64-bit SimHash from md5 token hashes: bit b of the signature is the
     * sign of Σ_tokens (±1 by bit b of md5(token)). Near-dups = pairs with
     * small Hamming distance. md5-based → portable across engines.

@@ -484,6 +484,32 @@ object LlmQueries extends QueryFamily {
       },
       Some(BpeTrainer.encodeOracleSql(8))),
 
+    // Content-defined chunking: every document cut at rolling-hash
+    // boundaries (native codegen'd scan), one fingerprinted chunk per
+    // row. The oracle recomputes every window polynomial + mask cut and
+    // the identical slicing in DuckDB — cut offsets, lengths, and chunk
+    // md5s are all hash-compared.
+    ("q_cdc_chunks",
+      (s: SparkSession, d: String) => {
+        Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+            w = 8, base = 31L, mask = 63L)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT doc_id, text,
+             |    ${graft.functions.TextExpressions.cdcBoundariesSql("text", 8, 31L, 63L)} AS cuts
+             |  FROM documents),
+             |a AS (
+             |  SELECT doc_id, text, [0] || cuts || [length(text)] AS ac FROM b),
+             |ch AS (
+             |  SELECT doc_id, j - 1 AS chunk_idx,
+             |    substr(text, CAST(ac[j] AS INT) + 1, CAST(ac[j+1] - ac[j] AS INT)) AS chunk
+             |  FROM a, unnest(range(1, len(ac))) t(j))
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  CAST(length(chunk) AS INT) AS chunk_len, md5(chunk) AS chunk_md5
+             |FROM ch WHERE length(chunk) > 0
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Greedy sequence packing: bin documents into ≤512-token training
     // packs per shard — a true recurrence (pack fill depends on previous
     // pack state), same secondary-sort scan as the rate clamp; the oracle

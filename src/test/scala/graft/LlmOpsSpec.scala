@@ -458,6 +458,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(mined.toSeq == brute.toSeq)
   }
 
+  test("CDC chunks reconstruct the document and match a from-scratch reference") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val chunks = Dedup.cdcChunks(fixture, "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val texts = fixture.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // chunk lengths per doc sum to the doc length (lossless cover)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._3).sum == texts(id).length, s"doc $id chunk cover")
+    }
+    // boundaries equal an independent from-scratch reference scan
+    def refCuts(s: String, w: Int, base: Long, mask: Long): Seq[Int] =
+      (0 to s.length - w).filter { i =>
+        val h = (0 until w).map(k => (s(i + k).toLong & 0xffL) *
+          math.pow(base.toDouble, k.toDouble).toLong).sum
+        (h & mask) == 0L
+      }.map(_ + w)
+    texts.take(10).foreach { case (id, t) =>
+      val expectLens = {
+        val cuts = (0 +: refCuts(t, 8, 31L, 63L) :+ t.length).distinct
+        cuts.sliding(2).map { case Seq(a, b) => b - a }.filter(_ > 0).toSeq
+      }
+      val gotLens = chunks.filter(_._1 == id).sortBy(_._2).map(_._3).toSeq
+      assert(gotLens == expectLens, s"doc $id cuts")
+    }
+  }
+
+  test("CDC chunking is shift-robust: a prefix edit preserves downstream chunks") {
+    val t = docs.filter(col("doc_id") === 0L).select("text").as[String].head()
+    val pair = Seq((0L, t), (1L, "zq " + t)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(pair, "doc_id", "text").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(3)).toSet).toMap
+    val common = out(0L).intersect(out(1L)).size
+    // everything after the first content-defined cut below the edit point
+    // re-aligns; only the head chunk(s) differ
+    assert(common >= out(0L).size - 2,
+      s"only $common of ${out(0L).size} chunks survived a prefix insert")
+  }
+
   test("temperature upsample: sqrt-deficit replication, head untouched, deterministic") {
     val rows = (0 until 90).map(i => (i.toLong, "big")) ++
       (100 until 110).map(i => (i.toLong, "small")) // 9x deficit -> r=3.0
