@@ -512,6 +512,12 @@ object Dedup {
       benchmark: DataFrame, benchTextCol: String, n: Int,
       expectedShingles: Long, fpp: Double = 0.01): DataFrame = {
     val corpusShingles = shingles(corpus, idCol, textCol, n)
+    // three consumers read the bench shingle set (the emptiness probe, the
+    // bloom aggregation, and the verify join), but deliberately WITHOUT a
+    // checkpoint: the probe short-circuits at one row, so only the bloom
+    // build re-derives the set — measured at 64× (STRESS.md), eagerly
+    // materializing the multi-million-row set costs more than the one
+    // re-derivation it saves
     val benchShingles = withToks(benchmark, benchTextCol)
       .select(explode(shingleArray(col("_toks"), n)).as("shingle")).distinct()
     val candidates = graft.operators.BloomPrune.semiReduce(

@@ -90,6 +90,25 @@ object Stress {
       .select("item", "cnt")
   }
 
+  /** Decontamination with a BIG benchmark side (a third of the corpus —
+    * millions of distinct shingles): the regime the bloom transport
+    * exists for. Run both transports to measure the crossover the
+    * fixture-sized oracle query cannot show. */
+  private def stressDeconBig(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.model.Tables.documents(s, d)
+    val bench = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("text")
+    graft.llmops.Dedup.decontaminate(docs, "doc_id", "text", bench, "text", 3)
+      .select("doc_id")
+  }
+
+  private def stressDeconBigBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.model.Tables.documents(s, d)
+    val bench = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("text")
+    graft.llmops.Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "text", 3,
+        expectedShingles = 1L << 23)
+      .select("doc_id")
+  }
+
   // Unbounded scale paths only: q_tfidf_topk (doc_id<100) and q_knn
   // (vec_id<40) are bounded correctness baselines and would only measure
   // the replica-0 scan here.
@@ -127,7 +146,9 @@ object Stress {
         "stress_lsh_multiprobe14" -> (stressLshMultiprobe _),
         "stress_dedup_sized" -> (stressDedupSized _),
         "stress_pq" -> (stressPq _),
-        "stress_hh_naive" -> (stressHhNaive _))
+        "stress_hh_naive" -> (stressHhNaive _),
+        "stress_decon_big" -> (stressDeconBig _),
+        "stress_decon_big_bloom" -> (stressDeconBigBloom _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }
