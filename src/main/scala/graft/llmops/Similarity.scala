@@ -356,6 +356,45 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
         min(col("_n")).as("min_norm"), max(col("_n")).as("max_norm"))
 
+  /** Per-label centroid-distance outlier ranking — the curation step that
+    * prunes mislabeled / far-from-cluster embeddings before training
+    * (the SemDeDup paper's companion heuristic: within a semantic
+    * cluster, distance-to-centroid ranks quality). Returns the `topK`
+    * farthest vectors per label with their squared distance and rank.
+    *
+    * [[labelStats]] deliberately omits float means ("sum order is
+    * engine-specific"); this operator closes that gap with the Det
+    * doctrine — each component is cast to an exact decimal before the
+    * sum, so the centroid is bit-reproducible regardless of row order,
+    * and the final mean is one identical double division per component.
+    * The distance fold then runs left-to-right over the paired arrays
+    * ([[VectorMath.distSqPrecast]]), matching the oracle's list_reduce.
+    *
+    * Scale shape: one posexplode + (label, position) count shuffle —
+    * dim·labels cells of combiner state, same as a Lloyd step — then the
+    * label-count-sized centroid table broadcasts back for a map-side
+    * distance pass and a per-label top-k window (k·labels rows survive
+    * the final exchange). The corpus is scanned twice, never cached. */
+  def centroidOutliers(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val comp = df.select(col(labelCol).as("_l"),
+      posexplode(VectorMath.precast(col(vecCol))).as(Seq("_i", "_x")))
+    val cent = comp.groupBy("_l", "_i")
+      .agg((sum(col("_x").cast(DecimalType(28, 9))).cast("double") /
+        count(lit(1))).as("_m"))
+    val centArr = cent.groupBy("_l")
+      .agg(transform(array_sort(collect_list(struct(col("_i"), col("_m")))),
+        s => s.getField("_m")).as("_c"))
+    df.join(broadcast(centArr), col(labelCol) === col("_l"))
+      .withColumn("dist2",
+        VectorMath.distSqPrecast(VectorMath.precast(col(vecCol)), col("_c")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col(labelCol))
+        .orderBy(col("dist2").desc, col(idCol))).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col(labelCol), col("dist2"), col("rank"))
+  }
+
   // ---- int8 scalar quantization ------------------------------------------
 
   /** Symmetric per-vector int8 quantization: q_i = floor(x_i/amax·127+0.5)

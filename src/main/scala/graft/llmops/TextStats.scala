@@ -395,4 +395,67 @@ object TextStats {
           .orderBy(col("_shuffle_key"), col(idCol))) - 1)
       .drop("_shuffle_key")
   }
+
+  // ---- Corpus bigram language-model scoring (perplexity-style filter) ----
+
+  /** Score each document under a bigram model trained on the corpus itself
+    * — the CCNet/KenLM quality-filter pattern (score text against an
+    * in-domain LM; far-from-distribution documents score low and get
+    * pruned or down-mixed). Two departures from the textbook form, both
+    * deliberate:
+    *
+    *   - MLE conditionals p(w2|w1) = c(w1,w2) / c(w1·) with NO smoothing:
+    *     the model is trained on the corpus being scored, so every scored
+    *     bigram has c ≥ 1 and the estimate is well-defined. (Scoring a
+    *     DIFFERENT corpus needs smoothing — then unseen bigrams appear;
+    *     that variant is the decontamination family's job, not this one.)
+    *   - The document statistic is the MEAN conditional probability (plus
+    *     the min as a worst-bigram flag), not exp(mean log p): log is a
+    *     libm call engines round differently (same reasoning as
+    *     [[collocationLift]]'s lift-not-PMI), while mean-p is built from
+    *     integer-exact divisions and a decimal-exact sum. Both statistics
+    *     order "templated/fluent" above "token salad"; mean-p is simply
+    *     the harmonic-free rank-preserving choice that hash-verifies.
+    *
+    * c(w1·) is the BIGRAM-LEFT count (sum over w2 of c(w1,w2)), not the
+    * raw unigram count, so Σ_w2 p(w2|w1) = 1 exactly — a proper
+    * conditional distribution (doc-final tokens don't condition anything).
+    *
+    * Scale shape: one map-side bigram explode feeding a (w1,w2) count
+    * shuffle; left counts derive from the bigram table (vocabulary²-
+    * bounded, Zipf-small next to the corpus) — the corpus itself is
+    * tokenized exactly twice (count pass + scoring pass) and never
+    * cached. The scoring join shuffles corpus bigrams against the two
+    * count tables on word keys; AQE broadcasts the count sides when the
+    * vocabulary allows. The bigram count table is localCheckpoint'd: it
+    * feeds the left-count aggregate AND the scoring join, and without it
+    * each consumer would re-shuffle the whole corpus (precedent:
+    * [[collocationLift]]'s unigram checkpoint).
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val left = big.groupBy("w1").agg(sum("c_ab").as("c_1"))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .withColumn("p", col("c_ab").cast("double") / col("c_1").cast("double"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        // Decimal-exact mean (Det doctrine): float-sum order differs
+        // between engines; decimal sum is exact, the final division is
+        // one identical double op.
+        (sum(col("p").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("mean_p"),
+        min(col("p")).as("min_p"))
+  }
 }

@@ -1479,6 +1479,64 @@ object LlmQueries extends QueryFamily {
       },
       Some("""SELECT token, CAST(count(*) AS BIGINT) AS freq
              |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-             |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin))
+             |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin)),
+
+    // Bigram-LM document scoring (the CCNet/KenLM perplexity-filter
+    // pattern, log-free): MLE conditionals from the corpus itself, mean-p
+    // + min-p per document. See TextStats.lmScore for why mean-p replaces
+    // exp(mean log p) in the verified output.
+    ("q_lm_score",
+      (s: SparkSession, d: String) => {
+        TextStats.lmScore(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |pairs AS (
+             |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+             |    FROM t)),
+             |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+             |  FROM pairs GROUP BY 1, 2),
+             |lft AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_1 FROM big GROUP BY 1),
+             |sc AS (
+             |  SELECT pr.doc_id,
+             |    CAST(b.c_ab AS DOUBLE) / CAST(u.c_1 AS DOUBLE) AS p
+             |  FROM pairs pr JOIN big b USING (w1, w2) JOIN lft u USING (w1))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_p,
+             |  MIN(p) AS min_p
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-label centroid-distance outliers (embedding-curation prune):
+    // decimal-exact centroid (closes the labelStats float-mean omission),
+    // left-to-right distance fold, top-5 farthest per label.
+    ("q_embedding_outliers",
+      (s: SparkSession, d: String) => {
+        Similarity.centroidOutliers(Tables.embeddings(s, d),
+            idCol = "vec_id", labelCol = "label", vecCol = "embedding",
+            topK = 5)
+          .orderBy("label", "rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |comp AS (
+             |  SELECT label,
+             |    unnest(list_transform(range(1, len(e)+1), i -> {'i': i, 'x': e[i]})) AS s
+             |  FROM v),
+             |cent AS (
+             |  SELECT label, s.i AS i,
+             |    CAST(SUM(CAST(s.x AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+             |  FROM comp GROUP BY 1, 2),
+             |ca AS (SELECT label, list(m ORDER BY i) AS c FROM cent GROUP BY label),
+             |dd AS (
+             |  SELECT v.vec_id, v.label,
+             |    list_reduce(list_transform(range(1, len(e)+1),
+             |      i -> (e[i]-c[i])*(e[i]-c[i])), (a,b) -> a+b) AS dist2
+             |  FROM v JOIN ca USING (label)),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+             |    ORDER BY dist2 DESC, vec_id) AS INT) AS rank FROM dd)
+             |SELECT vec_id, label, dist2, rank FROM r
+             |WHERE rank <= 5 ORDER BY label, rank""".stripMargin))
   )
 }

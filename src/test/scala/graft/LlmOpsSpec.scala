@@ -1023,4 +1023,70 @@ class LlmOpsSpec extends SparkSpec {
       }.sum
     assert(distortion(booksMap(refined)) < distortion(booksMap(seed)))
   }
+
+  test("lm score: repeated phrasing outranks token salad; conditionals sum to 1") {
+    // Corpus of one dominant template + one scrambled doc built from the
+    // same vocabulary: the template's bigrams are high-count, the
+    // scrambled doc's are singletons, so mean-p must rank template docs
+    // strictly higher. All docs share the vocabulary so the difference is
+    // purely transition structure, not unseen words.
+    val template = "the cat sat on the mat and the dog sat on the rug"
+    val scrambled = "rug the on dog mat sat the and cat the on sat the"
+    val lm = Seq((0L, template), (1L, template), (2L, template), (3L, scrambled))
+      .toDF("doc_id", "text")
+    val out = TextStats.lmScore(lm, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_p"), r.getAs[Double]("min_p")))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == out(1L) && out(1L) == out(2L)) // identical docs, identical score
+    assert(out(0L)._2 > out(3L)._2, s"template ${out(0L)} !> salad ${out(3L)}")
+    assert(out.values.forall(v => v._3 > 0.0 && v._3 <= 1.0))
+    // Proper conditional distribution: for every left word, sum over
+    // right words of p(w2|w1) is exactly 1 (c_1 is the bigram-left count).
+    val pairs = lm.select(col("doc_id"), TextStats.tokens(col("text")).as("t"))
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(t[i-1] as w1, t[i] as w2))")).as("p"))
+      .select("p.w1", "p.w2")
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val sums = big.groupBy("w1").agg(sum("c_ab").as("c_1"))
+      .join(big, "w1")
+      .groupBy("w1", "c_1")
+      .agg(sum(col("c_ab").cast("double") / col("c_1").cast("double")).as("s"))
+      .collect().map(_.getAs[Double]("s"))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+    // Single-token and empty docs have no bigrams and must vanish, not NaN.
+    val degenerate = TextStats.lmScore(
+      Seq((10L, "one"), (11L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(degenerate.count() == 0)
+  }
+
+  test("centroid outliers: planted far vector ranks first; clones rank by id") {
+    // Label 0: a tight cluster at ~(1,0,0,0) plus one planted far point.
+    // Label 1: three identical vectors — all distances equal (0), so the
+    // rank must fall back to the id tiebreak deterministically.
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, 0, Array(1.1f, 0.0f, 0.0f, 0.1f)),
+      (3L, 0, Array(-5.0f, 4.0f, 4.0f, -4.0f)), // planted outlier
+      (10L, 1, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (11L, 1, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (12L, 1, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidOutliers(vecs, "vec_id", "label", "embedding", topK = 2)
+      .orderBy("label", "rank").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("dist2")))
+    assert(out.length == 4) // top-2 per label
+    val l0 = out.filter(_._1 == 0)
+    assert(l0.head == ((0, 1, 3L, l0.head._4)) && l0.head._4 > 10.0,
+      s"planted outlier not rank 1: ${l0.toSeq}")
+    // The outlier participates in the centroid (drags it off-cluster), so
+    // members aren't near zero — but the gap to rank 1 must stay wide.
+    assert(l0(1)._4 < l0.head._4 / 5.0, s"no outlier gap: ${l0.toSeq}")
+    val l1 = out.filter(_._1 == 1)
+    assert(l1.map(x => (x._2, x._3)).toSeq == Seq((1, 10L), (2, 11L))) // id tiebreak
+    assert(l1.forall(_._4 == 0.0)) // identical vectors: exactly 0 from an exact centroid
+  }
 }
