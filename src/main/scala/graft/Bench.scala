@@ -94,8 +94,19 @@ object Bench {
       else try {
         graft.streaming.StateBackends.rocksDb.foreach { case (k, v) =>
           spark.conf.set(k, v) }
-        val t = graft.streaming.StreamBench.taskStatesThroughput(spark)
-        val f = graft.streaming.StreamBench.funnelThroughput(spark)
+        // Hang containment, same discipline as the batch loop: stop() by
+        // default waits FOREVER on the stream's execution thread
+        // (stopTimeout=0), so a micro-batch wedged in state-store I/O
+        // would void every artifact after it. Bound stop(), and Timebox
+        // the whole measurement so a hung stream costs a null streaming
+        // entry, not the bench.
+        spark.conf.set("spark.sql.streaming.stopTimeout", "30s")
+        val t = Timebox.run(spark, "stream_task_states", Timebox.defaultSeconds) {
+          graft.streaming.StreamBench.taskStatesThroughput(spark)
+        }
+        val f = Timebox.run(spark, "stream_funnel", Timebox.defaultSeconds) {
+          graft.streaming.StreamBench.funnelThroughput(spark)
+        }
         f""","streaming":{"task_states_rows_per_sec":$t%.0f,"funnel_rows_per_sec":$f%.0f}"""
       } catch {
         case e: Throwable =>

@@ -55,6 +55,13 @@ object Knn {
     require(coordCols.nonEmpty && coordCols.size <= 4,
       s"gridKnn is for low-dimensional spatial points; got ${coordCols.size} axes " +
         "(3^d probe cells — use the LSH/IVF paths for embedding-dimensional data)")
+    require(k > 0, s"k must be positive, got $k")
+    // cellSize <= 0 would not error: floor(x/0) = ±Infinity casts to one
+    // clamped long, silently collapsing the grid to a single cell — the
+    // O(n²) bucket this operator exists to avoid.
+    require(cellSize > 0.0 && !cellSize.isInfinite,
+      s"cellSize must be a positive finite number, got $cellSize " +
+        "(see cellSizeForDensity for a density-scaled starting point)")
     val d = coordCols.size
     def base(idAs: String, prefix: String) = points.select(
       (col(idCol).as(idAs) +:

@@ -106,8 +106,33 @@ object BpeTrainer {
     * (LlmOpsSpec asserts it); requires the histogram to fit the driver,
     * which [[wordHistogram]] + [[HeavyHitters]] pruning makes a
     * vocabulary-sized (not corpus-sized) demand. */
+  /** Split a word into code-POINT symbols, matching Spark's substr
+    * semantics in [[initialSymbols]]: a supplementary character (emoji)
+    * is ONE symbol, never two surrogate halves. `String.map(_.toString)`
+    * would split UTF-16 code units and diverge from the distributed
+    * loop on any non-BMP text. */
+  private def codePointSymbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** UTF-8 binary comparison — the order Spark's UTF8String sorts by
+    * (== code-point order). Java String.compareTo is UTF-16 code-unit
+    * order, which ranks supplementary characters BELOW U+E000..U+FFFF
+    * and would break tie-break parity with [[learnMerges]]. */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   def learnMergesLocal(histogram: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
-    var state = histogram.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    var state = histogram.map { case (w, f) => (codePointSymbols(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var continue = true
     for (rank <- 1 to nMerges if continue) {
@@ -122,7 +147,15 @@ object BpeTrainer {
       }
       if (counts.isEmpty) continue = false
       else {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.min(
+          Ordering.fromLessThan[((String, String), Long)] {
+            case (((l1, r1), c1), ((l2, r2), c2)) =>
+              if (c1 != c2) c1 > c2
+              else {
+                val cl = utf8Compare(l1, l2)
+                if (cl != 0) cl < 0 else utf8Compare(r1, r2) < 0
+              }
+          })
         merges += Merge(rank, l, r, l + r, c)
         state = state.map { case (syms, f) => (mergeOnce(syms, l, r), f) }
       }
@@ -143,7 +176,7 @@ object BpeTrainer {
 
   /** Tokenize one word with a learned merge list (rank order). */
   def encodeWord(word: String, merges: Seq[(String, String)]): Vector[String] =
-    merges.foldLeft(word.map(_.toString).toVector) {
+    merges.foldLeft(codePointSymbols(word)) {
       case (syms, (l, r)) => mergeOnce(syms, l, r)
     }
 
@@ -178,6 +211,10 @@ object BpeTrainer {
         |w0 AS (
         |  SELECT ' ' || array_to_string(list_transform(range(1, len(word)+1),
         |    i -> word[i]), '  ') || ' ' AS s, freq FROM words)""".stripMargin
+    // LEFT JOIN ON TRUE + COALESCE, not a cross join: when merges exhaust
+    // early (p_k empty → b_k empty), a cross join would EMPTY the state
+    // chain and every later CTE; the left join carries the state through
+    // unchanged, matching the Spark loop's early stop.
     val stages = (1 to nMerges).map { k =>
       s"""p$k AS (
          |  SELECT a[i] AS l, a[i+1] AS r, sum(freq) AS cnt
@@ -186,8 +223,9 @@ object BpeTrainer {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |w$k AS (
-         |  SELECT replace(s, ' ' || b$k.l || '  ' || b$k.r || ' ',
-         |    ' ' || b$k.l || b$k.r || ' ') AS s, freq FROM w${k - 1}, b$k)""".stripMargin
+         |  SELECT COALESCE(replace(s, ' ' || b.l || '  ' || b.r || ' ',
+         |    ' ' || b.l || b.r || ' '), s) AS s, freq
+         |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
     }
     val union = (1 to nMerges).map { k =>
       s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$k"
@@ -209,6 +247,10 @@ object BpeTrainer {
         |w0 AS (
         |  SELECT word, ' ' || array_to_string(list_transform(range(1, len(word)+1),
         |    i -> word[i]), '  ') || ' ' AS s, freq FROM words)""".stripMargin
+    // Same LEFT JOIN ON TRUE + COALESCE as mergesOracleSql: with a cross
+    // join an early merge exhaustion (empty b_k) would empty w_k and the
+    // final SELECT would return ZERO rows while Spark's encodeWords still
+    // returns the whole vocabulary.
     val stages = (1 to nMerges).map { k =>
       s"""p$k AS (
          |  SELECT a[i] AS l, a[i+1] AS r, sum(freq) AS cnt
@@ -217,8 +259,9 @@ object BpeTrainer {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |w$k AS (
-         |  SELECT word, replace(s, ' ' || b$k.l || '  ' || b$k.r || ' ',
-         |    ' ' || b$k.l || b$k.r || ' ') AS s, freq FROM w${k - 1}, b$k)""".stripMargin
+         |  SELECT word, COALESCE(replace(s, ' ' || b.l || '  ' || b.r || ' ',
+         |    ' ' || b.l || b.r || ' '), s) AS s, freq
+         |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
     }
     val tail =
       s"""SELECT word, array_to_string(string_split(trim(s, ' '), '  '), ' ') AS tokens,

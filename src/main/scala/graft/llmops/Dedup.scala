@@ -543,12 +543,21 @@ object Dedup {
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, base: Long = 31L, mask: Long = 63L): DataFrame = {
     val cuts = graft.functions.TextExpressions.cdcBoundaries(col(textCol), w, base, mask)
-    val allCuts = concat(array(lit(0)), cuts, array(length(col(textCol))))
+    // The boundary kernel scans UTF-8 BYTES and returns byte offsets, so
+    // the slicing side must be byte-based too: slice the encoded payload
+    // (character substr would mis-slice everything after the first
+    // multi-byte character). A cut may land inside a multi-byte char —
+    // chunks are byte spans (rsync semantics); identity is byte content,
+    // chunk_len is bytes. On ASCII this is identical to character
+    // slicing, which is what the DuckDB oracle replays.
+    val withB = df.select(col(idCol),
+      encode(col(textCol), "UTF-8").as("_b"),
+      concat(array(lit(0)), cuts, array(octet_length(col(textCol)))).as("_ac"))
     val chunks = zip_with(
-      slice(allCuts, lit(1), size(allCuts) - 1),
-      slice(allCuts, lit(2), size(allCuts) - 1),
-      (a, b) => col(textCol).substr(a + 1, b - a))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      slice(col("_ac"), lit(1), size(col("_ac")) - 1),
+      slice(col("_ac"), lit(2), size(col("_ac")) - 1),
+      (a, b) => col("_b").substr(a + 1, b - a))
+    withB.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .filter(length(col("chunk")) > 0)
       .select(col(idCol), col("chunk_idx"),
         length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))

@@ -78,6 +78,11 @@ object HeavyHitters {
     * global occurrence count is ≥ minFraction · totalItems, with exact
     * counts: columns (item, cnt). Result is identical to the full
     * groupBy-count-filter — the approximation lives only in the pruning.
+    *
+    * NULL array elements are ignored — they are not countable items and
+    * do not contribute to totalItems. (They must be filtered BEFORE the
+    * sketch: [[misraGries]] uses a null row as its partition-count
+    * sentinel, and an equi-join recount could never report them anyway.)
     */
   def heavyHitters(df: DataFrame, itemsCol: Column, minFraction: Double): DataFrame = {
     require(minFraction > 0.0 && minFraction < 1.0,
@@ -87,6 +92,7 @@ object HeavyHitters {
     import spark.implicits._
 
     val items = df.select(explode(itemsCol).as("item"))
+      .filter(col("item").isNotNull)
     // Sketch + total-N in ONE corpus scan; the summary table is tiny
     // (≤ capacity·partitions + partitions rows) but feeds two consumers,
     // so eagerly materialize it — same localCheckpoint precedent as the

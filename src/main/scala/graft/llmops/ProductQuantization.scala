@@ -248,14 +248,11 @@ object ProductQuantization {
         VectorMath.precast(col(vecCol)).as("_qv"))
       .withColumn("_qn", VectorMath.normAuto(col("_qv"), dim))
     // LUT first, probe explosion after — the m×ks table is computed once
-    // per query, not once per probed cell
-    val q = withLut(qPrep, codebooks, m, dim)
-      .crossJoin(broadcast(Similarity.centroidCells(centroids, dim)))
-      .withColumn("_top", slice(sort_array(transform(col("_cells"),
-        c => struct((-Similarity.cellCosine(c, dim, "_qv", "_qn")).as("negCos"),
-          c.getField("cell_id").as("cell_id")))), 1, nProbe))
-      .select(col("query_id"), col("_lut"),
-        explode(col("_top").getField("cell_id")).as("cell_id"))
+    // per query, not once per probed cell; probe selection is the shared
+    // Similarity.probeCells kernel
+    val q = Similarity.probeCells(withLut(qPrep, codebooks, m, dim),
+        centroids, nProbe, dim)
+      .select("query_id", "_lut", "cell_id")
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
     broadcast(q).join(encoded, Seq("cell_id"))
       .filter(col("query_id") =!= col("cand_id"))

@@ -289,6 +289,20 @@ object Similarity {
     VectorMath.dotAuto(col(vec), c.getField("_ce"), dim) /
       (col(nrm) * c.getField("_cen"))
 
+  /** Map-side probe selection shared by the IVF paths ([[ivfTopK]],
+    * [[ProductQuantization.ivfPqTopK]]): cross-join the broadcast
+    * centroid summary, rank cells in place by (cosine desc, cell_id asc),
+    * explode the top `nProbe` cell ids. Input must carry `_qv`/`_qn`
+    * (precast vector + norm); every other input column is preserved. */
+  private[llmops] def probeCells(withVec: DataFrame, centroids: DataFrame,
+      nProbe: Int, dim: Int): DataFrame =
+    withVec.crossJoin(broadcast(centroidCells(centroids, dim)))
+      .withColumn("_top", slice(sort_array(transform(col("_cells"),
+        c => struct((-cellCosine(c, dim, "_qv", "_qn")).as("negCos"),
+          c.getField("cell_id").as("cell_id")))), 1, nProbe))
+      .withColumn("cell_id", explode(col("_top").getField("cell_id")))
+      .drop("_cells", "_top")
+
   /** IVF cell assignment: each vector goes to its max-cosine centroid.
     * Fully map-side — NO shuffle, NO per-cell row explosion: each vector
     * row scores the broadcast centroid array in place and takes the
@@ -316,15 +330,11 @@ object Similarity {
         .select(col(idCol).as("cand_id"), col("_v").as("_cv"),
           col("_n").as("_cn"), col("cell_id")),
       "_cv", "_cn")
-    // probe selection is map-side like the assignment: score the broadcast
-    // centroid array in place, sort (cos desc, cell_id asc), keep nProbe
-    val probes = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
-      .crossJoin(broadcast(centroidCells(centroids, dim)))
-      .withColumn("_top", slice(sort_array(transform(col("_cells"),
-        c => struct((-cellCosine(c, dim, "_qv", "_qn")).as("negCos"),
-          c.getField("cell_id").as("cell_id")))), 1, nProbe))
-      .select(col("query_id"), col("_qv"), col("_qn"),
-        explode(col("_top").getField("cell_id")).as("cell_id"))
+    // probe selection is map-side like the assignment: see probeCells
+    val probes = probeCells(
+        prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim),
+        centroids, nProbe, dim)
+      .select("query_id", "_qv", "_qn", "cell_id")
     val rankW = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand_id").asc)
     probes.join(assigned, Seq("cell_id"))

@@ -421,6 +421,12 @@ object TextStats {
     * raw unigram count, so Σ_w2 p(w2|w1) = 1 exactly — a proper
     * conditional distribution (doc-final tokens don't condition anything).
     *
+    * Documents with fewer than 2 tokens have no bigrams and are ABSENT
+    * from the output (not emitted with null/NaN scores). A caller using
+    * this as a keep/drop filter must decide their fate explicitly — e.g.
+    * left-join the scores and route score-less docs to the length filter
+    * that should be judging them anyway.
+    *
     * Scale shape: one map-side bigram explode feeding a (w1,w2) count
     * shuffle; left counts derive from the bigram table (vocabulary²-
     * bounded, Zipf-small next to the corpus) — the corpus itself is

@@ -124,7 +124,11 @@ object Stress {
     // decontamination (vs the broadcast exact form), interval stream join,
     // iterative BPE merge training (corpus scan + vocab-sized rounds)
     "q_heavy_hitters", "q_decontaminate", "q_decontaminate_bloom",
-    "q_attribution_join", "q_bpe_merges")
+    "q_attribution_join", "q_bpe_merges",
+    // bigram-LM scoring joins the corpus-sized bigram stream against the
+    // vocabulary²-bounded count tables — the heaviest new round-6 shape;
+    // centroid outliers is a Lloyd-shaped posexplode aggregate
+    "q_lm_score", "q_embedding_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

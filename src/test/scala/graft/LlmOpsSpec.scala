@@ -500,6 +500,34 @@ class LlmOpsSpec extends SparkSpec {
       s"only $common of ${out(0L).size} chunks survived a prefix insert")
   }
 
+  test("CDC chunking is byte-based: multi-byte text covers losslessly") {
+    // The boundary kernel emits BYTE offsets; the slicer must consume them
+    // as bytes. On this multi-byte-heavy payload a character-based substr
+    // would mis-slice every chunk (regression for the byte/char mix-up).
+    val s = ("é" * 40) + " naïve café δοκιμή test case " + ("文" * 30) + " tail"
+    val bytes = s.getBytes("UTF-8")
+    val out = Dedup.cdcChunks(Seq((0L, s)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    assert(out.map(_._2).sum == bytes.length,
+      s"chunk_len must sum to the UTF-8 byte length ${bytes.length}: ${out.toSeq}")
+    // fingerprints equal md5 over the reference byte spans
+    def refCuts(b: Array[Byte], w: Int, base: Long, mask: Long): Seq[Int] =
+      (0 to b.length - w).filter { i =>
+        val h = (0 until w).map(k => (b(i + k).toLong & 0xffL) *
+          math.pow(base.toDouble, k.toDouble).toLong).sum
+        (h & mask) == 0L
+      }.map(_ + w)
+    val cuts = (0 +: refCuts(bytes, 8, 31L, 63L) :+ bytes.length).distinct
+    val expect = cuts.sliding(2).collect {
+      case Seq(a, b) if b > a => bytes.slice(a, b)
+    }.toSeq
+    val md5hex = (c: Array[Byte]) => java.security.MessageDigest
+      .getInstance("MD5").digest(c).map("%02x".format(_)).mkString
+    assert(out.map(_._3).toSeq == expect.map(md5hex),
+      "chunk fingerprints must match the byte-span reference")
+  }
+
   test("temperature upsample: sqrt-deficit replication, head untouched, deterministic") {
     val rows = (0 until 90).map(i => (i.toLong, "big")) ++
       (100 until 110).map(i => (i.toLong, "small")) // 9x deficit -> r=3.0
@@ -554,6 +582,33 @@ class LlmOpsSpec extends SparkSpec {
       .map(m => (m.merge_rank, m.lhs, m.rhs, m.pair_count))
     assert(dist.length == 6)
     assert(dist.toSeq == local)
+  }
+
+  test("BPE symbols are code points and ties break in UTF-8 order, both loops") {
+    import graft.llmops.BpeTrainer
+    // 👍 is U+1F44D — a surrogate PAIR in UTF-16. Code-unit splitting
+    // would make it two half-symbols and diverge from Spark's substr
+    // (code-point) semantics; and in UTF-16 order 👍 (high surrogate
+    // 0xD83D) sorts BELOW U+FEEC while in UTF-8/code-point order — the
+    // order Spark's UTF8String sorts — it sorts ABOVE. Both loops must
+    // agree on both.
+    val hist = Seq(("👍👍x", 3L), ("ﻬx", 3L))
+    val local = BpeTrainer.learnMergesLocal(hist, 2)
+    // all pairs tie at 3; the l tie-break must pick ﻬ (smaller CODE
+    // POINT) over 👍 even though UTF-16 code units order them the other
+    // way round
+    assert(local.head.lhs == "ﻬ" && local.head.rhs == "x", local.toSeq.toString)
+    // and 👍 must be ONE symbol (pair (👍,x) exists, surrogate halves don't)
+    assert(local(1).lhs == "👍" && local(1).rhs == "x",
+      s"emoji must be ONE symbol: ${local.toSeq}")
+    val words = hist.toDF("word", "freq")
+    val dist = BpeTrainer.learnMerges(words, "word", "freq", 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(dist.toSeq == local.map(m => (m.merge_rank, m.lhs, m.rhs, m.pair_count)),
+      s"local/distributed divergence: ${dist.toSeq} vs ${local.toSeq}")
+    assert(BpeTrainer.encodeWord("👍👍",
+      Seq(("👍", "👍"))) == Vector("👍👍"))
   }
 
   test("BPE merge application is greedy left-to-right in all three forms") {

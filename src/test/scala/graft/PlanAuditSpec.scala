@@ -518,4 +518,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pt.contains("hashpartitioning(cand_id"), pt)
     assert(pt.contains("hashpartitioning(query_id"), pt)
   }
+
+  test("plan: lm score reuses the checkpointed bigram table on both count sides") {
+    import graft.llmops.TextStats
+    val p = plan(TextStats.lmScore(Tables.documents(spark, sf), "doc_id", "text"))
+    // `big` is localCheckpoint'd: the equi-join side AND the left-count
+    // aggregate must both read the materialized RDD, not re-shuffle the
+    // corpus — without it the corpus would be tokenized 3×, not 2×.
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the scoring joins are equi-joins on word keys (never nested-loop)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("plan: centroid outliers broadcast the per-label centroids, never the corpus") {
+    val p = plan(Similarity.centroidOutliers(Tables.embeddings(spark, sf),
+      "vec_id", "label", "embedding", topK = 5))
+    // the label-count-sized centroid table is the broadcast side; the
+    // corpus streams map-side into the distance pass
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exchanges: component aggregate, centroid-array aggregate, top-k
+    // window (+ broadcast) — the corpus itself is hashed at most once
+    // (the window), independent of dimension
+    assert(countShuffles(p) <= 3, p)
+  }
 }
