@@ -268,16 +268,18 @@ object Dedup {
     * (e.g. empty/boilerplate documents all hashing alike) can dominate the
     * job. Buckets above the cap are dropped — standard LSH practice: a
     * signature that common carries no near-dup signal. */
-  def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int,
-      rowsPerBand: Int, maxBucket: Int = 100000): DataFrame = {
+  /** (band, band_sig, id) rows from an array-signature table — the
+    * banding half of [[lshCandidates]], shared with the cross-corpus
+    * [[minhashIncrementalNearDups]]. The per-band loop is deliberately
+    * UNROLLED into array(...) so that `sig` is referenced numBands
+    * times: a single-reference form lets CollapseProject inline the
+    * whole signature aggregate into this projection and re-evaluate it
+    * once per band (measured ~0.7s/band at sf0.1); multiple references
+    * keep the signature stage materialized. band_sig joins the slice
+    * with "|" (long→string cast matches concat_ws's rendering). */
+  private def bandRows(sigs: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // band structs from the array signature: slice per band, join with "|"
-    // (long→string cast matches concat_ws's rendering of longs). The outer
-    // per-band loop is deliberately UNROLLED into array(...) so that `sig`
-    // is referenced numBands times: a single-reference form lets
-    // CollapseProject inline the whole signature aggregate into this
-    // projection and re-evaluate it once per band (measured ~0.7s/band at
-    // sf0.1); multiple references keep the signature stage materialized.
     val bandStructs = array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
         array_join(transform(
@@ -286,6 +288,11 @@ object Dedup {
     }: _*)
     sigs.select(col(idCol), explode(bandStructs).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
+
+  def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int, maxBucket: Int = 100000): DataFrame = {
+    bandRows(sigs, idCol, numHashes, rowsPerBand)
       .groupBy("band", "band_sig")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -379,6 +386,71 @@ object Dedup {
       recall: Double = 0.9): DataFrame = {
     val (h, r) = minhashParamsForCorpus(df.count(), threshold, bgSim, recall)
     minhashNearDups(df, idCol, textCol, shingleSize, h, r, threshold)
+  }
+
+  /** Cross-corpus incremental NEAR-dup: find batch documents that are
+    * near-duplicates of an already-signed registry corpus — the daily-
+    * crawl analog of [[incrementalDedup]], upgraded from exact-key to
+    * MinHash similarity. The registry contributes only its STORED
+    * signature table to the candidate search ([[minhashSignatureArray]]
+    * output persisted at ingest time); its text is consulted exclusively
+    * for the candidate ids, via a left-semi prune BEFORE tokenization —
+    * the historical corpus is never re-paired, re-signed, or re-scanned
+    * beyond that pruned id fetch.
+    *
+    * Scale shape: batch-side shingle/sign is map-side; the candidate
+    * search is one (band, band_sig) equi-join between the two band
+    * tables (each numBands rows/doc); the registry-side degenerate-
+    * bucket guard is a window count on the SAME key, so it shares the
+    * join's exchange. Verification is the [[minhashNearDups]] chain —
+    * merge-hinted set joins, per-pair array_intersect — over the batch
+    * sets and the candidate-pruned registry sets. At 100 TB of history
+    * + a day's crawl: every registry-sized relation touched is either
+    * the stored signature table (numHashes longs/doc) or the pruned
+    * candidate fetch.
+    *
+    * Output: (batch_id, reg_id, inter, sz_a, sz_b, jaccard) — batch
+    * docs with a registry near-dup at ≥ threshold. Within-batch pairs
+    * are [[minhashNearDups]]'s job; run both for full ingest hygiene.
+    */
+  def minhashIncrementalNearDups(batch: DataFrame, registrySigs: DataFrame,
+      registryText: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 100000): DataFrame = {
+    // same eligibility precondition (and same pushdown-safe form) as
+    // minhashNearDups: short docs have empty shingle sets and pile into
+    // one dead band bucket
+    val eligible = batch.filter(size(split(col(textCol), " ")) >= shingleSize)
+    val sets = shingleSets(eligible, idCol, textCol, shingleSize)
+    val sigs = minhashSignatureArray(sets, idCol, numHashes)
+    val bb = bandRows(sigs, idCol, numHashes, rowsPerBand)
+      .select(col("band"), col("band_sig"), col(idCol).as("batch_id"))
+    val rb = bandRows(registrySigs, idCol, numHashes, rowsPerBand)
+      .select(col("band"), col("band_sig"), col(idCol).as("reg_id"))
+    // registry buckets are the unbounded side: a band_sig shared by k
+    // registry docs fans every colliding batch doc out k ways — cap it,
+    // same rationale as lshCandidates' maxBucket
+    val rbOk = rb
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band", "band_sig")))
+      .filter(col("_bc") <= maxBucket).drop("_bc")
+    val cands = bb.join(rbOk, Seq("band", "band_sig"))
+      .select("batch_id", "reg_id").distinct()
+    val regCand = registryText.join(
+      cands.select(col("reg_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val regSets = shingleSets(regCand, idCol, textCol, shingleSize)
+    cands
+      .join(sets.select(col(idCol).as("batch_id"), col("shingles").as("_sh_a"))
+        .hint("merge"), Seq("batch_id"))
+      .join(regSets.select(col(idCol).as("reg_id"), col("shingles").as("_sh_b"))
+        .hint("merge"), Seq("reg_id"))
+      .withColumn("inter",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long"))
+      .withColumn("sz_a", size(col("_sh_a")).cast("long"))
+      .withColumn("sz_b", size(col("_sh_b")).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "reg_id", "inter", "sz_a", "sz_b", "jaccard")
   }
 
   /** Dedup-cluster canonicalization — the endgame of any near-dup

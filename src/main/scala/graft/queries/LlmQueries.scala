@@ -332,6 +332,64 @@ object LlmQueries extends QueryFamily {
              |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Cross-corpus incremental near-dup: odd doc_ids play "today's
+    // crawl", even doc_ids the already-signed registry. Candidates come
+    // from the STORED registry signature table; registry text is fetched
+    // only for candidate ids (left-semi prune) — the incrementalDedup
+    // pattern upgraded from exact-key to MinHash similarity.
+    ("q_incremental_neardup",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val registry = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val regSigs = Dedup.minhashSignatureArray(
+          Dedup.shingleSets(
+            registry.filter(size(split(col("text"), " ")) >= 3),
+            "doc_id", "text", 3),
+          "doc_id", 16)
+        Dedup.minhashIncrementalNearDups(batch, regSigs, registry,
+            "doc_id", "text", shingleSize = 3, numHashes = 16,
+            rowsPerBand = 4, threshold = 0.8)
+          .orderBy("batch_id", "reg_id")
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents),
+             |hb AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substring(md5(shingle),1,15)) AS BIGINT) % ${Dedup.MinhashPrime} AS h
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    ${(0 until 16).map(j => s"min((h * ${Dedup.minhashA(j)} + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j").mkString(", ")}
+             |  FROM hb GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3 AS band_sig FROM sig
+             |  UNION ALL SELECT doc_id, 1, mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7 FROM sig
+             |  UNION ALL SELECT doc_id, 2, mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11 FROM sig
+             |  UNION ALL SELECT doc_id, 3, mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15 FROM sig),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS reg_id
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.band_sig = b.band_sig
+             |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.batch_id, c.reg_id, CAST(count(*) AS BIGINT) AS inter
+             |  FROM cand c
+             |  JOIN sh x ON x.doc_id = c.batch_id
+             |  JOIN sh y ON y.doc_id = c.reg_id AND y.shingle = x.shingle
+             |  GROUP BY 1, 2)
+             |SELECT i.batch_id, i.reg_id, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+             |FROM inter i
+             |JOIN sizes sa ON sa.doc_id = i.batch_id
+             |JOIN sizes sb ON sb.doc_id = i.reg_id
+             |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
+             |ORDER BY batch_id, reg_id""".stripMargin)),
+
     // Dedup-cluster canonicalization: the verified minhash pairs become
     // edges, connected components group transitive near-dups, and the min
     // doc_id per cluster is the one kept — the standard endgame of a

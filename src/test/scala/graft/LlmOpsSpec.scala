@@ -74,6 +74,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("incremental near-dup matches a batch doc to its registry twin, cross-pairs only") {
+    // registry: base (id 100) + unrelated (id 102); batch: the near-dup of
+    // base (id 1), an exact clone of base (id 3), and a batch-internal dup
+    // pair (ids 5,7) that must NOT appear (cross-corpus pairs only).
+    val registry = Seq((100L, base), (102L, unrelated)).toDF("doc_id", "text")
+    val batchOnly = "entirely novel prose about graph traversal order and " +
+      "memory management strategies inside distributed runtime schedulers"
+    val batch = Seq((1L, nearDup), (3L, base), (5L, batchOnly),
+      (7L, batchOnly)).toDF("doc_id", "text")
+    val regSigs = Dedup.minhashSignatureArray(
+      Dedup.shingleSets(registry, "doc_id", "text", 3), "doc_id", 16)
+    val out = Dedup.minhashIncrementalNearDups(batch, regSigs, registry,
+        "doc_id", "text", shingleSize = 3, numHashes = 16,
+        rowsPerBand = 4, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("reg_id"),
+        r.getAs[Double]("jaccard")))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((3L, 100L)), s"exact clone missed: ${out.toSeq}")
+    assert(pairs.contains((1L, 100L)), s"near-dup missed: ${out.toSeq}")
+    assert(!pairs.exists(p => p._1 == 5L || p._1 == 7L),
+      s"batch-internal dup leaked into cross pairs: ${out.toSeq}")
+    assert(out.find(p => p._1 == 3L && p._2 == 100L).get._3 == 1.0)
+    // results equal the full-union pair search restricted to cross pairs
+    // (same banding, same verify — the incremental path must not change
+    // which pairs verify)
+    val full = Dedup.minhashNearDups(registry.unionByName(batch),
+        "doc_id", "text", 3, 16, 4, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .filter { case (a, b) => (a >= 100L) != (b >= 100L) }
+      .map { case (a, b) => if (a >= 100L) (b, a) else (a, b) }.toSet
+    assert(pairs == full, s"incremental $pairs != full-union cross pairs $full")
+  }
+
   test("shingles produce distinct word n-grams") {
     val sh = Dedup.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text"),
       "doc_id", "text", 3).collect().map(_.getString(1)).toSet

@@ -519,6 +519,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(pt.contains("hashpartitioning(query_id"), pt)
   }
 
+  test("plan: incremental near-dup fetches registry text via a semi-join prune") {
+    import graft.llmops.Dedup
+    val docs = Tables.documents(spark, sf)
+    val registry = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val regSigs = Dedup.minhashSignatureArray(
+      Dedup.shingleSets(registry.filter(size(split(col("text"), " ")) >= 3),
+        "doc_id", "text", 3), "doc_id", 16)
+    val p = plan(Dedup.minhashIncrementalNearDups(batch, regSigs, registry,
+      "doc_id", "text", 3, 16, 4, 0.8))
+    // the historical corpus is only tokenized for candidate ids: the text
+    // fetch must be a LeftSemi join, and nothing may go nested-loop
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("plan: lm score reuses the checkpointed bigram table on both count sides") {
     import graft.llmops.TextStats
     val p = plan(TextStats.lmScore(Tables.documents(spark, sf), "doc_id", "text"))
