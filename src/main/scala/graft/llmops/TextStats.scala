@@ -396,6 +396,50 @@ object TextStats {
       .drop("_shuffle_key")
   }
 
+  // ---- Percentile-based quality gate --------------------------------------
+
+  /** Keep the top `keepFraction` of documents per group (language,
+    * domain…) by a score column — the relative form of a quality filter.
+    * Absolute thresholds rot as the corpus mix shifts; "top X% within
+    * the language" is the curation rule that survives re-crawls, and
+    * per-GROUP ranking keeps a low-resource language from being wiped
+    * out by a high-resource one's score distribution.
+    *
+    * Cut rule: percent_rank (ascending) must be STRICTLY ABOVE
+    * 1 - keepFraction — integer-exact arithmetic ((rank-1)/(n-1), one
+    * double division both engines), deterministic under score ties via
+    * the id tiebreak. One window shuffle on the group key; map-side
+    * otherwise.
+    */
+  def qualityPercentileGate(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0,1), got $keepFraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") > lit(1.0 - keepFraction))
+  }
+
+  // ---- N-gram diversity (distinct-n) --------------------------------------
+
+  /** Per-group distinct-n diversity: distinct n-gram count over total
+    * n-gram occurrences — the standard corpus diversity statistic
+    * (low ratio = template/boilerplate-heavy slice; the group-level
+    * companion of the per-doc repetition metrics). The ratio is an
+    * exact integer division; the count shuffle is vocabulary-bounded
+    * with map-side partial aggregation.
+    */
+  def distinctNgramDiversity(df: DataFrame, groupCol: String,
+      textCol: String, n: Int): DataFrame =
+    df.select(col(groupCol),
+        explode(Dedup.ngramArray(col(textCol), n)).as("gram"))
+      .groupBy(groupCol)
+      .agg(countDistinct(col("gram")).as("distinct_grams"),
+        count(lit(1)).as("total_grams"))
+      .withColumn("diversity",
+        col("distinct_grams").cast("double") / col("total_grams").cast("double"))
+
   // ---- Corpus bigram language-model scoring (perplexity-style filter) ----
 
   /** Score each document under a bigram model trained on the corpus itself

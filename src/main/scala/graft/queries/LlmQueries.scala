@@ -1539,6 +1539,47 @@ object LlmQueries extends QueryFamily {
              |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin)),
 
+    // Relative quality gate: keep the top 75% per language by length —
+    // the percentile form of a quality filter (absolute thresholds rot
+    // as the corpus mix shifts; per-group ranking protects low-resource
+    // slices). keepFraction chosen so 1-keepFraction is binary-exact and
+    // the cut literal is identical in both engines.
+    ("q_quality_percentile",
+      (s: SparkSession, d: String) => {
+        TextStats.qualityPercentileGate(
+            Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+            groupCol = "lang", scoreCol = "n_chars", idCol = "doc_id",
+            keepFraction = 0.75)
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    percent_rank() OVER (PARTITION BY lang
+             |      ORDER BY n_chars ASC, doc_id ASC) AS pr
+             |  FROM documents)
+             |SELECT doc_id, lang, n_chars, pr FROM r
+             |WHERE pr > 0.25 ORDER BY doc_id""".stripMargin)),
+
+    // Distinct-n diversity per language slice: distinct 3-grams over
+    // total 3-gram occurrences — low ratio flags template/boilerplate-
+    // heavy slices (the group-level companion of the per-doc repetition
+    // metrics).
+    ("q_distinct_ngrams",
+      (s: SparkSession, d: String) => {
+        TextStats.distinctNgramDiversity(Tables.documents(s, d),
+            groupCol = "lang", textCol = "text", n = 3)
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (
+             |  SELECT lang, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS gram
+             |  FROM documents)
+             |SELECT lang, CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+             |  CAST(count(*) AS BIGINT) AS total_grams,
+             |  CAST(count(DISTINCT gram) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS diversity
+             |FROM s GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Bigram-LM document scoring (the CCNet/KenLM perplexity-filter
     // pattern, log-free): MLE conditionals from the corpus itself, mean-p
     // + min-p per document. See TextStats.lmScore for why mean-p replaces

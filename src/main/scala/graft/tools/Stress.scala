@@ -127,8 +127,10 @@ object Stress {
     "q_attribution_join", "q_bpe_merges",
     // bigram-LM scoring joins the corpus-sized bigram stream against the
     // vocabulary²-bounded count tables — the heaviest new round-6 shape;
-    // centroid outliers is a Lloyd-shaped posexplode aggregate
-    "q_lm_score", "q_embedding_outliers")
+    // centroid outliers is a Lloyd-shaped posexplode aggregate; the
+    // incremental near-dup halves the corpus into registry+batch and
+    // exercises the cross-banding join + semi-join text prune
+    "q_lm_score", "q_embedding_outliers", "q_incremental_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

@@ -1113,6 +1113,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(distortion(booksMap(refined)) < distortion(booksMap(seed)))
   }
 
+  test("quality percentile gate keeps the top fraction per group, ties by id") {
+    // group A: 10 docs scored 1..10 → keep 0.75 cuts pr <= 0.25, i.e.
+    // ranks 1-3 drop (pr 0, 1/9, 2/9), ranks 4-10 survive. group B has
+    // its own distribution: one high + one low — per-group ranking must
+    // keep B's high doc even though its score is below A's dropped ones.
+    val rows = (1 to 10).map(i => (i.toLong, "A", i * 100)) ++
+      Seq((20L, "B", 5), (21L, "B", 1))
+    val df = rows.toDF("doc_id", "grp", "score")
+    val kept = TextStats.qualityPercentileGate(df, "grp", "score", "doc_id", 0.75)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"))).toSet
+    assert(kept == ((4 to 10).map(i => ("A", i.toLong)).toSet + (("B", 20L))),
+      kept.toString)
+    // all-tied scores: the id tiebreak makes the cut deterministic
+    val tied = (1 to 4).map(i => (i.toLong, "T", 7)).toDF("doc_id", "grp", "score")
+    val keptTied = TextStats.qualityPercentileGate(tied, "grp", "score", "doc_id", 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptTied == Set(3L, 4L), keptTied.toString) // pr 2/3, 1 > 0.5
+  }
+
+  test("distinct-ngram diversity: templates score low, diverse text high") {
+    val df = Seq(
+      ("tpl", "a b c a b c a b c a b c"),   // 10 trigrams, 3 distinct
+      ("div", "q w e r t y u i o p a s")    // 10 trigrams, all distinct
+    ).toDF("grp", "text")
+    val out = TextStats.distinctNgramDiversity(df, "grp", "text", 3)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("distinct_grams"), r.getAs[Long]("total_grams"),
+          r.getAs[Double]("diversity"))).toMap
+    assert(out("tpl") == ((3L, 10L, 0.3)))
+    assert(out("div") == ((10L, 10L, 1.0)))
+  }
+
   test("lm score: repeated phrasing outranks token salad; conditionals sum to 1") {
     // Corpus of one dominant template + one scrambled doc built from the
     // same vocabulary: the template's bigrams are high-count, the
