@@ -433,10 +433,18 @@ object Dedup {
     val rbOk = rb
       .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band", "band_sig")))
       .filter(col("_bc") <= maxBucket).drop("_bc")
+    // the pair table feeds TWO consumers (the semi-join text prune and
+    // the verify chain): materialize it once on executors or the whole
+    // banding join + bucket-cap window runs twice — same localCheckpoint
+    // precedent as dedupClusters' edge list. Candidate pairs only, never
+    // corpus-sized.
     val cands = bb.join(rbOk, Seq("band", "band_sig"))
       .select("batch_id", "reg_id").distinct()
+      .localCheckpoint(true)
+    // no distinct() on the semi-join side: semi-join semantics ignore
+    // duplicate right-side keys (incrementalDedup's documented rule)
     val regCand = registryText.join(
-      cands.select(col("reg_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      cands.select(col("reg_id").as(idCol)), Seq(idCol), "left_semi")
     val regSets = shingleSets(regCand, idCol, textCol, shingleSize)
     cands
       .join(sets.select(col(idCol).as("batch_id"), col("shingles").as("_sh_a"))

@@ -405,20 +405,26 @@ object TextStats {
     * per-GROUP ranking keeps a low-resource language from being wiped
     * out by a high-resource one's score distribution.
     *
-    * Cut rule: percent_rank (ascending) must be STRICTLY ABOVE
-    * 1 - keepFraction — integer-exact arithmetic ((rank-1)/(n-1), one
-    * double division both engines), deterministic under score ties via
-    * the id tiebreak. One window shuffle on the group key; map-side
-    * otherwise.
+    * Cut rule: descending rank ≤ ceil(keepFraction · n) — a COUNT-based
+    * cut, not a percent_rank threshold, so every group keeps at least
+    * one document (ceil ≥ 1): a percent_rank cut assigns a single-doc
+    * group pr = 0 and deletes 100% of exactly the low-resource slice
+    * the per-group form exists to protect. All integer-exact arithmetic
+    * (one binary-exact multiply + ceil, identical both engines),
+    * deterministic under score ties via the id tiebreak. Two window
+    * functions over ONE shuffle on the group key; map-side otherwise.
     */
   def qualityPercentileGate(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, keepFraction: Double): DataFrame = {
     require(keepFraction > 0.0 && keepFraction < 1.0,
       s"keepFraction must be in (0,1), got $keepFraction")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col(scoreCol).asc, col(idCol).asc)
-    df.withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") > lit(1.0 - keepFraction))
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .withColumn("grp_n", count(lit(1)).over(wAll))
+      .filter(col("grp_rank") <=
+        ceil(lit(keepFraction) * col("grp_n").cast("double")).cast("long"))
   }
 
   // ---- N-gram diversity (distinct-n) --------------------------------------

@@ -1542,8 +1542,9 @@ object LlmQueries extends QueryFamily {
     // Relative quality gate: keep the top 75% per language by length —
     // the percentile form of a quality filter (absolute thresholds rot
     // as the corpus mix shifts; per-group ranking protects low-resource
-    // slices). keepFraction chosen so 1-keepFraction is binary-exact and
-    // the cut literal is identical in both engines.
+    // slices). Count-based cut (rank ≤ ceil(f·n)) so every group keeps
+    // at least one doc; 0.75 is binary-exact so the cut arithmetic is
+    // identical in both engines.
     ("q_quality_percentile",
       (s: SparkSession, d: String) => {
         TextStats.qualityPercentileGate(
@@ -1554,11 +1555,13 @@ object LlmQueries extends QueryFamily {
       },
       Some("""WITH r AS (
              |  SELECT doc_id, lang, n_chars,
-             |    percent_rank() OVER (PARTITION BY lang
-             |      ORDER BY n_chars ASC, doc_id ASC) AS pr
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS grp_rank,
+             |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS grp_n
              |  FROM documents)
-             |SELECT doc_id, lang, n_chars, pr FROM r
-             |WHERE pr > 0.25 ORDER BY doc_id""".stripMargin)),
+             |SELECT doc_id, lang, n_chars, grp_rank, grp_n FROM r
+             |WHERE grp_rank <= CAST(ceil(0.75 * CAST(grp_n AS DOUBLE)) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin)),
 
     // Distinct-n diversity per language slice: distinct 3-grams over
     // total 3-gram occurrences — low ratio flags template/boilerplate-

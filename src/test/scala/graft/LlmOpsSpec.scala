@@ -1113,23 +1113,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(distortion(booksMap(refined)) < distortion(booksMap(seed)))
   }
 
-  test("quality percentile gate keeps the top fraction per group, ties by id") {
-    // group A: 10 docs scored 1..10 → keep 0.75 cuts pr <= 0.25, i.e.
-    // ranks 1-3 drop (pr 0, 1/9, 2/9), ranks 4-10 survive. group B has
-    // its own distribution: one high + one low — per-group ranking must
-    // keep B's high doc even though its score is below A's dropped ones.
+  test("quality percentile gate keeps ceil(f*n) per group, never empties a group") {
+    // group A: 10 docs scored 100..1000 → keep 0.75 → ceil(7.5) = 8: the
+    // top 8 scores (docs 3..10) survive. group B has its own
+    // distribution (2 docs → ceil(1.5) = 2, both kept even though their
+    // scores are below every dropped A doc). group C is the 1-doc
+    // low-resource slice a percent_rank cut would wipe out — must stay.
     val rows = (1 to 10).map(i => (i.toLong, "A", i * 100)) ++
-      Seq((20L, "B", 5), (21L, "B", 1))
+      Seq((20L, "B", 5), (21L, "B", 1), (30L, "C", 2))
     val df = rows.toDF("doc_id", "grp", "score")
     val kept = TextStats.qualityPercentileGate(df, "grp", "score", "doc_id", 0.75)
       .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"))).toSet
-    assert(kept == ((4 to 10).map(i => ("A", i.toLong)).toSet + (("B", 20L))),
-      kept.toString)
+    assert(kept == ((3 to 10).map(i => ("A", i.toLong)).toSet
+      + (("B", 20L)) + (("B", 21L)) + (("C", 30L))), kept.toString)
     // all-tied scores: the id tiebreak makes the cut deterministic
     val tied = (1 to 4).map(i => (i.toLong, "T", 7)).toDF("doc_id", "grp", "score")
     val keptTied = TextStats.qualityPercentileGate(tied, "grp", "score", "doc_id", 0.5)
       .collect().map(_.getAs[Long]("doc_id")).toSet
-    assert(keptTied == Set(3L, 4L), keptTied.toString) // pr 2/3, 1 > 0.5
+    assert(keptTied == Set(1L, 2L), keptTied.toString) // ceil(2) = 2, id asc
   }
 
   test("distinct-ngram diversity: templates score low, diverse text high") {
