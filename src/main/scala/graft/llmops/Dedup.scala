@@ -608,6 +608,37 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Graded benchmark-contamination REPORT: per corpus document, the
+    * fraction of its distinct n-gram shingles that appear anywhere in the
+    * benchmark suite — the measurement step that precedes
+    * [[decontaminate]]'s binary drop. Eval-governance work needs the
+    * distribution (how contaminated, which docs, is a 1-shingle brush
+    * with a benchmark worth dropping a 10k-token document?) before
+    * committing to a cut; this emits (id, n_shingles, n_contaminated,
+    * contamination ∈ [0,1]) with an exact integer-ratio score, so
+    * thresholding reproduces across engines and runs.
+    *
+    * Scale shape: same as [[decontaminate]] — benchmark shingles
+    * deduplicate to a benchmark-suite-sized relation, the corpus is
+    * scanned once, and the semi-join hit count + total count shuffle on
+    * the SAME doc-id key. Docs with no shingles (shorter than n tokens)
+    * are absent, matching every shingle-family operator here.
+    */
+  def contaminationScore(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val corpusShingles = shingles(corpus, idCol, textCol, n)
+    val benchShingles = withToks(benchmark, benchTextCol)
+      .select(explode(shingleArray(col("_toks"), n)).as("shingle")).distinct()
+    val tot = corpusShingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hit = corpusShingles.join(benchShingles, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    tot.join(hit, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Content-defined chunking (FastCDC/rsync-style) + chunk fingerprints:
     * each document is cut wherever the [[graft.functions.CdcBoundaries]]
     * rolling-hash rule fires (average chunk ≈ mask+1 bytes), and every

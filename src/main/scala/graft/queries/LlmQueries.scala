@@ -455,6 +455,34 @@ object LlmQueries extends QueryFamily {
     // Benchmark decontamination: drop every corpus doc sharing ANY 3-gram
     // with the benchmark subset (doc_id % 97 == 0) — the test-set-leakage
     // guard. Benchmark shingles broadcast; corpus scanned once.
+    // Graded contamination report — the measurement step before the
+    // binary decontaminate drop: per doc, what fraction of its distinct
+    // 3-gram shingles appear in the benchmark suite (same % 97 bench
+    // split as q_decontaminate).
+    ("q_contamination_score",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
+        Dedup.contaminationScore(docs, "doc_id", "text", bench, "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+             |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+             |  FROM sh GROUP BY 1),
+             |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+             |  FROM sh WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+             |SELECT t.doc_id, t.n_shingles,
+             |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+             |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) /
+             |    CAST(t.n_shingles AS DOUBLE) AS contamination
+             |FROM tot t LEFT JOIN hit h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     ("q_decontaminate",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)

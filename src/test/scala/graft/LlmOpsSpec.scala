@@ -1113,6 +1113,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(distortion(booksMap(refined)) < distortion(booksMap(seed)))
   }
 
+  test("contamination score grades overlap: clone=1, partial in (0,1), clean=0 present") {
+    val corpus = Seq((0L, base), (1L, base + " " + unrelated), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1(base)).toDF("text")
+    val out = Dedup.contaminationScore(corpus, "doc_id", "text", bench, "text", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("contamination"))).toMap
+    assert(out(0L)._3 == 1.0)                       // verbatim benchmark doc
+    assert(out(1L)._3 > 0.0 && out(1L)._3 < 1.0)    // half-contaminated
+    assert(out(2L) == ((out(2L)._1, 0L, 0.0)))      // clean doc PRESENT at 0
+    // graded score refines the binary decision: decontaminate drops
+    // exactly the docs this report scores > 0
+    val dropped = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(dropped == out.filter(_._2._3 == 0.0).keySet)
+  }
+
   test("quality percentile gate keeps ceil(f*n) per group, never empties a group") {
     // group A: 10 docs scored 100..1000 → keep 0.75 → ceil(7.5) = 8: the
     // top 8 scores (docs 3..10) survive. group B has its own
