@@ -539,6 +539,77 @@ object Dedup {
           s => s.getField("span_text")), " ").as("clean_text"))
   }
 
+  /** Exact SLIDING-window substring dedup (the ExactSubstr construction of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2022): every L-token window that occurred anywhere earlier
+    * in the corpus (first occurrence = lowest (doc id, position)) marks
+    * its token span as duplicated; overlapping/adjacent duplicated spans
+    * are merged into maximal intervals, and the covered tokens are cut
+    * from the document. Unlike [[spanDedup]]'s DISJOINT fixed spans —
+    * which miss a duplicated passage that straddles a span boundary or
+    * sits at a different offset — the sliding form catches a shared
+    * passage at ANY alignment, which is why the suffix-array literature
+    * uses it. (A suffix array finds variable-length maximal matches; the
+    * sliding-L equivalent finds exactly the spans every ≥L-token match
+    * covers, the same removal set, with relational operators only.)
+    *
+    * Returns one row per document: (id, n_tokens, n_removed, clean_text)
+    * where clean_text is the document with covered tokens removed in
+    * order. A verbatim re-upload of an earlier document is fully covered
+    * and comes back empty; a near-dup with one edited token keeps only
+    * the neighborhood the edit breaks (windows overlapping the edit are
+    * unique, so up to L-1 tokens each side survive with it).
+    *
+    * Scale shape: one explode (corpus → sliding-window rows, L× the
+    * token stream — the memory/recall knob), ONE shuffle on the window
+    * text for the first-occurrence rank, one shuffle back on the doc id
+    * where a single window pass merges intervals, then a groupBy(id) and
+    * an id-equi-join against the corpus — no self-join, no driver state.
+    * Window-text skew is bounded by duplication multiplicity (the
+    * quantity being removed), the same bound [[spanDedup]] rides. The
+    * per-token coverage test runs map-side against the doc's own merged
+    * interval array (intervals per doc ≤ tokens/L, usually ≪).
+    */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    val L = windowTokens
+    // sliding L-gram instances with their 0-based start position
+    val inst = withToks(df, textCol)
+      .select(col(idCol), posexplode(shingleArray(col("_toks"), L)))
+      .toDF(idCol, "pos", "sh")
+    val dup = inst
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("sh").orderBy(col(idCol), col("pos"))))
+      .filter(col("_rn") > 1)
+      .select(col(idCol), col("pos").as("s"), (col("pos") + L - 1).as("e"))
+    // gaps-and-islands merge of overlapping/adjacent [s,e] token spans
+    val byDoc = Window.partitionBy(idCol).orderBy("s", "e")
+    val prevMax = max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = dup
+      .withColumn("_brk",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("_isl",
+        sum("_brk").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min("s").as("s"), max("e").as("e"))
+    val ivs = merged.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs"))
+    val covered = (i: Column, iv: Column) =>
+      i >= iv.getField("s") && i <= iv.getField("e")
+    withToks(df, textCol).join(ivs, Seq(idCol), "left")
+      .withColumn("_ivs", coalesce(col("_ivs"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        aggregate(col("_ivs"), lit(0L),
+          (acc, iv) => acc + (iv.getField("e") - iv.getField("s") + 1)
+            .cast("long")).as("n_removed"),
+        array_join(
+          filter(col("_toks"), (t, i) =>
+            !exists(col("_ivs"), iv => covered(i, iv))),
+          " ").as("clean_text"))
+  }
+
   /** Exact dedup at STREAMING ingest: drop rows whose dedup key was
     * already seen within the watermark horizon. `dropDuplicatesWithinWatermark`
     * keeps the key-set state bounded — entries older than the event-time

@@ -284,6 +284,64 @@ object LlmQueries extends QueryFamily {
              |  coalesce(string_agg(span_text, ' ' ORDER BY span_idx) FILTER (WHERE rn = 1), '') AS clean_text
              |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Exact SLIDING-window substring dedup (Lee et al. ExactSubstr):
+    // any 15-token window seen earlier in the corpus marks its span;
+    // merged spans are cut from the doc. Catches shared passages at ANY
+    // alignment, where q_span_dedup's disjoint spans miss offsets.
+    ("q_exact_substring",
+      (s: SparkSession, d: String) => {
+        Dedup.exactSubstringDedup(Tables.documents(s, d), idCol = "doc_id",
+            textCol = "text", windowTokens = 15)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (
+             |  SELECT doc_id, w,
+             |    unnest(range(1, greatest(len(w) - 15 + 2, 1))) AS i
+             |  FROM toks),
+             |inst AS (
+             |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             |    array_to_string(list_slice(w, i, i + 14), ' ') AS sh
+             |  FROM idx),
+             |ranked AS (
+             |  SELECT doc_id, pos,
+             |    row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+             |  FROM inst),
+             |dup AS (SELECT doc_id, pos AS s, pos + 14 AS e FROM ranked WHERE rn > 1),
+             |m AS (
+             |  SELECT doc_id, s, e,
+             |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM dup),
+             |isl AS (
+             |  SELECT doc_id, s, e,
+             |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM m),
+             |g AS (
+             |  SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+             |  FROM isl GROUP BY 1, 2),
+             |cov AS (SELECT doc_id, SUM(e - s + 1) AS n_removed FROM g GROUP BY 1),
+             |tok AS (
+             |  SELECT doc_id, unnest(w) AS t, unnest(range(0, len(w))) AS tpos
+             |  FROM toks),
+             |keep AS (
+             |  SELECT tok.doc_id, tok.tpos, tok.t FROM tok
+             |  WHERE NOT EXISTS (SELECT 1 FROM g
+             |    WHERE g.doc_id = tok.doc_id AND tok.tpos BETWEEN g.s AND g.e)),
+             |clean AS (
+             |  SELECT doc_id, string_agg(t, ' ' ORDER BY tpos) AS clean_text
+             |  FROM keep GROUP BY doc_id)
+             |SELECT toks.doc_id, CAST(len(toks.w) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(cov.n_removed, 0) AS BIGINT) AS n_removed,
+             |  coalesce(clean.clean_text, '') AS clean_text
+             |FROM toks LEFT JOIN cov USING (doc_id) LEFT JOIN clean USING (doc_id)
+             |ORDER BY toks.doc_id""".stripMargin)),
+
     // MinHash + LSH near-dup detection: 3-shingles, 16 md5 min-hashes,
     // 4 bands × 4 rows (4-row bands keep the candidate rate ~3% for the
     // j≈0.3 vocabulary overlap of this corpus while recall at j≥0.9 stays

@@ -15,6 +15,34 @@ class LlmOpsSpec extends SparkSpec {
   lazy val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base))
     .toDF("doc_id", "text")
 
+  test("exact substring dedup: full clone emptied, edit survives, islands merge") {
+    val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    val n = base.split(" ").length.toLong
+    assert(out(0L) == ((n, 0L, base)))          // first occurrence untouched
+    assert(out(3L) == ((n, n, "")))             // verbatim re-upload fully cut
+    val (n1, rem1, clean1) = out(1L)            // 1-word edit: neighborhood survives
+    assert(rem1 > 0 && rem1 < n1 && clean1.contains("blue"))
+    assert(clean1.split(" ").length == (n1 - rem1))
+    assert(out(2L)._2 == 0L)                    // unrelated doc untouched
+
+    // two copied passages separated by unique filler → TWO islands, only
+    // the filler survives, and the merge does not bridge the gap
+    val p1 = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val p2 = (1 to 10).map(i => s"omega$i").mkString(" ")
+    val fillA = (1 to 5).map(i => s"fa$i").mkString(" ")
+    val fillB = (1 to 5).map(i => s"fb$i").mkString(" ")
+    val two = Seq((0L, s"$p1 $fillA $p2"), (1L, s"$p1 $fillB $p2"))
+      .toDF("doc_id", "text")
+    val o2 = Dedup.exactSubstringDedup(two, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(o2(0L) == ((0L, s"$p1 $fillA $p2")))
+    assert(o2(1L) == ((20L, fillB)))
+  }
+
   test("exact dedup groups identical fingerprints, keeps min id") {
     val out = Dedup.exactDedup(docs, "doc_id", TextStats.fingerprint(col("text")))
       .orderBy("doc_id").collect()
