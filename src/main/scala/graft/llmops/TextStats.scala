@@ -446,6 +446,79 @@ object TextStats {
       .withColumn("diversity",
         col("distinct_grams").cast("double") / col("total_grams").cast("double"))
 
+  // ---- Hashed n-gram importance scoring (DSIR-style data selection) ----
+
+  /** Score each corpus document by how target-like its hashed n-gram
+    * profile is — the data-selection step of DSIR (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", 2023):
+    * features are word n-grams hashed into a fixed bucket table, a raw
+    * distribution is estimated from the corpus and a target distribution
+    * from the target set, and each document is scored by how much target
+    * mass its features carry relative to raw mass. High scorers are the
+    * docs importance resampling keeps.
+    *
+    * The score is a RATIO-OF-MEANS surrogate for DSIR's mean
+    * log-likelihood-ratio:
+    *   score(x) = (Σ_b c_x(b)·c_t(b) / N_t) / (Σ_b c_x(b)·c_r(b) / N_r)
+    * i.e. the doc's feature-mass-weighted average target frequency over
+    * its average raw frequency. Chosen over Σ c_x·log(p_t/p_r) because it
+    * hash-verifies across engines: the dot products and totals are exact
+    * integers, and the only float ops are two exact long→double
+    * conversions, two multiplies, and one correctly-rounded division —
+    * no libm log (engines round it differently; same reasoning as
+    * [[collocationLift]]'s lift-not-PMI) and no order-dependent float
+    * summation. Both statistics rank target-vocabulary documents above
+    * off-distribution ones; a doc sharing no feature bucket with the
+    * target scores exactly 0.
+    *
+    * Documents with fewer than n tokens have no n-grams and are ABSENT
+    * (the shingle-family convention). No smoothing is needed on the raw
+    * side: the corpus contains the doc, so its buckets have c_r ≥ c_x ≥ 1.
+    *
+    * Scale shape: the corpus is tokenized ONCE — the per-(doc, bucket)
+    * count table is built map-side-combined on (id, b), and the raw
+    * bucket table DERIVES from it (second small aggregate over doc-bucket
+    * rows, not a rescan). The target set is scanned once. Both bucket
+    * tables are `buckets`-bounded (fixed at plan time, independent of
+    * corpus size) and broadcast; totals ride the same broadcasts. So:
+    * one shuffle on (id, b), one on b over the already-aggregated rows,
+    * one on id for the final dot products — no corpus self-join, nothing
+    * corpus-sized ever broadcast. Long dot products stay exact: c_x is
+    * document-bounded and Σ_b c_x·c_r ≤ n_grams(x)·max_b c_r keeps
+    * well under 2^53 even at 100 TB bucket counts.
+    */
+  def importanceScore(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      gramN: Int, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val bucket = (g: Column) => pmod(
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+    val docFeat = corpus
+      .select(col(idCol),
+        explode(Dedup.ngramArray(col(textCol), gramN)).as("g"))
+      .select(col(idCol), bucket(col("g")).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c_x"))
+      .localCheckpoint() // feeds raw counts AND the scoring join
+    val raw = docFeat.groupBy("b").agg(sum("c_x").as("c_r"))
+    val tgt = target
+      .select(explode(Dedup.ngramArray(col(targetTextCol), gramN)).as("g"))
+      .select(bucket(col("g")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+    val totals = raw.agg(sum("c_r").cast("double").as("n_r"))
+      .crossJoin(tgt.agg(sum("c_t").cast("double").as("n_t")))
+    docFeat
+      .join(broadcast(raw), Seq("b"))
+      .join(broadcast(tgt), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("c_x").as("n_grams"),
+        sum(col("c_x") * coalesce(col("c_t"), lit(0L))).as("dot_target"),
+        sum(col("c_x") * col("c_r")).as("dot_raw"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_grams"), col("dot_target"), col("dot_raw"),
+        ((col("dot_target").cast("double") * col("n_r")) /
+          (col("dot_raw").cast("double") * col("n_t"))).as("score"))
+  }
+
   // ---- Corpus bigram language-model scoring (perplexity-style filter) ----
 
   /** Score each document under a bigram model trained on the corpus itself

@@ -1696,6 +1696,42 @@ object LlmQueries extends QueryFamily {
              |  MIN(p) AS min_p
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // DSIR-style importance scoring: hashed bigram features (1024 md5
+    // buckets), target = the English slice, score = ratio-of-means
+    // surrogate for the log-likelihood ratio (engine-exact; see
+    // TextStats.importanceScore). High scorers are what importance
+    // resampling keeps when curating toward the target domain.
+    ("q_importance_score",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        TextStats.importanceScore(docs, "doc_id", "text",
+            docs.filter(col("lang") === "en"), "text",
+            gramN = 2, buckets = 1024)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, lang, w,
+             |  unnest(range(1, greatest(len(w), 1))) AS i FROM toks),
+             |g AS (SELECT doc_id, lang,
+             |  CAST(concat('0x', substring(md5(w[i] || ' ' || w[i+1]), 1, 15)) AS BIGINT) % 1024 AS b
+             |  FROM idx),
+             |docx AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c_x
+             |  FROM g GROUP BY 1, 2),
+             |raw AS (SELECT b, CAST(SUM(c_x) AS BIGINT) AS c_r FROM docx GROUP BY 1),
+             |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t
+             |  FROM g WHERE lang = 'en' GROUP BY 1),
+             |agg AS (
+             |  SELECT d.doc_id,
+             |    CAST(SUM(d.c_x) AS BIGINT) AS n_grams,
+             |    CAST(SUM(d.c_x * coalesce(t.c_t, 0)) AS BIGINT) AS dot_target,
+             |    CAST(SUM(d.c_x * r.c_r) AS BIGINT) AS dot_raw
+             |  FROM docx d JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
+             |  GROUP BY 1)
+             |SELECT doc_id, n_grams, dot_target, dot_raw,
+             |  (CAST(dot_target AS DOUBLE) * (SELECT CAST(SUM(c_r) AS DOUBLE) FROM raw)) /
+             |  (CAST(dot_raw AS DOUBLE) * (SELECT CAST(SUM(c_t) AS DOUBLE) FROM tgt)) AS score
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // Per-label centroid-distance outliers (embedding-curation prune):
     // decimal-exact centroid (closes the labelStats float-mean omission),
     // left-to-right distance fold, top-5 farthest per label.

@@ -1159,6 +1159,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(dropped == out.filter(_._2._3 == 0.0).keySet)
   }
 
+  test("importance score ranks target-vocabulary docs above off-distribution") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta alpha beta"), // pure target vocabulary
+      (1L, "zeta eta theta iota kappa lambda"),  // disjoint vocabulary
+      (2L, "alpha beta zeta eta theta iota"),    // mixed
+      (3L, "solo")                               // 1 token: no bigrams
+    ).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta gamma delta alpha beta gamma"))
+      .toDF("text")
+    val out = TextStats.importanceScore(corpus, "doc_id", "text",
+        target, "text", gramN = 2, buckets = 1024)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dot_target"), r.getAs[Double]("score"))).toMap
+    assert(!out.contains(3L))                 // gram-less doc absent
+    assert(out(1L) == ((0L, 0.0)))            // zero target overlap → exact 0
+    assert(out(0L)._2 > out(2L)._2 && out(2L)._2 > 0.0)
+  }
+
   test("quality percentile gate keeps ceil(f*n) per group, never empties a group") {
     // group A: 10 docs scored 100..1000 → keep 0.75 → ceil(7.5) = 8: the
     // top 8 scores (docs 3..10) survive. group B has its own
