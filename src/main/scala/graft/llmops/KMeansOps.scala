@@ -54,4 +54,49 @@ object KMeansOps {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("mean")))),
         s => s.getField("mean")).as("centroid"))
+
+  /** Full Lloyd training: iterate [[lloydStep]] from `seed` until the
+    * centroid table reaches a fixed point or `maxIter` rounds, returning
+    * the final long-form centroids. The convergence probe joins
+    * consecutive LONG-FORM tables (k·dim rows — bounded at plan time,
+    * never corpus-sized) and asks for one differing row; exact double
+    * equality is the right test here because a true fixed point
+    * reproduces bit-identical means (integer sums + one deterministic
+    * division — the [[lloydStep]] exactness contract), so no epsilon.
+    *
+    * Each round's output is localCheckpoint'd: round r+1's assignment,
+    * the convergence probe, and the final result all consume round r, and
+    * without the cut each consumer would replay every earlier round's
+    * corpus pass (the ConnectedComponents fixpoint precedent). The corpus
+    * itself is scanned once per round — Lloyd's inherent cost — with the
+    * round's centroids riding the broadcast, so driver state stays at
+    * k·dim rows regardless of corpus size.
+    *
+    * Early stop composes with fixed-round replay verification: once at
+    * the fixed point, further rounds are the identity, so a verifier
+    * replaying exactly `maxIter` rounds (the DuckDB oracle) lands on the
+    * same table whether or not the loop cut out early.
+    */
+  def lloydTrain(points: DataFrame, idCol: String, vecCol: String,
+      seed: DataFrame, dim: Int, maxIter: Int): DataFrame = {
+    var cents = seed
+    var prev: Option[DataFrame] = None
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = lloydStep(points, idCol, vecCol, cents, dim).localCheckpoint()
+      converged = prev.exists { p =>
+        next.select(col("cell_id"), col("pos"), col("mean"))
+          .join(p.select(col("cell_id"), col("pos"), col("mean").as("_pm")),
+            Seq("cell_id", "pos"), "full")
+          .filter(col("mean").isNull || col("_pm").isNull ||
+            col("mean") =!= col("_pm"))
+          .limit(1).count() == 0L
+      }
+      prev = Some(next)
+      cents = toCentroidTable(next)
+      it += 1
+    }
+    prev.get
+  }
 }

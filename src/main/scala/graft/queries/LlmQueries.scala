@@ -874,6 +874,70 @@ object LlmQueries extends QueryFamily {
              |  (CAST(SUM(CAST(u.x AS BIGINT)) AS DOUBLE) / COUNT(*)) AS mean
              |FROM ex GROUP BY cell_id, u.pos ORDER BY cell_id, pos""".stripMargin)),
 
+    // Full Lloyd TRAINING (assign→mean iterated to fixed point, capped at
+    // 3 rounds) over int8 codes — the loop around q_kmeans_refine's
+    // single step. Early convergence composes with the oracle's fixed
+    // 3-round replay: at a fixed point further rounds are the identity.
+    ("q_kmeans_train",
+      (s: SparkSession, d: String) => {
+        val q = Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+          .select(col("vec_id"), col("qvec").cast("array<double>").as("qv"))
+        val seed = q.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell_id"), col("qv").as("centroid"))
+        KMeansOps.lloydTrain(q, "vec_id", "qv", seed, dim = 64, maxIter = 3)
+          .orderBy("cell_id", "pos")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |qz AS (
+             |  SELECT vec_id, list_transform(e, x -> floor(x / greatest(
+             |    list_max(list_transform(e, y -> abs(y))), 5e-324) * 127.0 + 0.5)) AS q
+             |  FROM v),
+             |n AS (SELECT vec_id, q,
+             |  sqrt(list_reduce(list_transform(q, x -> x*x), (a,b) -> a+b)) AS nrm FROM qz),
+             |c1 AS (SELECT vec_id AS cell_id, q AS cq,
+             |  sqrt(list_reduce(list_transform(q, x -> x*x), (a,b) -> a+b)) AS cnrm
+             |  FROM qz WHERE vec_id < 8),
+             |a1 AS (SELECT vec_id, cell_id FROM (
+             |  SELECT n.vec_id, c1.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |    list_reduce(list_transform(range(1, len(n.q)+1), i -> n.q[i]*c1.cq[i]), (x,y) -> x+y)
+             |      / (n.nrm * c1.cnrm) DESC, c1.cell_id ASC) AS rn
+             |  FROM n, c1) WHERE rn = 1),
+             |s1 AS (SELECT cell_id, CAST(u.pos AS INT) AS pos,
+             |    CAST(COUNT(*) AS BIGINT) AS n_points,
+             |    (CAST(SUM(CAST(u.x AS BIGINT)) AS DOUBLE) / COUNT(*)) AS mean
+             |  FROM (SELECT a.cell_id,
+             |      unnest(list_transform(range(1, len(q.q)+1), i -> {'pos': i-1, 'x': q.q[i]})) AS u
+             |    FROM a1 a JOIN qz q USING (vec_id)) GROUP BY cell_id, u.pos),
+             |c2 AS (SELECT cell_id, list(mean ORDER BY pos) AS cq,
+             |  sqrt(list_reduce(list_transform(list(mean ORDER BY pos), x -> x*x), (a,b) -> a+b)) AS cnrm
+             |  FROM s1 GROUP BY cell_id),
+             |a2 AS (SELECT vec_id, cell_id FROM (
+             |  SELECT n.vec_id, c2.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |    list_reduce(list_transform(range(1, len(n.q)+1), i -> n.q[i]*c2.cq[i]), (x,y) -> x+y)
+             |      / (n.nrm * c2.cnrm) DESC, c2.cell_id ASC) AS rn
+             |  FROM n, c2) WHERE rn = 1),
+             |s2 AS (SELECT cell_id, CAST(u.pos AS INT) AS pos,
+             |    CAST(COUNT(*) AS BIGINT) AS n_points,
+             |    (CAST(SUM(CAST(u.x AS BIGINT)) AS DOUBLE) / COUNT(*)) AS mean
+             |  FROM (SELECT a.cell_id,
+             |      unnest(list_transform(range(1, len(q.q)+1), i -> {'pos': i-1, 'x': q.q[i]})) AS u
+             |    FROM a2 a JOIN qz q USING (vec_id)) GROUP BY cell_id, u.pos),
+             |c3 AS (SELECT cell_id, list(mean ORDER BY pos) AS cq,
+             |  sqrt(list_reduce(list_transform(list(mean ORDER BY pos), x -> x*x), (a,b) -> a+b)) AS cnrm
+             |  FROM s2 GROUP BY cell_id),
+             |a3 AS (SELECT vec_id, cell_id FROM (
+             |  SELECT n.vec_id, c3.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |    list_reduce(list_transform(range(1, len(n.q)+1), i -> n.q[i]*c3.cq[i]), (x,y) -> x+y)
+             |      / (n.nrm * c3.cnrm) DESC, c3.cell_id ASC) AS rn
+             |  FROM n, c3) WHERE rn = 1)
+             |SELECT cell_id, CAST(u.pos AS INT) AS pos,
+             |  CAST(COUNT(*) AS BIGINT) AS n_points,
+             |  (CAST(SUM(CAST(u.x AS BIGINT)) AS DOUBLE) / COUNT(*)) AS mean
+             |FROM (SELECT a.cell_id,
+             |    unnest(list_transform(range(1, len(q.q)+1), i -> {'pos': i-1, 'x': q.q[i]})) AS u
+             |  FROM a3 a JOIN qz q USING (vec_id)) GROUP BY cell_id, u.pos
+             |ORDER BY cell_id, pos""".stripMargin)),
+
     // Product quantization ANN (Jégou et al. 2011): 4 subspace codebooks
     // cut from sample vectors (vec_id < 8), every candidate encoded as 4
     // dense code positions (the 64×-compressed index), queries ranked by

@@ -1159,6 +1159,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(dropped == out.filter(_._2._3 == 0.0).keySet)
   }
 
+  test("lloyd training converges to cluster means and is a fixed point") {
+    import graft.llmops.KMeansOps
+    val pts = Seq(
+      (0L, Seq(10.0, 1.0)), (1L, Seq(8.0, 0.0)), (2L, Seq(12.0, -1.0)),
+      (3L, Seq(1.0, 10.0)), (4L, Seq(0.0, 8.0)), (5L, Seq(-1.0, 12.0))
+    ).toDF("vec_id", "qv")
+    val seed = pts.filter(col("vec_id") === 0 || col("vec_id") === 3)
+      .select(col("vec_id").as("cell_id"), col("qv").as("centroid"))
+    val trained = KMeansOps.lloydTrain(pts, "vec_id", "qv", seed,
+      dim = 2, maxIter = 10)
+    val m = trained.collect()
+      .map(r => (r.getAs[Long]("cell_id"), r.getAs[Int]("pos")) ->
+        r.getAs[Double]("mean")).toMap
+    assert(m((0L, 0)) == 10.0 && m((0L, 1)) == 0.0)
+    assert(m((3L, 0)) == 0.0 && m((3L, 1)) == 10.0)
+    // fixed point: one more step from the trained centroids is the identity
+    val again = KMeansOps.lloydStep(pts, "vec_id", "qv",
+      KMeansOps.toCentroidTable(trained), dim = 2)
+    assert(again.orderBy("cell_id", "pos").collect().toSeq ==
+      trained.orderBy("cell_id", "pos").collect().toSeq)
+  }
+
   test("importance score ranks target-vocabulary docs above off-distribution") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta alpha beta"), // pure target vocabulary
