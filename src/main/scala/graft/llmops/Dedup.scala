@@ -317,6 +317,55 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
   }
 
+  /** ASYMMETRIC containment near-dup search: pairs scored by
+    * |A∩B| / min(|A|,|B|) — how much of the SMALLER document's shingle
+    * set the other contains — instead of Jaccard. This is the measure
+    * for quote-inclusion and excerpt duplication: a 30-shingle article
+    * fully embedded in a 300-shingle page has Jaccard 0.1 (invisible to
+    * every threshold the Jaccard family runs at) but containment 1.0.
+    * MinHash banding under-recalls exactly these pairs too — its collision
+    * probability tracks Jaccard — so containment search needs its own
+    * candidate scheme, not a threshold tweak on [[minhashNearDups]].
+    *
+    * Candidates come from a document-frequency-pruned inverted index
+    * (prefix-filtering's core idea): only shingles shared by 2..maxDf
+    * documents generate pairs, so a shingle's bucket joins at most
+    * maxDf·(maxDf-1)/2 pairs — the bucket-degeneracy guard, in the same
+    * role as LSH's maxBucket. The recall trade is explicit and benign:
+    * a missed pair must share ONLY corpus-common shingles (df > maxDf),
+    * i.e. be built entirely of boilerplate — which is [[spanDedup]]'s
+    * jurisdiction, not containment's.
+    *
+    * Scale shape: shingle explode → df count (one shuffle on shingle),
+    * df-bounded self-join on the shingle key (both sides the same
+    * exchange → AQE reuses it), distinct pair table, then the
+    * [[jaccardForPairs]]-shaped verification joins + one min-division.
+    * No all-pairs stage anywhere; skew bounded by maxDf by construction.
+    */
+  def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("_dfc"))
+      .filter(col("_dfc") >= 2 && col("_dfc") <= maxDf)
+    val rare = sh.join(dfc.select("shingle"), Seq("shingle"))
+    val cand = rare.select(col("shingle"), col(idCol).as("id_a"))
+      .join(rare.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle").as("_shb")), Seq("id_b"))
+      .filter(col("shingle") === col("_shb"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "sz_a", "sz_b", "inter", "containment")
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
     * → verify ≥ threshold.
     *

@@ -714,6 +714,39 @@ object LlmQueries extends QueryFamily {
              |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Asymmetric containment near-dup: |A∩B|/min(|A|,|B|) over df-pruned
+    // inverted-index candidates (df 2..10) — catches excerpt/quote
+    // inclusion that Jaccard ≥ t and minhash banding both miss.
+    ("q_containment",
+      (s: SparkSession, d: String) => {
+        Dedup.containmentNearDups(Tables.documents(s, d), "doc_id", "text",
+            n = 3, maxDf = 10, threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents),
+             |dfc AS (SELECT shingle FROM sh GROUP BY shingle
+             |  HAVING count(*) BETWEEN 2 AND 10),
+             |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle)),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+             |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+             |  FROM cand c
+             |  JOIN sh x ON x.doc_id = c.id_a
+             |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+             |  GROUP BY 1, 2)
+             |SELECT i.id_a, i.id_b, sa.sz AS sz_a, sb.sz AS sz_b, i.inter,
+             |  CAST(i.inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+             |FROM inter i
+             |JOIN sizes sa ON sa.doc_id = i.id_a
+             |JOIN sizes sb ON sb.doc_id = i.id_b
+             |WHERE CAST(i.inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Brute-force cosine top-k similarity search (exact ANN baseline).
     ("q_embedding_topk",
       (s: SparkSession, d: String) => {

@@ -1159,6 +1159,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(dropped == out.filter(_._2._3 == 0.0).keySet)
   }
 
+  test("containment catches an embedded excerpt that jaccard misses") {
+    // long doc = 60 unique words; short doc = a verbatim 12-word excerpt
+    val words = (1 to 60).map(i => s"w$i")
+    val long = words.mkString(" ")
+    val excerpt = words.slice(20, 32).mkString(" ")
+    val corpus = Seq((0L, long), (1L, excerpt), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentNearDups(corpus, "doc_id", "text",
+        n = 3, maxDf = 10, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Double]("containment"),
+          r.getAs[Long]("inter"), r.getAs[Long]("sz_a"), r.getAs[Long]("sz_b")))
+      .toMap
+    assert(out.keySet == Set((0L, 1L)))         // excerpt pair found, nothing else
+    val (c, inter, szA, szB) = out((0L, 1L))
+    assert(c == 1.0 && inter == szB && szA > szB) // fully contained, asymmetric
+    // the same pair's Jaccard is far below any near-dup threshold
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val j = Dedup.jaccardForPairs(
+        Seq((0L, 1L)).toDF("id_a", "id_b"), sh, "doc_id")
+      .collect().head.getAs[Double]("jaccard")
+    assert(j < 0.25)
+  }
+
   test("lloyd training converges to cluster means and is a fixed point") {
     import graft.llmops.KMeansOps
     val pts = Seq(
