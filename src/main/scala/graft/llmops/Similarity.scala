@@ -317,7 +317,35 @@ object Similarity {
         c => struct(cellCosine(c, dim).as("cos"),
           (-c.getField("cell_id")).as("negId")))))
       .select(col(idCol), col("_v"), col("_n"),
-        (-col("_best.negId")).as("cell_id"))
+        (-col("_best.negId")).as("cell_id"),
+        col("_best.cos").as("cell_cosine"))
+
+  /** Cluster-balanced prototype selection: assign every vector to its
+    * max-cosine cell, keep the `perCell` vectors CLOSEST to each cell's
+    * centroid — the "K prototypes per topic" subset builder (cluster-
+    * balanced coresets for fine-tuning/eval sets). The inverse of
+    * [[centroidOutliers]] (which removes the far tail); together they
+    * bracket a cell's membership by typicality.
+    *
+    * Scale shape: assignment is the map-side [[ivfAssignments]] kernel
+    * (no shuffle, no row explosion), then ONE shuffle on cell_id into a
+    * bounded-heap [[graft.functions.TopK]] partial aggregation — the
+    * exchange carries ≤ perCell·partitions rows per cell regardless of
+    * cell population, and no cell is ever sorted whole. (A windowed
+    * row_number here would shuffle and sort every member of every cell —
+    * the exact pattern TopK exists to replace; see q_topk_agg.)
+    */
+  def clusterBalancedSample(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int, perCell: Int): DataFrame =
+    ivfAssignments(points, idCol, vecCol, centroids, dim)
+      .groupBy(col("cell_id"))
+      .agg(graft.functions.TopK.topKAgg(perCell,
+        col("cell_cosine"), col(idCol)).as("_top"))
+      .select(col("cell_id"), posexplode(col("_top")))
+      .select(col("cell_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol),
+        col("col.score").as("cell_cosine"))
 
   /** IVF top-k: queries probe their `nProbe` highest-cosine cells and run
     * exact search against only the vectors assigned there — the classic

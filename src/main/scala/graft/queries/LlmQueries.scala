@@ -971,6 +971,35 @@ object LlmQueries extends QueryFamily {
              |  FROM a3 a JOIN qz q USING (vec_id)) GROUP BY cell_id, u.pos
              |ORDER BY cell_id, pos""".stripMargin)),
 
+    // Cluster-balanced prototype selection: 10 most-typical vectors per
+    // IVF cell via the bounded-heap TopK partial agg (no per-cell sort).
+    ("q_cluster_sample",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+        Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+            centroids, dim = 64, perCell = 10)
+          .orderBy("cell_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e,
+             |  sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+             |c AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+             |assign AS (SELECT vec_id, cell_id, cos FROM (
+             |  SELECT n.vec_id, c.cell_id,
+             |    list_reduce(list_transform(range(1, len(n.e)+1), i -> n.e[i]*c.ce[i]), (x,y) -> x+y)
+             |      / (n.nrm * c.cn) AS cos,
+             |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |      list_reduce(list_transform(range(1, len(n.e)+1), i -> n.e[i]*c.ce[i]), (x,y) -> x+y)
+             |        / (n.nrm * c.cn) DESC, c.cell_id ASC) AS rn
+             |  FROM n, c) WHERE rn = 1),
+             |r AS (SELECT cell_id, vec_id, cos,
+             |  row_number() OVER (PARTITION BY cell_id
+             |    ORDER BY cos DESC, vec_id ASC) AS rank FROM assign)
+             |SELECT cell_id, CAST(rank AS INT) AS rank, vec_id, cos AS cell_cosine
+             |FROM r WHERE rank <= 10 ORDER BY cell_id, rank""".stripMargin)),
+
     // Product quantization ANN (Jégou et al. 2011): 4 subspace codebooks
     // cut from sample vectors (vec_id < 8), every candidate encoded as 4
     // dense code positions (the 64×-compressed index), queries ranked by

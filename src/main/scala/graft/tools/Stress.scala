@@ -130,7 +130,15 @@ object Stress {
     // centroid outliers is a Lloyd-shaped posexplode aggregate; the
     // incremental near-dup halves the corpus into registry+batch and
     // exercises the cross-banding join + semi-join text prune
-    "q_lm_score", "q_embedding_outliers", "q_incremental_neardup")
+    "q_lm_score", "q_embedding_outliers", "q_incremental_neardup",
+    // round-6 second batch: sliding-window substring dedup (explode is
+    // L× the token stream — the heaviest new explode), graded
+    // contamination (two doc-keyed aggregates off one shingle scan),
+    // hashed-feature importance scoring (bounded bucket tables), full
+    // Lloyd train (3 corpus passes + k·dim fixpoint probes), df-pruned
+    // containment (inverted-index self-join bounded by maxDf)
+    "q_exact_substring", "q_contamination_score", "q_importance_score",
+    "q_kmeans_train", "q_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

@@ -1159,6 +1159,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(dropped == out.filter(_._2._3 == 0.0).keySet)
   }
 
+  test("cluster-balanced sample keeps the perCell most-typical per cell") {
+    val pts = Seq(
+      (0L, Seq(10.0, 1.0)), (1L, Seq(8.0, 0.0)), (2L, Seq(12.0, -1.0)),
+      (3L, Seq(1.0, 10.0)), (4L, Seq(0.0, 8.0)), (5L, Seq(-1.0, 12.0))
+    ).toDF("vec_id", "qv")
+    val cents = pts.filter(col("vec_id") === 0 || col("vec_id") === 3)
+      .select(col("vec_id").as("cell_id"), col("qv").as("centroid"))
+    val out = Similarity.clusterBalancedSample(pts, "vec_id", "qv",
+        cents, dim = 2, perCell = 2)
+      .collect().map(r => (r.getAs[Long]("cell_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("vec_id")).toMap
+    // cell 0 (direction (1,0)): id 0 IS the centroid (cos 1), id 1 next
+    // cell 3 (direction (0,1)): id 3 IS the centroid, id 4 next
+    assert(out == Map((0L, 1) -> 0L, (0L, 2) -> 1L,
+      (3L, 1) -> 3L, (3L, 2) -> 4L))
+  }
+
   test("containment catches an embedded excerpt that jaccard misses") {
     // long doc = 60 unique words; short doc = a verbatim 12-word excerpt
     val words = (1 to 60).map(i => s"w$i")
