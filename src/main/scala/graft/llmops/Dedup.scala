@@ -336,30 +336,74 @@ object Dedup {
     * i.e. be built entirely of boilerplate — which is [[spanDedup]]'s
     * jurisdiction, not containment's.
     *
-    * Scale shape: shingle explode → df count (one shuffle on shingle),
-    * df-bounded self-join on the shingle key (both sides the same
-    * exchange → AQE reuses it), distinct pair table, then the
-    * [[jaccardForPairs]]-shaped verification joins + one min-division.
+    * `minShared` requires a candidate pair to co-occur in at least that
+    * many rare-shingle buckets before verification. The count rides the
+    * SAME shuffle the pair-dedup already pays (groupBy instead of
+    * distinct — zero extra cost), and it is the knob that keeps
+    * verification linear-with-a-small-constant as the corpus grows:
+    * chance collisions put a pair in exactly one bucket, real
+    * containment puts it in one bucket per shared shingle. Measured at
+    * the 64× fixture: minShared 1 → 21.2 M candidate pairs (97% of
+    * runtime verifying chance pairs), minShared 2 → the candidates
+    * collapse to near the true-pair count; every true ≥0.5-containment
+    * pair in the fixture shares ≥9 rare shingles. A pair missed at
+    * minShared=2 shares exactly one sub-maxDf shingle — below any
+    * containment threshold the operator would report anyway unless the
+    * smaller doc is a single shingle long.
+    *
+    * Scale shape: the shingle stream crosses exactly TWO exchanges, both
+    * cheap codegen aggregations. Within-doc duplicate shingles are
+    * removed MAP-SIDE (`array_distinct` before the explode — a global
+    * distinct would shuffle the stream just to remove dups the doc-local
+    * pass already sees), the df count is a plain whole-stage-codegen
+    * count (most shingles are df-1 singletons; an object aggregator here
+    * was measured slower than the count+join it replaced), and only the
+    * df∈[2,maxDf] survivors — already a small fraction of the stream —
+    * reach the `collect_list` bucket build, whose state the preceding
+    * filter bounds at maxDf. Candidate pairs then EXPLODE map-side from
+    * each bucket's sorted ≤maxDf id array (no self-join of the index at
+    * all), meet the minShared groupBy, and verification joins the
+    * per-doc shingle-set ARRAYS ([[shingleSets]], also map-side) to each
+    * pair side with one `array_intersect` per pair (values identical to
+    * the explode-join form — both sides are distinct sets; the
+    * [[minhashNearDups]] verification contract).
+    *
+    * Measured at the 64× fixture, in order of construction: explode-join
+    * verify + global distinct + df join = 303 s → array verify over a
+    * checkpointed index self-join = ~98 s → this shape = the stream
+    * passes (~35 s each) plus seconds of pair work.
     * No all-pairs stage anywhere; skew bounded by maxDf by construction.
     */
   def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDf: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("_dfc"))
+      n: Int, maxDf: Int, threshold: Double, minShared: Int = 2): DataFrame = {
+    def inst = withToks(df, textCol)
+      .select(col(idCol),
+        explode(array_distinct(shingleArray(col("_toks"), n))).as("shingle"))
+    val dfc = inst.groupBy("shingle").agg(count(lit(1)).as("_dfc"))
       .filter(col("_dfc") >= 2 && col("_dfc") <= maxDf)
-    val rare = sh.join(dfc.select("shingle"), Seq("shingle"))
-    val cand = rare.select(col("shingle"), col(idCol).as("id_a"))
-      .join(rare.select(col("shingle"), col(idCol).as("id_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+      .select("shingle")
+    // the join re-explodes inst map-side (cheap; no materialization), and
+    // its shingle partitioning carries straight into the bucket groupBy
+    val buckets = inst.join(dfc, Seq("shingle"))
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+    // all C(df,2) ordered pairs, map-side from the sorted ≤maxDf array
+    val cand = buckets
+      .select(explode(flatten(transform(col("_ids"), (a, i) =>
+        transform(slice(col("_ids"), i + 2, lit(maxDf)),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+      .select("id_a", "id_b")
+    val sets = shingleSets(df, idCol, textCol, n)
     cand
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle").as("_shb")), Seq("id_b"))
-      .filter(col("shingle") === col("_shb"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("_sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("_sa")).cast("long").as("sz_a"),
+        size(col("_sb")).cast("long").as("sz_b"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("inter"))
       .withColumn("containment",
         col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
       .filter(col("containment") >= threshold)

@@ -715,12 +715,13 @@ object LlmQueries extends QueryFamily {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Asymmetric containment near-dup: |A∩B|/min(|A|,|B|) over df-pruned
-    // inverted-index candidates (df 2..10) — catches excerpt/quote
-    // inclusion that Jaccard ≥ t and minhash banding both miss.
+    // inverted-index candidates (df 2..10, co-occurring in ≥2 buckets) —
+    // catches excerpt/quote inclusion that Jaccard ≥ t and minhash
+    // banding both miss.
     ("q_containment",
       (s: SparkSession, d: String) => {
         Dedup.containmentNearDups(Tables.documents(s, d), "doc_id", "text",
-            n = 3, maxDf = 10, threshold = 0.5)
+            n = 3, maxDf = 10, threshold = 0.5, minShared = 2)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH sh AS (
@@ -731,8 +732,9 @@ object LlmQueries extends QueryFamily {
              |dfc AS (SELECT shingle FROM sh GROUP BY shingle
              |  HAVING count(*) BETWEEN 2 AND 10),
              |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle)),
-             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+             |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
              |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
              |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
              |  FROM cand c

@@ -561,4 +561,44 @@ class PlanAuditSpec extends SparkSpec {
     // (the window), independent of dimension
     assert(countShuffles(p) <= 3, p)
   }
+
+  test("plan: cluster-balanced sample is assignment + ONE heap-agg shuffle") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    val p = plan(Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      centroids, dim = 64, perCell = 10))
+    // map-side assignment (broadcast centroids), then the bounded-heap
+    // aggregate's single cell_id exchange — per-cell membership is never
+    // sorted or windowed whole
+    assert(countShuffles(p) == 1, p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("plan: importance scoring broadcasts bucket tables, never the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val p = plan(graft.llmops.TextStats.importanceScore(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text", gramN = 2, buckets = 1024))
+    // both count tables are `buckets`-bounded broadcasts; the doc-bucket
+    // stream is never the build side of anything and never nested-looped
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("plan: exact substring dedup joins only on keys — no pair explosion") {
+    val p = plan(SparkEntry.queries("q_exact_substring")(spark, sf))
+    // window-text rank, doc-id interval merge, interval-array groupBy,
+    // corpus equi-join: every join/window keyed, nothing quadratic
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countShuffles(p) <= 6, p)
+  }
+
+  test("plan: containment candidates come from the df-pruned equi-join") {
+    val p = plan(SparkEntry.queries("q_containment")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
