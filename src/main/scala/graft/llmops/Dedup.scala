@@ -666,10 +666,16 @@ object Dedup {
   def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame = {
     val L = windowTokens
-    // sliding L-gram instances with their 0-based start position
+    // sliding L-gram instances with their 0-based start position. The
+    // window TEXT is hashed map-side and only the 16-byte digest crosses
+    // the rank exchange — an L-token string is ~L·avg-word bytes per
+    // instance and the rank shuffle is the operator's dominant exchange
+    // (md5 keys are the library-wide engine-portable convention, see
+    // [[TextStats.fingerprint]]; same digest in the DuckDB oracle).
     val inst = withToks(df, textCol)
       .select(col(idCol), posexplode(shingleArray(col("_toks"), L)))
       .toDF(idCol, "pos", "sh")
+      .select(col(idCol), col("pos"), md5(col("sh")).as("sh"))
     val dup = inst
       .withColumn("_rn", row_number().over(
         Window.partitionBy("sh").orderBy(col(idCol), col("pos"))))

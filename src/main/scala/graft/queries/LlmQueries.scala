@@ -302,7 +302,7 @@ object LlmQueries extends QueryFamily {
              |  FROM toks),
              |inst AS (
              |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-             |    array_to_string(list_slice(w, i, i + 14), ' ') AS sh
+             |    md5(array_to_string(list_slice(w, i, i + 14), ' ')) AS sh
              |  FROM idx),
              |ranked AS (
              |  SELECT doc_id, pos,
