@@ -373,6 +373,26 @@ object Similarity {
       .select("query_id", "cell_id", "cand_id", "cosine", "rank")
   }
 
+  /** Recall@k report: score an APPROXIMATE top-k result (LSH, IVF, PQ,
+    * quantized — any (query_id, cand_id) table) against the EXACT one —
+    * the index-quality monitor a deployed ANN pipeline runs on a sampled
+    * query set before trusting a new index or parameter change (the
+    * empirical side of every sizing rule in this file). Per query:
+    * the exact neighbor count, how many the approximate index recovered,
+    * and their ratio. Both inputs are k-bounded per query, so the join
+    * and aggregate are (queries·k)-sized regardless of corpus size —
+    * evaluation cost scales with the SAMPLE, not the index.
+    */
+  def recallReport(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id"))
+        .withColumn("_hit", lit(1L)), Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+
   /** Dedup decision from near-dup pairs: each duplicate id maps to its
     * canonical (the smallest near-dup neighbor id below it). Dropping
     * every `dup_id` row keeps exactly one representative per local dup

@@ -446,6 +446,75 @@ object TextStats {
       .withColumn("diversity",
         col("distinct_grams").cast("double") / col("total_grams").cast("double"))
 
+  // ---- Token-budget recipe planning (mixture quotas under a budget) ----
+
+  /** Data-recipe solver: given target mixture weights per domain and a
+    * total token budget, compute each domain's token quota and sampling
+    * rate by WATER-FILLING — a domain with less mass than its target
+    * share contributes everything it has, and its unfilled share is
+    * redistributed over the remaining domains in proportion to their
+    * weights (the mixing step behind SlimPajama/Dolma-style "data
+    * recipes"; without redistribution a scarce domain silently shrinks
+    * the delivered corpus below budget).
+    *
+    * Arithmetic is INTEGER-exact end to end so the plan hash-verifies
+    * across engines: weights are integer shares (any positive scale),
+    * each round's quota is `(remaining · w) div W_active` in 64-bit
+    * integer floor division, and the only float is the final
+    * rate = assigned/avail division. Callers keep
+    * budget · Σweights < 2^63 (a ~9e14-token budget at basis-point
+    * weights) — beyond any real training budget.
+    *
+    * `rounds` fixed-round semantics: each round recomputes active-domain
+    * quotas and saturates domains whose mass fits under them; a round at
+    * the fixed point changes nothing, so a verifier replaying exactly
+    * `rounds` rounds (the DuckDB oracle) matches wherever the loop
+    * actually stabilized — the [[KMeansOps.lloydTrain]] contract. Full
+    * water-filling needs at most |domains| rounds; 3 covers typical
+    * mixes (each round must newly saturate a domain to matter).
+    *
+    * Scale shape: one corpus aggregate (map-side combined sum per
+    * domain), then every round operates on the |domains|-row state table
+    * with broadcast one-row totals — nothing corpus-sized moves after
+    * the first shuffle, and there is no driver-side state at all.
+    */
+  def recipePlan(df: DataFrame, domainCol: String, tokenCol: String,
+      weights: Map[String, Long], budgetTokens: Long,
+      rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(domainCol, "w")
+    val avail = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).as("avail"))
+    var state = w.join(avail, Seq(domainCol), "full")
+      .select(col(domainCol),
+        coalesce(col("avail"), lit(0L)).as("avail"),
+        coalesce(col("w"), lit(0L)).as("w"),
+        lit(false).as("sat"))
+    val quotaExpr = s"CASE WHEN coalesce(wAct, CAST(0 AS BIGINT)) = 0 " +
+      s"THEN CAST(0 AS BIGINT) ELSE " +
+      s"((CAST($budgetTokens AS BIGINT) - coalesce(satSum, CAST(0 AS BIGINT))) * w) div wAct END"
+    def withTotals(s: DataFrame): DataFrame = {
+      val tot = s.agg(
+        sum(when(col("sat"), col("avail"))).as("satSum"),
+        sum(when(!col("sat"), col("w"))).as("wAct"))
+      s.crossJoin(broadcast(tot))
+    }
+    for (_ <- 1 to rounds)
+      state = withTotals(state)
+        .withColumn("sat",
+          col("sat") || col("avail") <= expr(quotaExpr))
+        .select(col(domainCol), col("avail"), col("w"), col("sat"))
+    withTotals(state)
+      .withColumn("assigned",
+        when(col("sat"), col("avail")).otherwise(expr(quotaExpr)))
+      .select(col(domainCol), col("avail"), col("w"), col("assigned"),
+        when(col("avail") === 0, lit(0.0))
+          .otherwise(col("assigned").cast("double") / col("avail").cast("double"))
+          .as("rate"))
+  }
+
   // ---- Hashed n-gram importance scoring (DSIR-style data selection) ----
 
   /** Score each corpus document by how target-like its hashed n-gram

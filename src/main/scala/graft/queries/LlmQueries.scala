@@ -873,6 +873,58 @@ object LlmQueries extends QueryFamily {
              |SELECT query_id, cand_id, qcosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Recall@5 of the int8-quantized index vs the exact float top-k over
+    // the same query sample — the index-quality monitor run before
+    // trusting a new index/parameter change. (queries·k)-sized eval.
+    ("q_ann_recall",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.recallReport(
+            approx = Similarity.quantizedTopK(queries, emb,
+              idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64),
+            exact = Similarity.bruteForceTopK(queries, emb,
+              idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64))
+          .orderBy("query_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e,
+             |  sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+             |ep AS (
+             |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_reduce(list_transform(range(1, len(qq.e)+1), i -> qq.e[i]*c.e[i]), (x,y) -> x+y)
+             |      / (qq.nrm * c.nrm) AS cosine
+             |  FROM n qq JOIN n c ON qq.vec_id <> c.vec_id
+             |  WHERE qq.vec_id < 10),
+             |er AS (SELECT query_id, cand_id FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM ep)
+             |  WHERE rank <= 5),
+             |qz AS (
+             |  SELECT vec_id,
+             |    list_transform(e, x -> floor(x / greatest(
+             |      list_max(list_transform(e, y -> abs(y))), 5e-324) * 127.0 + 0.5)) AS q
+             |  FROM v),
+             |nq AS (SELECT vec_id, q,
+             |  sqrt(list_reduce(list_transform(q, x -> x*x), (a,b) -> a+b)) AS nrm FROM qz),
+             |ap AS (
+             |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_reduce(list_transform(range(1, len(qq.q)+1), i -> qq.q[i]*c.q[i]), (x,y) -> x+y)
+             |      / (qq.nrm * c.nrm) AS qcosine
+             |  FROM nq qq JOIN nq c ON qq.vec_id <> c.vec_id
+             |  WHERE qq.vec_id < 10),
+             |ar AS (SELECT query_id, cand_id FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY qcosine DESC, cand_id ASC) AS rank FROM ap)
+             |  WHERE rank <= 5)
+             |SELECT er.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+             |  CAST(count(ar.cand_id) AS BIGINT) AS n_hit,
+             |  CAST(count(ar.cand_id) AS DOUBLE) / count(*) AS recall
+             |FROM er LEFT JOIN ar
+             |  ON ar.query_id = er.query_id AND ar.cand_id = er.cand_id
+             |GROUP BY er.query_id ORDER BY er.query_id""".stripMargin)),
+
     // One Lloyd (k-means) refinement step of the IVF coarse quantizer
     // over int8-quantized codes: map-side max-cosine assignment, then
     // per-(cell, dimension) exact integer means. Integer sums commute, so
@@ -1823,6 +1875,55 @@ object LlmQueries extends QueryFamily {
              |  CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_p,
              |  MIN(p) AS min_p
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget recipe planning: water-filled per-language quotas for
+    // a 20k-token budget with a zh-heavy target mix — zh saturates in
+    // round 1, its unfilled share redistributes until only en (the one
+    // domain with spare mass) absorbs the remainder; Σ assigned = budget.
+    ("q_recipe_plan",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
+        TextStats.recipePlan(docs, "lang", "n_tokens",
+            weights = Map("en" -> 10L, "de" -> 10L, "fr" -> 10L,
+              "es" -> 10L, "zh" -> 60L),
+            budgetTokens = 20000L, rounds = 3)
+          .orderBy("lang")
+      },
+      Some("""WITH tk AS (
+             |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
+             |av AS (SELECT lang, SUM(t) AS avail FROM tk GROUP BY 1),
+             |wt(lang, w) AS (VALUES ('en', CAST(10 AS BIGINT)), ('de', 10), ('fr', 10), ('es', 10), ('zh', 60)),
+             |s0 AS (SELECT coalesce(wt.lang, av.lang) AS lang,
+             |  coalesce(av.avail, 0) AS avail, coalesce(wt.w, 0) AS w, FALSE AS sat
+             |  FROM wt FULL JOIN av ON wt.lang = av.lang),
+             |r1 AS (SELECT s0.*,
+             |  (SELECT coalesce(SUM(CASE WHEN sat THEN avail END), 0) FROM s0) AS satSum,
+             |  (SELECT coalesce(SUM(CASE WHEN NOT sat THEN w END), 0) FROM s0) AS wAct FROM s0),
+             |s1 AS (SELECT lang, avail, w, (sat OR avail <=
+             |  CASE WHEN wAct = 0 THEN 0 ELSE ((20000 - satSum) * w) // wAct END) AS sat FROM r1),
+             |r2 AS (SELECT s1.*,
+             |  (SELECT coalesce(SUM(CASE WHEN sat THEN avail END), 0) FROM s1) AS satSum,
+             |  (SELECT coalesce(SUM(CASE WHEN NOT sat THEN w END), 0) FROM s1) AS wAct FROM s1),
+             |s2 AS (SELECT lang, avail, w, (sat OR avail <=
+             |  CASE WHEN wAct = 0 THEN 0 ELSE ((20000 - satSum) * w) // wAct END) AS sat FROM r2),
+             |r3 AS (SELECT s2.*,
+             |  (SELECT coalesce(SUM(CASE WHEN sat THEN avail END), 0) FROM s2) AS satSum,
+             |  (SELECT coalesce(SUM(CASE WHEN NOT sat THEN w END), 0) FROM s2) AS wAct FROM s2),
+             |s3 AS (SELECT lang, avail, w, (sat OR avail <=
+             |  CASE WHEN wAct = 0 THEN 0 ELSE ((20000 - satSum) * w) // wAct END) AS sat FROM r3),
+             |fin AS (SELECT s3.*,
+             |  (SELECT coalesce(SUM(CASE WHEN sat THEN avail END), 0) FROM s3) AS satSum,
+             |  (SELECT coalesce(SUM(CASE WHEN NOT sat THEN w END), 0) FROM s3) AS wAct FROM s3),
+             |res AS (SELECT lang, avail, w,
+             |  CASE WHEN sat THEN avail ELSE
+             |    CASE WHEN wAct = 0 THEN 0 ELSE ((20000 - satSum) * w) // wAct END
+             |  END AS assigned FROM fin)
+             |SELECT lang, CAST(avail AS BIGINT) AS avail, w,
+             |  CAST(assigned AS BIGINT) AS assigned,
+             |  CASE WHEN avail = 0 THEN 0.0
+             |    ELSE CAST(assigned AS DOUBLE) / CAST(avail AS DOUBLE) END AS rate
+             |FROM res ORDER BY lang""".stripMargin)),
 
     // DSIR-style importance scoring: hashed bigram features (1024 md5
     // buckets), target = the English slice, score = ratio-of-means

@@ -1159,6 +1159,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(dropped == out.filter(_._2._3 == 0.0).keySet)
   }
 
+  test("recipe plan water-fills: scarce domain saturates, surplus redistributes") {
+    // domain A: 10000 tokens available, B: 1000, equal target weights,
+    // budget 8000 → naive split gives each 4000; B can only fill 1000,
+    // so water-filling hands its unfilled 3000 to A
+    val docs = Seq(("A", 10000L), ("B", 1000L)).toDF("dom", "toks")
+    val out = TextStats.recipePlan(docs, "dom", "toks",
+        weights = Map("A" -> 1L, "B" -> 1L), budgetTokens = 8000L)
+      .collect().map(r => r.getAs[String]("dom") ->
+        (r.getAs[Long]("assigned"), r.getAs[Double]("rate"))).toMap
+    assert(out("B") == ((1000L, 1.0)))
+    assert(out("A") == ((7000L, 0.7)))
+    // fixed point: more rounds change nothing once saturation stabilizes
+    val more = TextStats.recipePlan(docs, "dom", "toks",
+        weights = Map("A" -> 1L, "B" -> 1L), budgetTokens = 8000L, rounds = 6)
+      .collect().map(r => r.getAs[String]("dom") -> r.getAs[Long]("assigned")).toMap
+    assert(more == Map("A" -> 7000L, "B" -> 1000L))
+    // a domain weighted but absent from the corpus takes nothing; a
+    // corpus domain with no weight contributes nothing
+    val out2 = TextStats.recipePlan(docs, "dom", "toks",
+        weights = Map("A" -> 1L, "C" -> 1L), budgetTokens = 4000L)
+      .collect().map(r => r.getAs[String]("dom") ->
+        (r.getAs[Long]("assigned"), r.getAs[Double]("rate"))).toMap
+    assert(out2("C") == ((0L, 0.0)))      // nothing to take
+    assert(out2("B")._1 == 0L)            // unweighted → zero quota
+    assert(out2("A")._1 == 4000L)         // C's share redistributed to A
+  }
+
+  test("recall report scores approx against exact per query") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "cand_id")
+    val approxDf = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "cand_id")
+    val out = Similarity.recallReport(approxDf, exact).collect()
+      .map(r => r.getAs[Long]("query_id") -> (r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))  // false positive 99 doesn't count
+    assert(out(2L) == ((2L, 2L, 1.0)))
+  }
+
   test("cluster-balanced sample keeps the perCell most-typical per cell") {
     val pts = Seq(
       (0L, Seq(10.0, 1.0)), (1L, Seq(8.0, 0.0)), (2L, Seq(12.0, -1.0)),
