@@ -725,6 +725,14 @@ object Dedup {
       .dropDuplicatesWithinWatermark("_graft_dedup_key")
       .drop("_graft_dedup_key") // schema in = schema out
 
+  /** The distinct word-n-gram shingle set of a benchmark suite — the
+    * shared probe relation of the decontamination family below. One
+    * tokenize + explode + distinct; every caller joins against it. */
+  private def benchShingleSet(benchmark: DataFrame, benchTextCol: String,
+      n: Int): DataFrame =
+    withToks(benchmark, benchTextCol)
+      .select(explode(shingleArray(col("_toks"), n)).as("shingle")).distinct()
+
   /** Benchmark decontamination: drop corpus documents that share ANY word
     * n-gram with the benchmark set (the standard test-set-leakage guard in
     * training-data pipelines). One distinct-shingle explosion per side, an
@@ -735,8 +743,7 @@ object Dedup {
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
     val corpusShingles = shingles(corpus, idCol, textCol, n)
-    val benchShingles = withToks(benchmark, benchTextCol)
-      .select(explode(shingleArray(col("_toks"), n)).as("shingle")).distinct()
+    val benchShingles = benchShingleSet(benchmark, benchTextCol, n)
     val contaminated = corpusShingles
       .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
       .select(idCol).distinct()
@@ -768,8 +775,7 @@ object Dedup {
     // build re-derives the set — measured at 64× (STRESS.md), eagerly
     // materializing the multi-million-row set costs more than the one
     // re-derivation it saves
-    val benchShingles = withToks(benchmark, benchTextCol)
-      .select(explode(shingleArray(col("_toks"), n)).as("shingle")).distinct()
+    val benchShingles = benchShingleSet(benchmark, benchTextCol, n)
     val candidates = graft.operators.BloomPrune.semiReduce(
       corpusShingles, "shingle", benchShingles, "shingle", expectedShingles, fpp)
     val contaminated = candidates
@@ -797,11 +803,11 @@ object Dedup {
   def contaminationScore(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
     val corpusShingles = shingles(corpus, idCol, textCol, n)
-    val benchShingles = withToks(benchmark, benchTextCol)
-      .select(explode(shingleArray(col("_toks"), n)).as("shingle")).distinct()
+    val benchShingles = benchShingleSet(benchmark, benchTextCol, n)
     val tot = corpusShingles.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"))
-    val hit = corpusShingles.join(benchShingles, Seq("shingle"), "left_semi")
+    val hit = corpusShingles
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
     tot.join(hit, Seq(idCol), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))

@@ -79,6 +79,9 @@ object KMeansOps {
     */
   def lloydTrain(points: DataFrame, idCol: String, vecCol: String,
       seed: DataFrame, dim: Int, maxIter: Int): DataFrame = {
+    require(maxIter >= 1,
+      s"lloydTrain needs maxIter >= 1 (got $maxIter): the result is the " +
+        "last completed lloydStep, so zero iterations has no output")
     var cents = seed
     var prev: Option[DataFrame] = None
     var it = 0

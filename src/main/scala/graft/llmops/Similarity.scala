@@ -381,11 +381,14 @@ object Similarity {
     * the exact neighbor count, how many the approximate index recovered,
     * and their ratio. Both inputs are k-bounded per query, so the join
     * and aggregate are (queries·k)-sized regardless of corpus size —
-    * evaluation cost scales with the SAMPLE, not the index.
+    * evaluation cost scales with the SAMPLE, not the index. Both sides
+    * are de-duplicated first: a candidate generator that emits a pair
+    * once per matching band/cell must not inflate n_exact through the
+    * left join or double-count its hits.
     */
   def recallReport(approx: DataFrame, exact: DataFrame): DataFrame =
-    exact.select(col("query_id"), col("cand_id"))
-      .join(approx.select(col("query_id"), col("cand_id"))
+    exact.select(col("query_id"), col("cand_id")).distinct()
+      .join(approx.select(col("query_id"), col("cand_id")).distinct()
         .withColumn("_hit", lit(1L)), Seq("query_id", "cand_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"),

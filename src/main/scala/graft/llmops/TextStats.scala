@@ -471,7 +471,12 @@ object TextStats {
     * `rounds` rounds (the DuckDB oracle) matches wherever the loop
     * actually stabilized — the [[KMeansOps.lloydTrain]] contract. Full
     * water-filling needs at most |domains| rounds; 3 covers typical
-    * mixes (each round must newly saturate a domain to matter).
+    * mixes (each round must newly saturate a domain to matter). When
+    * saturation cascades MORE waves than `rounds`, the final allocation
+    * clamps each quota by the domain's mass (`least(quota, avail)`), so
+    * a sampling rate can never exceed 1.0 — the residual effect of too
+    * few rounds is only that the clamped surplus is not redistributed,
+    * never an unrealizable plan.
     *
     * Scale shape: one corpus aggregate (map-side combined sum per
     * domain), then every round operates on the |domains|-row state table
@@ -508,7 +513,8 @@ object TextStats {
         .select(col(domainCol), col("avail"), col("w"), col("sat"))
     withTotals(state)
       .withColumn("assigned",
-        when(col("sat"), col("avail")).otherwise(expr(quotaExpr)))
+        when(col("sat"), col("avail"))
+          .otherwise(least(expr(quotaExpr), col("avail"))))
       .select(col(domainCol), col("avail"), col("w"), col("assigned"),
         when(col("avail") === 0, lit(0.0))
           .otherwise(col("assigned").cast("double") / col("avail").cast("double"))

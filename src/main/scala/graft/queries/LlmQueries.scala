@@ -510,9 +510,6 @@ object LlmQueries extends QueryFamily {
              |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
-    // Benchmark decontamination: drop every corpus doc sharing ANY 3-gram
-    // with the benchmark subset (doc_id % 97 == 0) — the test-set-leakage
-    // guard. Benchmark shingles broadcast; corpus scanned once.
     // Graded contamination report — the measurement step before the
     // binary decontaminate drop: per doc, what fraction of its distinct
     // 3-gram shingles appear in the benchmark suite (same % 97 bench
@@ -541,6 +538,9 @@ object LlmQueries extends QueryFamily {
              |FROM tot t LEFT JOIN hit h USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark decontamination: drop every corpus doc sharing ANY 3-gram
+    // with the benchmark subset (doc_id % 97 == 0) — the test-set-leakage
+    // guard. Benchmark shingles broadcast; corpus scanned once.
     ("q_decontaminate",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
@@ -1917,7 +1917,7 @@ object LlmQueries extends QueryFamily {
              |  (SELECT coalesce(SUM(CASE WHEN NOT sat THEN w END), 0) FROM s3) AS wAct FROM s3),
              |res AS (SELECT lang, avail, w,
              |  CASE WHEN sat THEN avail ELSE
-             |    CASE WHEN wAct = 0 THEN 0 ELSE ((20000 - satSum) * w) // wAct END
+             |    least(CASE WHEN wAct = 0 THEN 0 ELSE ((20000 - satSum) * w) // wAct END, avail)
              |  END AS assigned FROM fin)
              |SELECT lang, CAST(avail AS BIGINT) AS avail, w,
              |  CAST(assigned AS BIGINT) AS assigned,

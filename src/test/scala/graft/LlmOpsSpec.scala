@@ -1186,6 +1186,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(out2("A")._1 == 4000L)         // C's share redistributed to A
   }
 
+  test("recipe plan never over-assigns when saturation cascades past rounds") {
+    // Saturation cascades 4 waves with the default rounds=3: A fills in
+    // round 1, B in round 2, C in round 3, and D's mass sits just under
+    // the round-4 quota it never sees. The final allocation must clamp
+    // D at its avail (rate == 1.0, never > 1) rather than assign the
+    // unclamped quota.
+    val docs = Seq(("A", 100000L), ("B", 281000L), ("C", 288500L),
+      ("D", 289900L), ("E", 10000000L)).toDF("dom", "toks")
+    val out = TextStats.recipePlan(docs, "dom", "toks",
+        weights = Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 1L, "E" -> 1L),
+        budgetTokens = 1250000L)
+      .collect().map(r => r.getAs[String]("dom") ->
+        (r.getAs[Long]("avail"), r.getAs[Long]("assigned"),
+          r.getAs[Double]("rate"))).toMap
+    out.foreach { case (dom, (avail, assigned, rate)) =>
+      assert(assigned <= avail, s"$dom over-assigned: $assigned > $avail")
+      assert(rate <= 1.0, s"$dom rate $rate > 1.0")
+    }
+    assert(out("D")._2 == 289900L)
+    // with enough rounds the cascade completes and D's clamped surplus
+    // IS redistributed (E absorbs it); total then meets the budget
+    val full = TextStats.recipePlan(docs, "dom", "toks",
+        weights = Map("A" -> 1L, "B" -> 1L, "C" -> 1L, "D" -> 1L, "E" -> 1L),
+        budgetTokens = 1250000L, rounds = 5)
+      .collect().map(r => r.getAs[Long]("assigned")).sum
+    assert(full == 1250000L)
+  }
+
   test("recall report scores approx against exact per query") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "cand_id")
@@ -1196,6 +1224,13 @@ class LlmOpsSpec extends SparkSpec {
         r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
     assert(out(1L) == ((2L, 1L, 0.5)))  // false positive 99 doesn't count
     assert(out(2L) == ((2L, 2L, 1.0)))
+    // a candidate generator that emits a pair once per matching band must
+    // not inflate n_exact or double-count hits through the left join
+    val banded = approxDf.union(approxDf)
+    val dup = Similarity.recallReport(banded, exact.union(exact)).collect()
+      .map(r => r.getAs[Long]("query_id") -> (r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(dup == out)
   }
 
   test("cluster-balanced sample keeps the perCell most-typical per cell") {
