@@ -396,6 +396,52 @@ object Similarity {
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_exact").cast("double"))
 
+  /** ±1 sign matrix for [[randomProject]], derived from md5 parity the
+    * same way [[lshTopK]] derives hyperplanes: signs(j)(i) = +1 when the
+    * first hex nibble of md5("seed:j:i") is odd, else −1. Deterministic,
+    * seedable, and replayable in ANY engine with md5 — the DuckDB oracle
+    * regenerates the identical matrix from the seed alone, so no
+    * projection state ever needs to ship alongside the data. */
+  def projectionSigns(seed: String, outDim: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim) { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0x1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Johnson–Lindenstrauss random projection: compress a `dim`-wide
+    * embedding to `outDim` coordinates, each the dot product with a ±1
+    * sign row (Achlioptas, "Database-friendly random projections", 2001 —
+    * sign matrices carry the same distance-preservation guarantee as
+    * Gaussian ones and need no float matrix state). The compressed
+    * vectors are the cheap COARSE stage of two-stage retrieval: search in
+    * `outDim` space at outDim/dim of the cost, re-rank survivors with the
+    * exact vectors — the float analog of [[quantizedTopK]]'s byte-width
+    * trade, and composable with every top-k operator here since the
+    * output is just another embedding column.
+    *
+    * The projection is deliberately UNSCALED (no 1/√outDim factor):
+    * cosine is scale-invariant, distances scale uniformly by √outDim,
+    * and the sum-of-±terms form stays bit-replayable cross-engine
+    * without a division whose rounding could drift.
+    *
+    * Scale shape: entirely map-side — the sign matrix is a plan literal
+    * (outDim·dim doubles, a few KB), each output coordinate one fused
+    * dot kernel; no shuffle, no state, no UDF. At 100 TB this runs at
+    * scan speed and is the step that makes the downstream pairwise
+    * search `dim/outDim`× cheaper. */
+  def randomProject(df: DataFrame, vecCol: String, outCol: String,
+      outDim: Int, seed: String, dim: Int): DataFrame = {
+    require(outDim >= 1 && dim >= 1,
+      s"randomProject needs positive dims, got outDim=$outDim dim=$dim")
+    val signs = projectionSigns(seed, outDim, dim)
+    val v = VectorMath.precast(col(vecCol))
+    df.withColumn(outCol,
+      array(signs.map(row => VectorMath.dotAuto(v, lit(row), dim)): _*))
+  }
+
   /** Dedup decision from near-dup pairs: each duplicate id maps to its
     * canonical (the smallest near-dup neighbor id below it). Dropping
     * every `dup_id` row keeps exactly one representative per local dup

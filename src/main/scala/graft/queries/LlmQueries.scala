@@ -836,6 +836,31 @@ object LlmQueries extends QueryFamily {
              |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin)),
 
+    // Johnson–Lindenstrauss random projection (64 → 16 dims, ±1 md5-sign
+    // matrix regenerated from the seed in both engines): the coarse stage
+    // of two-stage retrieval. Map-side only; components exploded to rows
+    // so the hash compare is over scalar doubles. Fold order matches the
+    // oracle's list_reduce, so every component is IEEE-exact.
+    ("q_random_project",
+      (s: SparkSession, d: String) => {
+        Similarity.randomProject(Tables.embeddings(s, d),
+            vecCol = "embedding", outCol = "proj",
+            outDim = 16, seed = "jl", dim = 64)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "component")))
+          .orderBy("vec_id", "pos")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |p AS (
+             |  SELECT vec_id, j,
+             |    list_reduce(list_transform(range(1, 65), i ->
+             |      e[i] * (CASE WHEN substr(md5('jl:' || j || ':' || (i - 1)), 1, 1)
+             |        IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END)),
+             |      (a, b) -> a + b) AS component
+             |  FROM v, range(0, 16) AS t(j))
+             |SELECT vec_id, CAST(j AS INT) AS pos, component
+             |FROM p ORDER BY vec_id, pos""".stripMargin)),
+
     // int8-quantized top-k: symmetric per-vector scalar quantization
     // (q = floor(x/amax·127+0.5)), then exact cosine over the integer
     // codes — every product/add exact in double, so the ranking is

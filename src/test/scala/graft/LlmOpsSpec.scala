@@ -1233,6 +1233,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(dup == out)
   }
 
+  test("random projection: deterministic signs, cluster structure survives") {
+    // sign matrix: ±1 only, deterministic, seed-sensitive
+    val s1 = Similarity.projectionSigns("jl", 4, 8)
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(s1.map(_.toSeq).toSeq == Similarity.projectionSigns("jl", 4, 8).map(_.toSeq).toSeq)
+    assert(s1.map(_.toSeq).toSeq != Similarity.projectionSigns("other", 4, 8).map(_.toSeq).toSeq)
+    // JL guarantee, checked end-to-end: project 3 tight clusters 16→4 and
+    // the projected-space brute-force top-k must recover the exact-space
+    // neighbors (clones project to identical vectors, so cluster
+    // membership is preserved exactly)
+    val base = Seq(
+      Array.tabulate(16)(i => if (i < 5) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 5 && i < 11) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 11) 1.0f else 0.0f))
+    // 6 per cluster and k=5: the top-5 must be EXACTLY the rest of the
+    // query's cluster in both spaces, so recall 1.0 follows from cluster
+    // membership alone — no reliance on tie-break agreement among clones
+    val vecs = (0 until 18).map { i =>
+      (i.toLong, base(i % 3).map(x => x * (1.0f + (i / 3) * 0.01f)))
+    }.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(vecs, "embedding", "proj",
+      outDim = 8, seed = "jl", dim = 16)
+    val projected = Similarity.bruteForceTopK(
+        proj.filter(col("vec_id") < 3).select(col("vec_id"), col("proj").as("embedding")),
+        proj.select(col("vec_id"), col("proj").as("embedding")),
+        "vec_id", "embedding", k = 5, dim = 8)
+      .select("query_id", "cand_id")
+    val exact = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 5, dim = 16)
+      .select("query_id", "cand_id")
+    // scaled clones tie exactly in BOTH spaces, so compare via recall,
+    // not id-for-id: every projected neighbor must be a same-cluster
+    // member, and recall vs exact must be 1.0 per query
+    projected.collect().foreach { r =>
+      assert(r.getLong(1) % 3 == r.getLong(0) % 3,
+        s"cross-cluster projected neighbor ${r.getLong(0)} -> ${r.getLong(1)}")
+    }
+    val rec = Similarity.recallReport(projected, exact).collect()
+    assert(rec.length == 3 && rec.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("cluster-balanced sample keeps the perCell most-typical per cell") {
     val pts = Seq(
       (0L, Seq(10.0, 1.0)), (1L, Seq(8.0, 0.0)), (2L, Seq(12.0, -1.0)),

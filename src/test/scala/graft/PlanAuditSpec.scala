@@ -449,6 +449,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("plan: random projection is map-side on the native dot kernel") {
+    // the sign matrix is a plan literal; every component is one fused
+    // dot — only the deterministic output orderBy may add an exchange
+    val p = plan(SparkEntry.queries("q_random_project")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("graft_dot"), p)
+  }
+
   test("plan: window chunking is map-side — zero hash shuffles") {
     // the chunk grid is per-row arithmetic; only the deterministic output
     // orderBy may add a rangepartitioning exchange
