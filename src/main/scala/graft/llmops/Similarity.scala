@@ -442,6 +442,44 @@ object Similarity {
       array(signs.map(row => VectorMath.dotAuto(v, lit(row), dim)): _*))
   }
 
+  /** Two-stage retrieval over a JL-projected coarse index: search the
+    * `outDim`-wide [[randomProject]]ion for each query's `kCoarse` best
+    * candidates, then re-rank ONLY those with the exact full-width cosine
+    * and keep the top `k` — the standard compressed-index shape
+    * (coarse recall stage + exact precision stage). The coarse pass pays
+    * outDim/dim of the full pairwise cost; the exact pass touches
+    * |queries|·kCoarse vectors instead of the corpus. At kCoarse =
+    * |candidates| the result equals [[bruteForceTopK]] row-for-row (the
+    * coarse stage admits everything), which is the spec's anchor; recall
+    * at smaller kCoarse is the JL trade, measurable with
+    * [[recallReport]].
+    *
+    * Scale shape: both projections are map-side; the coarse stage is the
+    * broadcast-queries pair loop at outDim/dim width; the re-rank
+    * BROADCASTS the (|Q|·kCoarse)-row survivor list (with query vectors
+    * attached) against one more corpus scan — the corpus never shuffles —
+    * then one windowed top-k over kCoarse-bounded groups. */
+  def projectedTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, kCoarse: Int,
+      outDim: Int, seed: String, dim: Int): DataFrame = {
+    require(kCoarse >= k, s"kCoarse ($kCoarse) must be >= k ($k)")
+    val pq = randomProject(queries, vecCol, "_pj", outDim, seed, dim)
+      .select(col(idCol), col("_pj"))
+    val pc = randomProject(candidates, vecCol, "_pj", outDim, seed, dim)
+      .select(col(idCol), col("_pj"))
+    val coarse = bruteForceTopK(pq, pc, idCol, "_pj", kCoarse, outDim)
+      .select("query_id", "cand_id")
+    val q = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
+    val c = prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim)
+    val probe = coarse.join(q, Seq("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    c.join(broadcast(probe), Seq("cand_id"))
+      .withColumn("cosine", pairCosine(dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
   /** Dedup decision from near-dup pairs: each duplicate id maps to its
     * canonical (the smallest near-dup neighbor id below it). Dropping
     * every `dup_id` row keeps exactly one representative per local dup

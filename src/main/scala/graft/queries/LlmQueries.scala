@@ -861,6 +861,54 @@ object LlmQueries extends QueryFamily {
              |SELECT vec_id, CAST(j AS INT) AS pos, component
              |FROM p ORDER BY vec_id, pos""".stripMargin)),
 
+    // Two-stage retrieval: coarse top-20 in the 16-dim JL projection,
+    // exact 64-dim re-rank to top-5. Both stages replayed in DuckDB from
+    // the seed alone — coarse survivor sets agree because the projected
+    // cosines are bit-identical and the (score desc, id asc) tie-break is
+    // deterministic in both engines.
+    ("q_projected_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.projectedTopK(
+            emb.filter(col("vec_id") < 10), emb,
+            idCol = "vec_id", vecCol = "embedding", k = 5, kCoarse = 20,
+            outDim = 16, seed = "jl", dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |pc AS (
+             |  SELECT vec_id, j,
+             |    list_reduce(list_transform(range(1, 65), i ->
+             |      e[i] * (CASE WHEN substr(md5('jl:' || j || ':' || (i - 1)), 1, 1)
+             |        IN ('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END)),
+             |      (a, b) -> a + b) AS comp
+             |  FROM v, range(0, 16) AS t(j)),
+             |p AS (SELECT vec_id, list(comp ORDER BY j) AS pj FROM pc GROUP BY vec_id),
+             |pn AS (SELECT vec_id, pj,
+             |  sqrt(list_reduce(list_transform(pj, x -> x*x), (a,b) -> a+b)) AS nrm FROM p),
+             |cp AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_reduce(list_transform(range(1, 17), i -> q.pj[i]*c.pj[i]), (x,y) -> x+y)
+             |      / (q.nrm * c.nrm) AS pcos
+             |  FROM pn q JOIN pn c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10),
+             |cr AS (SELECT query_id, cand_id FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY pcos DESC, cand_id ASC) AS r FROM cp) WHERE r <= 20),
+             |n AS (SELECT vec_id, e,
+             |  sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+             |ex AS (
+             |  SELECT cr.query_id, cr.cand_id,
+             |    list_reduce(list_transform(range(1, 65), i -> q.e[i]*c.e[i]), (x,y) -> x+y)
+             |      / (q.nrm * c.nrm) AS cosine
+             |  FROM cr JOIN n q ON q.vec_id = cr.query_id
+             |    JOIN n c ON c.vec_id = cr.cand_id)
+             |SELECT query_id, cand_id, cosine, CAST(rank AS INT) AS rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM ex)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // int8-quantized top-k: symmetric per-vector scalar quantization
     // (q = floor(x/amax·127+0.5)), then exact cosine over the integer
     // codes — every product/add exact in double, so the ranking is

@@ -1274,6 +1274,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(rec.length == 3 && rec.forall(_.getAs[Double]("recall") == 1.0))
   }
 
+  test("projected top-k: full-width coarse equals exact; narrow keeps clusters") {
+    val base = Seq(
+      Array.tabulate(16)(i => if (i < 5) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 5 && i < 11) 1.0f else 0.0f),
+      Array.tabulate(16)(i => if (i >= 11) 1.0f else 0.0f))
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, base(i % 3).map(x => x * (1.0f + (i / 3) * 0.01f)))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // kCoarse = |candidates| - 1 admits every candidate, so the two-stage
+    // result must equal the exact baseline row-for-row, cosine bits and all
+    val exact = rows(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding",
+      k = 5, dim = 16))
+    val full = rows(Similarity.projectedTopK(q, vecs, "vec_id", "embedding",
+      k = 5, kCoarse = 29, outDim = 8, seed = "jl", dim = 16))
+    assert(full == exact)
+    // a tight coarse budget still recovers cluster structure: every
+    // survivor of the 8-dim coarse stage is a same-cluster member
+    val narrow = Similarity.projectedTopK(q, vecs, "vec_id", "embedding",
+        k = 5, kCoarse = 6, outDim = 8, seed = "jl", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(narrow.length == 15)
+    narrow.foreach { case (qid, cid) =>
+      assert(cid % 3 == qid % 3, s"cross-cluster two-stage neighbor ($qid, $cid)")
+    }
+  }
+
   test("cluster-balanced sample keeps the perCell most-typical per cell") {
     val pts = Seq(
       (0L, Seq(10.0, 1.0)), (1L, Seq(8.0, 0.0)), (2L, Seq(12.0, -1.0)),

@@ -457,6 +457,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_dot"), p)
   }
 
+  test("plan: two-stage retrieval re-rank broadcasts survivors — corpus never shuffles") {
+    val p = plan(SparkEntry.queries("q_projected_topk")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_dot"), p)
+    // only the two top-k windows may hash-exchange (coarse + re-rank);
+    // the corpus reaches the re-rank through a broadcast join, not a
+    // cand_id shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+  }
+
   test("plan: window chunking is map-side — zero hash shuffles") {
     // the chunk grid is per-row arithmetic; only the deterministic output
     // orderBy may add a rangepartitioning exchange
