@@ -310,6 +310,91 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lo
   override def prettyName: String = "graft_minhash_sig"
 }
 
+/** All `outDim` components of a ±1-sign Johnson–Lindenstrauss projection
+  * in ONE fused loop. The composed form — an `array(...)` of `outDim`
+  * separate dot calls — recomputes the float→double cast per component
+  * and, worse, inlines outDim loop bodies (twice, once more inside the
+  * `size(...) > 0` filter a downstream explode infers) into a single
+  * generated method that blows past the JIT's HugeMethodLimit, dropping
+  * the whole stage to interpreted bytecode (measured 50× slower at the
+  * 64× stress fixture). This node is one modest method: cast once, read
+  * each input element once, accumulate all components in a primitive
+  * `double[]`.
+  *
+  * Per-component accumulation order is ascending element index from a
+  * 0.0 seed — bit-identical to the `dot` fold and the DuckDB
+  * `list_reduce` oracle. Null input array → NULL; a null ELEMENT or a
+  * length ≠ the sign rows' width → an all-null component array, exactly
+  * what the composed per-component dots produce (each dot NULLs out).
+  */
+case class JlProject(child: Expression, signs: Seq[Seq[Double]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(signs.nonEmpty && signs.forall(_.length == signs.head.length),
+    "need a non-empty rectangular sign matrix")
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  private lazy val sArr: Array[Array[Double]] = signs.map(_.toArray).toArray
+  private def k = signs.length
+  private def dim = signs.head.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var bad = n != dim
+    var i = 0
+    while (!bad && i < n) { if (a.isNullAt(i)) bad = true; i += 1 }
+    if (bad)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](k))
+    val acc = new Array[Double](k)
+    i = 0
+    while (i < n) {
+      val v = a.getDouble(i)
+      var j = 0
+      while (j < k) { acc(j) += v * sArr(j)(i); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val sRef = ctx.addReferenceObj("jlSigns", sArr, "double[][]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+        |int $n = $in.numElements();
+        |boolean $bad = ($n != $dim);
+        |for (int $i = 0; !$bad && $i < $n; $i++) {
+        |  if ($in.isNullAt($i)) $bad = true;
+        |}
+        |if ($bad) {
+        |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |    new Object[$k]);
+        |} else {
+        |  double[] $acc = new double[$k];
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $v = $in.getDouble($i);
+        |    for (int $j = 0; $j < $k; $j++) {
+        |      $acc[$j] += $v * $sRef[$j][$i];
+        |    }
+        |  }
+        |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($acc);
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jl_project"
+}
+
 /** argmin-L2 code position of a (sub)vector against a position-ordered
   * codebook (`array<array<double>>`): returns the 0-based index of the
   * nearest centroid, ties broken toward the lowest index — exactly the
@@ -448,6 +533,16 @@ object VectorExpressions {
         arity("graft_pq_code", "vec, centroids", 2)(es)
         PqNearestCode(es(0), es(1))
       }),
+    (FunctionIdentifier("graft_jl_project"),
+      new ExpressionInfo(classOf[JlProject].getName, "graft_jl_project"),
+      (es: Seq[Expression]) => {
+        arity("graft_jl_project", "vec, seed, outDim, dim", 4)(es)
+        require(es.drop(1).forall(_.foldable),
+          "graft_jl_project seed/outDim/dim must be literal")
+        JlProject(es(0), jlSigns(es(1).eval().toString,
+          es(2).eval().asInstanceOf[Int],
+          es(3).eval().asInstanceOf[Int]).map(_.toSeq).toSeq)
+      }),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (es: Seq[Expression]) => {
@@ -460,6 +555,22 @@ object VectorExpressions {
         MinHashSig(es(0), longs(es(1)), longs(es(2)),
           es(3).eval().asInstanceOf[Long])
       }))
+
+  /** ±1 sign matrix for [[JlProject]]: signs(j)(i) = +1 when the first
+    * hex nibble of md5("seed:j:i") is odd, else −1 — regenerable from the
+    * seed alone in any engine with md5 (the DuckDB oracles rebuild it in
+    * SQL), so no projection state ships with the data. */
+  def jlSigns(seed: String, outDim: Int, dim: Int): Array[Array[Double]] = {
+    require(outDim >= 1 && dim >= 1,
+      s"jlSigns needs positive dims, got outDim=$outDim dim=$dim")
+    Array.tabulate(outDim) { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0x1) == 1) 1.0 else -1.0
+      }
+    }
+  }
 
   /** Requires the session to be built with [[graft.GraftExtensions]]. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -475,5 +586,10 @@ object VectorExpressions {
     import org.apache.spark.sql.functions.lit
     call_function("graft_minhash_sig", hashes,
       lit(as.toArray), lit(bs.toArray), lit(prime))
+  }
+
+  def jlProject(vec: Column, seed: String, outDim: Int, dim: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_jl_project", vec, lit(seed), lit(outDim), lit(dim))
   }
 }

@@ -397,19 +397,11 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
 
   /** ±1 sign matrix for [[randomProject]], derived from md5 parity the
-    * same way [[lshTopK]] derives hyperplanes: signs(j)(i) = +1 when the
-    * first hex nibble of md5("seed:j:i") is odd, else −1. Deterministic,
-    * seedable, and replayable in ANY engine with md5 — the DuckDB oracle
-    * regenerates the identical matrix from the seed alone, so no
-    * projection state ever needs to ship alongside the data. */
+    * same way [[lshTopK]] derives hyperplanes — see
+    * [[graft.functions.VectorExpressions.jlSigns]] (the single source of
+    * truth; the native kernel's registration derives the same matrix). */
   def projectionSigns(seed: String, outDim: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(outDim) { j =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      Array.tabulate(dim) { i =>
-        val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
-        if (((h(0) >> 4) & 0x1) == 1) 1.0 else -1.0
-      }
-    }
+    graft.functions.VectorExpressions.jlSigns(seed, outDim, dim)
 
   /** Johnson–Lindenstrauss random projection: compress a `dim`-wide
     * embedding to `outDim` coordinates, each the dot product with a ±1
@@ -427,19 +419,31 @@ object Similarity {
     * and the sum-of-±terms form stays bit-replayable cross-engine
     * without a division whose rounding could drift.
     *
-    * Scale shape: entirely map-side — the sign matrix is a plan literal
-    * (outDim·dim doubles, a few KB), each output coordinate one fused
-    * dot kernel; no shuffle, no state, no UDF. At 100 TB this runs at
-    * scan speed and is the step that makes the downstream pairwise
-    * search `dim/outDim`× cheaper. */
+    * Scale shape: entirely map-side — the sign matrix rides in the plan
+    * (outDim·dim doubles, a few KB); on a [[graft.GraftExtensions]]
+    * session the whole projection is ONE fused native loop
+    * ([[graft.functions.VectorExpressions.JlProject]] — the composed
+    * array-of-dots form inlines outDim loop bodies into a generated
+    * method past the JIT's HugeMethodLimit and drops the stage to
+    * interpreted bytecode, measured 50× slower at the 64× stress
+    * fixture); no shuffle, no state, no UDF. At 100 TB this runs at scan
+    * speed and is the step that makes the downstream pairwise search
+    * `dim/outDim`× cheaper. */
   def randomProject(df: DataFrame, vecCol: String, outCol: String,
       outDim: Int, seed: String, dim: Int): DataFrame = {
     require(outDim >= 1 && dim >= 1,
       s"randomProject needs positive dims, got outDim=$outDim dim=$dim")
-    val signs = projectionSigns(seed, outDim, dim)
-    val v = VectorMath.precast(col(vecCol))
-    df.withColumn(outCol,
-      array(signs.map(row => VectorMath.dotAuto(v, lit(row), dim)): _*))
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("graft_jl_project"))
+    if (native)
+      df.withColumn(outCol,
+        graft.functions.VectorExpressions.jlProject(col(vecCol), seed, outDim, dim))
+    else {
+      val signs = projectionSigns(seed, outDim, dim)
+      val v = VectorMath.precast(col(vecCol))
+      df.withColumn(outCol,
+        array(signs.map(row => VectorMath.dotAuto(v, lit(row), dim)): _*))
+    }
   }
 
   /** Two-stage retrieval over a JL-projected coarse index: search the
@@ -458,7 +462,14 @@ object Similarity {
     * broadcast-queries pair loop at outDim/dim width; the re-rank
     * BROADCASTS the (|Q|·kCoarse)-row survivor list (with query vectors
     * attached) against one more corpus scan — the corpus never shuffles —
-    * then one windowed top-k over kCoarse-bounded groups. */
+    * then one windowed top-k over kCoarse-bounded groups.
+    *
+    * Regime (64× stress measurement): projecting the corpus costs
+    * ~outDim full-width query-equivalents, so the coarse stage amortizes
+    * only when |queries| ≫ outDim — at |Q|=10/outDim=16 it ties the flat
+    * exact scan; at the recurring-monitor sample sizes [[recallReport]]
+    * models (hundreds+) it wins by ~dim/outDim. For corpus-×-corpus
+    * near-dup search use the bucketed paths (LSH/IVF/PQ) instead. */
   def projectedTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, kCoarse: Int,
       outDim: Int, seed: String, dim: Int): DataFrame = {

@@ -138,7 +138,11 @@ object Stress {
     // Lloyd train (3 corpus passes + k·dim fixpoint probes), df-pruned
     // containment (inverted-index self-join bounded by maxDf)
     "q_exact_substring", "q_contamination_score", "q_importance_score",
-    "q_kmeans_train", "q_containment", "q_cluster_sample")
+    "q_kmeans_train", "q_containment", "q_cluster_sample",
+    // JL projection (map-side corpus scan) and the two-stage coarse+
+    // re-rank retrieval built on it — the re-rank must stay a broadcast
+    // over one corpus scan at real corpus sizes
+    "q_random_project", "q_projected_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

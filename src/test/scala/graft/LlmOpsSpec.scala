@@ -1274,6 +1274,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(rec.length == 3 && rec.forall(_.getAs[Double]("recall") == 1.0))
   }
 
+  test("native JL kernel is bit-identical to the composed array-of-dots form") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 31 + d * 7) % 13 - 6) * 0.25f))
+    }.toDF("vec_id", "embedding")
+    val native = Similarity.randomProject(vecs, "embedding", "proj",
+        outDim = 8, seed = "jl", dim = 16)
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val signs = Similarity.projectionSigns("jl", 8, 16)
+    val composed = vecs.withColumn("proj", array(signs.map(row =>
+        graft.llmops.VectorMath.dot(col("embedding"), lit(row))): _*))
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(native == composed)
+    // null element and width-mismatch degrade exactly like the composed
+    // per-component dots: an all-null component array, not a null row
+    val weird = Seq(
+      (0L, Array[java.lang.Float](1.0f, null, 1.0f, 1.0f)),
+      (1L, Array[java.lang.Float](1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(weird, "embedding", "proj",
+        outDim = 4, seed = "jl", dim = 4)
+      .select("proj").collect().map(_.getSeq[Any](0))
+    assert(out.forall(arr => arr.length == 4 && arr.forall(_ == null)))
+  }
+
   test("projected top-k: full-width coarse equals exact; narrow keeps clusters") {
     val base = Seq(
       Array.tabulate(16)(i => if (i < 5) 1.0f else 0.0f),

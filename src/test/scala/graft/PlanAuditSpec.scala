@@ -449,12 +449,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("plan: random projection is map-side on the native dot kernel") {
-    // the sign matrix is a plan literal; every component is one fused
-    // dot — only the deterministic output orderBy may add an exchange
+  test("plan: random projection is ONE fused native kernel, map-side") {
+    // the whole projection must be a single graft_jl_project call — the
+    // composed array-of-dots form blows the JIT method limit and runs
+    // interpreted (the 64× stress finding); only the deterministic
+    // output orderBy may add an exchange
     val p = plan(SparkEntry.queries("q_random_project")(spark, sf))
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
-    assert(p.contains("graft_dot"), p)
+    assert(p.contains("graft_jl_project"), p)
+    assert(!p.contains("graft_dot("), p)
   }
 
   test("plan: two-stage retrieval re-rank broadcasts survivors — corpus never shuffles") {
