@@ -316,7 +316,7 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Lo
   * and, worse, inlines outDim loop bodies (twice, once more inside the
   * `size(...) > 0` filter a downstream explode infers) into a single
   * generated method that blows past the JIT's HugeMethodLimit, dropping
-  * the whole stage to interpreted bytecode (measured 50× slower at the
+  * the whole stage to interpreted bytecode (measured 38× slower at the
   * 64× stress fixture). This node is one modest method: cast once, read
   * each input element once, accumulate all components in a primitive
   * `double[]`.

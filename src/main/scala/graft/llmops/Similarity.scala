@@ -425,16 +425,24 @@ object Similarity {
     * ([[graft.functions.VectorExpressions.JlProject]] — the composed
     * array-of-dots form inlines outDim loop bodies into a generated
     * method past the JIT's HugeMethodLimit and drops the stage to
-    * interpreted bytecode, measured 50× slower at the 64× stress
+    * interpreted bytecode, measured 38× slower at the 64× stress
     * fixture); no shuffle, no state, no UDF. At 100 TB this runs at scan
     * speed and is the step that makes the downstream pairwise search
-    * `dim/outDim`× cheaper. */
+    * `dim/outDim`× cheaper.
+    *
+    * Both tiers share one null contract: NULL vector → NULL projection;
+    * a null ELEMENT or a width ≠ `dim` → an all-null component array
+    * (the fallback's per-component dots NULL out individually, and the
+    * wrapper below pins the NULL-row case to match the native kernel). */
   def randomProject(df: DataFrame, vecCol: String, outCol: String,
       outDim: Int, seed: String, dim: Int): DataFrame = {
     require(outDim >= 1 && dim >= 1,
       s"randomProject needs positive dims, got outDim=$outDim dim=$dim")
-    val native = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(_.catalog.functionExists("graft_jl_project"))
+    // tier choice must follow the session that will ANALYZE this plan,
+    // not thread-local active-session state (a pool thread created
+    // before the session was set would silently take the 38×-slower
+    // composed form; a second extension-less session would fail analysis)
+    val native = df.sparkSession.catalog.functionExists("graft_jl_project")
     if (native)
       df.withColumn(outCol,
         graft.functions.VectorExpressions.jlProject(col(vecCol), seed, outDim, dim))
@@ -442,7 +450,8 @@ object Similarity {
       val signs = projectionSigns(seed, outDim, dim)
       val v = VectorMath.precast(col(vecCol))
       df.withColumn(outCol,
-        array(signs.map(row => VectorMath.dotAuto(v, lit(row), dim)): _*))
+        when(v.isNull, lit(null).cast("array<double>"))
+          .otherwise(array(signs.map(row => VectorMath.dotAuto(v, lit(row), dim)): _*)))
     }
   }
 
@@ -481,7 +490,12 @@ object Similarity {
     val coarse = bruteForceTopK(pq, pc, idCol, "_pj", kCoarse, outDim)
       .select("query_id", "cand_id")
     val q = prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim)
-    val c = prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim)
+    // barrier as in bruteForceTopK: a candidate surviving the coarse
+    // stage for many queries must not re-run its cast + norm fold once
+    // per matching probe row
+    val c = graft.operators.EvalBarrier(
+      prepped(candidates, idCol, vecCol, "cand_id", "_cv", "_cn", dim),
+      "_cv", "_cn")
     val probe = coarse.join(q, Seq("query_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
     c.join(broadcast(probe), Seq("cand_id"))

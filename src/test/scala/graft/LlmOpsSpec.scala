@@ -1289,14 +1289,20 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(native == composed)
     // null element and width-mismatch degrade exactly like the composed
-    // per-component dots: an all-null component array, not a null row
+    // per-component dots: an all-null component array, not a null row;
+    // a NULL vector row yields a NULL projection (the native kernel's
+    // null propagation — the fallback wrapper pins the same contract)
     val weird = Seq(
       (0L, Array[java.lang.Float](1.0f, null, 1.0f, 1.0f)),
-      (1L, Array[java.lang.Float](1.0f, 1.0f))).toDF("vec_id", "embedding")
+      (1L, Array[java.lang.Float](1.0f, 1.0f)),
+      (2L, null: Array[java.lang.Float])).toDF("vec_id", "embedding")
     val out = Similarity.randomProject(weird, "embedding", "proj",
         outDim = 4, seed = "jl", dim = 4)
-      .select("proj").collect().map(_.getSeq[Any](0))
-    assert(out.forall(arr => arr.length == 4 && arr.forall(_ == null)))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getSeq[Any](2))).toMap
+    assert(out(0L).asInstanceOf[Seq[Any]].forall(_ == null))
+    assert(out(1L).asInstanceOf[Seq[Any]].forall(_ == null))
+    assert(out(2L) == null)
   }
 
   test("projected top-k: full-width coarse equals exact; narrow keeps clusters") {
