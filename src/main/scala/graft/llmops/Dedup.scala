@@ -632,6 +632,46 @@ object Dedup {
           s => s.getField("span_text")), " ").as("clean_text"))
   }
 
+  /** Boilerplate line removal (the RefinedWeb/MassiveText "repeated
+    * lines across documents" filter): a line whose DISTINCT-document
+    * frequency reaches `minDocFreq` is boilerplate — headers, footers,
+    * cookie banners, navigation — and is removed from EVERY document it
+    * appears in (unlike [[spanDedup]], which keeps the first occurrence:
+    * boilerplate has no meaningful "first" owner). Documents are split on
+    * `delim`, surviving lines are reassembled in order, and every input
+    * document comes back (empty text when all its lines were
+    * boilerplate), with per-doc removal counts for threshold tuning.
+    *
+    * Scale shape: one explode (corpus → line rows), one (line, id)
+    * distinct + line-keyed count for the document frequency (map-side
+    * partial agg; the line relation is line-vocabulary-sized), one
+    * anti-join of the line stream against the boilerplate set (tiny for
+    * real thresholds — the planner broadcasts it under AQE), one shuffle
+    * back on the doc id for reassembly. Skew on a hot line is bounded by
+    * its document frequency — exactly the quantity being removed. */
+  def stripBoilerplateLines(corpus: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int, delim: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2,
+      s"minDocFreq must be >= 2 (got $minDocFreq): at 1 every line is boilerplate")
+    val lines = corpus.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .toDF(idCol, "line_idx", "line")
+    val boiler = lines.select(col("line"), col(idCol)).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq).select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          s => s.getField("line")), delim).as("clean_text"))
+    val perDoc = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    perDoc.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Exact SLIDING-window substring dedup (the ExactSubstr construction of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", 2022): every L-token window that occurred anywhere earlier

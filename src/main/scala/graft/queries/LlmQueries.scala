@@ -259,6 +259,42 @@ object LlmQueries extends QueryFamily {
     // Span-level (C4-style) dedup: consecutive 10-word spans deduped
     // globally by first occurrence, docs reassembled from survivors —
     // sub-document dedup that whole-doc fingerprinting can't see.
+    // Boilerplate line removal (RefinedWeb/MassiveText common-line
+    // filter): documents re-lined into 8-token lines (the fixture has no
+    // newlines; both engines run the same deterministic construction),
+    // then every line whose distinct-document frequency reaches 2 —
+    // planted clones make these real — is stripped from ALL its docs.
+    ("q_boilerplate_strip",
+      (s: SparkSession, d: String) => {
+        val toks = split(col("text"), " ")
+        val nLines = greatest(
+          ceil(size(toks).cast("double") / 8).cast("int"), lit(1))
+        val lined = Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n", transform(sequence(lit(0), nLines - 1), g =>
+            array_join(slice(toks, g * 8 + 1, lit(8)), " "))).as("text"))
+        Dedup.stripBoilerplateLines(lined, "doc_id", "text", minDocFreq = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |lnl AS (
+             |  SELECT doc_id, list_transform(
+             |    range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)),
+             |    g -> array_to_string(list_slice(toks, g*8 + 1, least(g*8 + 8, len(toks))), ' ')) AS ls
+             |  FROM tk),
+             |ln AS (
+             |  SELECT doc_id, unnest(ls) AS line,
+             |    generate_subscripts(ls, 1) AS idx FROM lnl),
+             |bo AS (SELECT line FROM (
+             |  SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1) WHERE df >= 2),
+             |keep AS (SELECT * FROM ln WHERE line NOT IN (SELECT line FROM bo)),
+             |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |  string_agg(line, chr(10) ORDER BY idx) AS clean_text FROM keep GROUP BY 1),
+             |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM ln GROUP BY 1)
+             |SELECT t.doc_id, t.n_lines, coalesce(rb.n_kept, 0) AS n_kept,
+             |  coalesce(rb.clean_text, '') AS clean_text
+             |FROM tot t LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     ("q_span_dedup",
       (s: SparkSession, d: String) => {
         Dedup.spanDedup(Tables.documents(s, d), idCol = "doc_id",

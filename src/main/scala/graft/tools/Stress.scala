@@ -141,8 +141,9 @@ object Stress {
     "q_kmeans_train", "q_containment", "q_cluster_sample",
     // JL projection (map-side corpus scan) and the two-stage coarse+
     // re-rank retrieval built on it — the re-rank must stay a broadcast
-    // over one corpus scan at real corpus sizes
-    "q_random_project", "q_projected_topk")
+    // over one corpus scan at real corpus sizes; boilerplate strip is
+    // spanDedup-shaped (line explode + df count + reassembly)
+    "q_random_project", "q_projected_topk", "q_boilerplate_strip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

@@ -813,6 +813,30 @@ class LlmOpsSpec extends SparkSpec {
       (4L, 1L, 1L, "q r")))
   }
 
+  test("boilerplate strip removes high-df lines from every doc, keeps order") {
+    val docs = Seq(
+      (1L, "HEADER\nbody one\nFOOTER"),   // header+footer shared by 3 docs
+      (2L, "HEADER\nbody two\nFOOTER"),
+      (3L, "HEADER\nFOOTER"),             // pure boilerplate → empty
+      (4L, "body one\nsolo line"),        // "body one" df=2 → also stripped
+      (5L, "unique alone"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocFreq = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, ""),                   // body one hit df=2 via doc 4
+      (2L, 3L, 1L, "body two"),
+      (3L, 2L, 0L, ""),
+      (4L, 2L, 1L, "solo line"),
+      (5L, 1L, 1L, "unique alone")))
+    // unlike spanDedup there is no first-occurrence owner: NO doc keeps
+    // a boilerplate line. And below the threshold nothing is touched.
+    val loose = Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocFreq = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(loose.toSeq == docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
   test("dataset split is deterministic, complete, and roughly proportional") {
     val df = spark.range(1000).toDF("id")
     val out = df.select(TextStats.datasetSplit(col("id"), 80, 10).as("split"))
