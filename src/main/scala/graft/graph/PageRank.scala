@@ -1,0 +1,82 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Fixed-point integer PageRank — link-graph centrality as a CURATION
+  * signal (the original web-corpus quality weighting: a page's rank on
+  * the link graph prioritizes which documents enter the training mix,
+  * the role harmonic/PageRank centrality plays in Common-Crawl-derived
+  * corpora). One operator family the engine's graph suite
+  * ([[ConnectedComponents]] for dedup clusters, [[Knn]] for spatial)
+  * didn't cover: global importance on a directed graph.
+  *
+  * All arithmetic is 64-bit INTEGER fixed-point at `scale` (default
+  * 10⁻¹² resolution): per-edge contributions are `rank div out_degree`,
+  * sums of longs commute across any partitioning, and the damping step
+  * is `base + (dNum · Σ) div dDen` — so every iteration, and therefore
+  * the final table, is bit-identical across engines and layouts (the
+  * DuckDB oracle replays the identical rounds; float PageRank cannot
+  * hash-verify because neighbor-sum order differs). Quantization error
+  * is ≤ 1 unit per division — ~10⁻¹² of total mass per step, far below
+  * any ranking-relevant difference.
+  *
+  * Dangling nodes (out-degree 0) contribute nothing — their mass leaks,
+  * the standard "PageRank with leak" simplification. Callers who need
+  * mass conservation append reverse edges (as [[q_page_rank]]'s
+  * bipartite construction does) or add self-loops.
+  *
+  * Scale shape per iteration: one join of the rank table against the
+  * degree-annotated edge list on the source key, one shuffle of edge
+  * contributions to their destination for the sum, one left join back
+  * to the node set — the Pregel message-passing shape with no driver
+  * state, no collect, and skew bounded by in-degree (a hub's
+  * contributions combine map-side before the shuffle). Each round is
+  * localCheckpoint'd so round r+1 reads a materialized rank table
+  * instead of replaying rounds 1..r (the [[graft.llmops.KMeansOps]]
+  * convention) — and the degree-annotated EDGE list is checkpointed
+  * once up front, because it is read by every round plus the
+  * degree/node/count prologue: without that, an expensive upstream
+  * edge construction re-executes 5+ times (measured 3.6× end-to-end on
+  * the 64× purchase graph, STRESS.md) — the same edge-caching rule
+  * GraphX applies to iterative algorithms.
+  */
+object PageRank {
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000000L,
+      dNum: Long = 85, dDen: Long = 100): DataFrame = {
+    require(iters >= 1, s"pageRank needs iters >= 1 (got $iters)")
+    require(scale > 0 && dDen > 0 && dNum >= 0 && dNum <= dDen,
+      s"need scale > 0 and 0 <= dNum <= dDen, got $scale, $dNum/$dDen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val withDeg = e.join(deg, Seq("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nTot = nodes.agg(count(lit(1)).as("n_nodes"))
+    // r0 = scale div N; base = ((dDen - dNum) · (scale div N)) div dDen.
+    // Both use the SAME scale-div-N quantum so the oracle replays exactly.
+    var ranks = nodes.crossJoin(F.broadcast(nTot))
+      .select(col("node"),
+        expr(s"CAST($scale AS BIGINT) div n_nodes").as("rank"),
+        expr(s"((${dDen - dNum}) * (CAST($scale AS BIGINT) div n_nodes)) div $dDen")
+          .as("base"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sums = ranks.join(withDeg, col("node") === col("src"))
+        .select(col("dst"), expr("rank div out_deg").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("in_sum"))
+      ranks = ranks
+        .join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("base") +
+            expr(s"($dNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dDen"))
+            .as("rank"),
+          col("base"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.trajectory.{TrajectoryOps, BehaviorGenerator, Extrinsics}
-import graft.graph.{Knn, ConnectedComponents, ConnectivityCache}
+import graft.graph.{Knn, ConnectedComponents, ConnectivityCache, PageRank}
 
 /** Trajectory + graph family (SURVEY.md §2.5 W7/W8, §2.10 generator/CC). */
 object TrajectoryQueries extends QueryFamily {
@@ -187,6 +187,46 @@ object TrajectoryQueries extends QueryFamily {
              |  UNION
              |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node)
              |SELECT node, min(label) AS component FROM cc GROUP BY node ORDER BY node""".stripMargin)),
+
+    // Link-graph centrality (fixed-point integer PageRank, 3 rounds) on
+    // the bipartite customer↔supplier purchase graph — the web-graph
+    // quality-weighting signal re-expressed on the fixture. Bidirected
+    // edges, so no dangling mass; every round's integer arithmetic
+    // replays exactly in the oracle's unrolled CTEs.
+    ("q_page_rank",
+      (s: SparkSession, d: String) => {
+        val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+        val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        PageRank.pageRank(edges, "a", "b", iters = 3).orderBy("node")
+      },
+      Some("""WITH pr0 AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT a AS src, b AS dst FROM pr0
+             |      UNION ALL SELECT b, a FROM pr0),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+             |r0 AS (SELECT node, 1000000000000 // n_nodes AS rank,
+             |  (15 * (1000000000000 // n_nodes)) // 100 AS base FROM nodes, nn),
+             |s1 AS (SELECT e.dst, SUM(r.rank // d.out_deg) AS in_sum
+             |  FROM r0 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r1 AS (SELECT r.node, r.base + (85 * coalesce(s1.in_sum, 0)) // 100 AS rank, r.base
+             |  FROM r0 r LEFT JOIN s1 ON r.node = s1.dst),
+             |s2 AS (SELECT e.dst, SUM(r.rank // d.out_deg) AS in_sum
+             |  FROM r1 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r2 AS (SELECT r.node, r.base + (85 * coalesce(s2.in_sum, 0)) // 100 AS rank, r.base
+             |  FROM r1 r LEFT JOIN s2 ON r.node = s2.dst),
+             |s3 AS (SELECT e.dst, SUM(r.rank // d.out_deg) AS in_sum
+             |  FROM r2 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r3 AS (SELECT r.node, r.base + (85 * coalesce(s3.in_sum, 0)) // 100 AS rank
+             |  FROM r2 r LEFT JOIN s3 ON r.node = s3.dst)
+             |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin)),
 
     ("q_island_ratios",
       (s: SparkSession, d: String) => {

@@ -143,7 +143,11 @@ object Stress {
     // re-rank retrieval built on it — the re-rank must stay a broadcast
     // over one corpus scan at real corpus sizes; boilerplate strip is
     // spanDedup-shaped (line explode + df count + reassembly)
-    "q_random_project", "q_projected_topk", "q_boilerplate_strip")
+    "q_random_project", "q_projected_topk", "q_boilerplate_strip",
+    // 3 Pregel rounds over the bipartite purchase graph — per-round
+    // rank⋈edges + contribution shuffle; edge count scales with the
+    // distinct (customer, supplier) pairs
+    "q_page_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

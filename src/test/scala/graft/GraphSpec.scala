@@ -72,4 +72,26 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(islands.toSeq == Seq((1L, 3L), (10L, 3L))) // 3/8 each; pair 2/8 < 0.3 dropped
   }
+
+  test("pagerank: cycle is stationary at the exact fixed point; hubs outrank leaves") {
+    import graft.graph.PageRank
+    // a 2-cycle is the uniform stationary distribution: every iteration
+    // must reproduce r = scale/2 EXACTLY (integer arithmetic, no drift)
+    val cycle = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = PageRank.pageRank(cycle, "src", "dst", iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 500000000000L, "b" -> 500000000000L))
+    // bidirected star: the hub receives three full leaf ranks per round,
+    // each leaf a third of the hub's — hub must strictly outrank leaves,
+    // and leaves tie exactly (identical integer computation)
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"),
+      ("l1", "h"), ("l2", "h"), ("l3", "h")).toDF("src", "dst")
+    val sr = PageRank.pageRank(star, "src", "dst", iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(sr("h") > sr("l1"))
+    assert(sr("l1") == sr("l2") && sr("l2") == sr("l3"))
+    // bidirected graphs leak at most the integer-division dust: total
+    // mass stays within 1e-9 of scale across all rounds
+    assert(math.abs(sr.values.sum - 1000000000000L) < 1000L)
+  }
 }
