@@ -49,6 +49,11 @@ object PageRank {
     require(iters >= 1, s"pageRank needs iters >= 1 (got $iters)")
     require(scale > 0 && dDen > 0 && dNum >= 0 && dNum <= dDen,
       s"need scale > 0 and 0 <= dNum <= dDen, got $scale, $dNum/$dDen")
+    // any in_sum is bounded by the total mass `scale`, so the damping
+    // product dNum·in_sum (≤ dDen·scale) is the widest intermediate —
+    // guard it here instead of letting it wrap to negative ranks
+    require(scale <= Long.MaxValue / dDen,
+      s"scale · dDen must fit in 64 bits: $scale * $dDen overflows Long")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))

@@ -639,16 +639,30 @@ object Dedup {
     * appears in (unlike [[spanDedup]], which keeps the first occurrence:
     * boilerplate has no meaningful "first" owner). Documents are split on
     * `delim`, surviving lines are reassembled in order, and every input
-    * document comes back (empty text when all its lines were
-    * boilerplate), with per-doc removal counts for threshold tuning.
+    * document comes back — empty text when all its lines were
+    * boilerplate, (0, 0, "") when its text was NULL — with per-doc
+    * removal counts for threshold tuning. BLANK lines (empty or
+    * whitespace-only, e.g. paragraph separators) are never classified as
+    * boilerplate: their document frequency approaches the corpus size in
+    * any real text, and stripping them would collapse paragraph
+    * structure corpus-wide — the RefinedWeb-style rule applies to
+    * non-empty lines only.
     *
-    * Scale shape: one explode (corpus → line rows), one (line, id)
-    * distinct + line-keyed count for the document frequency (map-side
-    * partial agg; the line relation is line-vocabulary-sized), one
-    * anti-join of the line stream against the boilerplate set (tiny for
-    * real thresholds — the planner broadcasts it under AQE), one shuffle
-    * back on the doc id for reassembly. Skew on a hot line is bounded by
-    * its document frequency — exactly the quantity being removed. */
+    * Scale shape: one explode (corpus → line rows) whose three consumers
+    * (df count, anti-join probe, per-doc totals) sit under
+    * differently-keyed exchanges and therefore re-run it — deliberately
+    * NOT checkpointed: the explode is a cheap map-side split of the
+    * scan, and materializing the full line stream was MEASURED SLOWER
+    * than the re-derivations it saves (32.1 s vs 22.8 s at the 64×
+    * fixture, STRESS.md) — the inverse of [[graft.graph.PageRank]]'s
+    * edge list, where the re-derived thing is an expensive join. Then
+    * one (line, id) distinct + line-keyed count for the document
+    * frequency (map-side partial agg; the line relation is
+    * line-vocabulary-sized), one anti-join of the line stream against
+    * the boilerplate set (tiny for real thresholds — the planner
+    * broadcasts it under AQE), one shuffle back on the doc id for
+    * reassembly. Skew on a hot line is bounded by its document
+    * frequency — exactly the quantity being removed. */
   def stripBoilerplateLines(corpus: DataFrame, idCol: String, textCol: String,
       minDocFreq: Int, delim: String = "\n"): DataFrame = {
     require(minDocFreq >= 2,
@@ -658,7 +672,8 @@ object Dedup {
       .toDF(idCol, "line_idx", "line")
     val boiler = lines.select(col("line"), col(idCol)).distinct()
       .groupBy("line").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocFreq).select("line")
+      .filter(col("df") >= minDocFreq && trim(col("line")) =!= "")
+      .select("line")
     val kept = lines.join(boiler, Seq("line"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
@@ -666,8 +681,14 @@ object Dedup {
           array_sort(collect_list(struct(col("line_idx"), col("line")))),
           s => s.getField("line")), delim).as("clean_text"))
     val perDoc = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
-    perDoc.join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_lines"),
+    // doc universe from the CORPUS, not the line stream: a NULL text
+    // produces no exploded rows, and the contract is that every input
+    // document comes back
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }

@@ -256,9 +256,6 @@ object LlmQueries extends QueryFamily {
              |  FROM novel GROUP BY dedup_key)
              |SELECT dedup_key, doc_id, group_size FROM g ORDER BY doc_id""".stripMargin)),
 
-    // Span-level (C4-style) dedup: consecutive 10-word spans deduped
-    // globally by first occurrence, docs reassembled from survivors —
-    // sub-document dedup that whole-doc fingerprinting can't see.
     // Boilerplate line removal (RefinedWeb/MassiveText common-line
     // filter): documents re-lined into 8-token lines (the fixture has no
     // newlines; both engines run the same deterministic construction),
@@ -286,7 +283,8 @@ object LlmQueries extends QueryFamily {
              |  SELECT doc_id, unnest(ls) AS line,
              |    generate_subscripts(ls, 1) AS idx FROM lnl),
              |bo AS (SELECT line FROM (
-             |  SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1) WHERE df >= 2),
+             |  SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1)
+             |  WHERE df >= 2 AND trim(line) <> ''),
              |keep AS (SELECT * FROM ln WHERE line NOT IN (SELECT line FROM bo)),
              |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
              |  string_agg(line, chr(10) ORDER BY idx) AS clean_text FROM keep GROUP BY 1),
@@ -295,6 +293,9 @@ object LlmQueries extends QueryFamily {
              |  coalesce(rb.clean_text, '') AS clean_text
              |FROM tot t LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Span-level (C4-style) dedup: consecutive 10-word spans deduped
+    // globally by first occurrence, docs reassembled from survivors —
+    // sub-document dedup that whole-doc fingerprinting can't see.
     ("q_span_dedup",
       (s: SparkSession, d: String) => {
         Dedup.spanDedup(Tables.documents(s, d), idCol = "doc_id",

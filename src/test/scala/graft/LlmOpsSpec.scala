@@ -835,6 +835,20 @@ class LlmOpsSpec extends SparkSpec {
     val loose = Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocFreq = 4)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(3)))
     assert(loose.toSeq == docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // blank lines are NEVER boilerplate (stripping paragraph separators
+    // would collapse structure corpus-wide), and a NULL-text doc still
+    // comes back as (0, 0, "") — every input doc is in the output
+    val edge = Seq(
+      (1L, "HEADER\n\nbody one"), (2L, "HEADER\n\nbody two"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val eo = Dedup.stripBoilerplateLines(edge, "doc_id", "text", minDocFreq = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(eo.toSeq == Seq(
+      (1L, 3L, 2L, "\nbody one"),   // HEADER stripped; blank line survives
+      (2L, 3L, 2L, "\nbody two"),
+      (3L, 0L, 0L, "")))
   }
 
   test("dataset split is deterministic, complete, and roughly proportional") {
