@@ -1071,6 +1071,76 @@ object LlmQueries extends QueryFamily {
              |  (CAST(SUM(CAST(u.x AS BIGINT)) AS DOUBLE) / COUNT(*)) AS mean
              |FROM ex GROUP BY cell_id, u.pos ORDER BY cell_id, pos""".stripMargin)),
 
+    // Semantic cluster keyword report — the cross-modal exploration
+    // query: every doc's embedding assigned to its max-cosine cell
+    // (int8-quantized assignment, tie → lowest cell, the q_kmeans_refine
+    // kernel), then each cell's most DISTINCTIVE terms by lift =
+    // in-cell term share / corpus term share. Both lift factors are
+    // exact integer products cast to double, so ranking replays
+    // bit-exactly; a min-count floor (≥5) keeps one-off terms from
+    // spiking the ratio.
+    ("q_cluster_keywords",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+          .select(col("vec_id"), col("qvec").cast("array<double>").as("qv"))
+        val cents = q.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell_id"), col("qv").as("centroid"))
+        val assigned = Similarity.ivfAssignments(q, "vec_id", "qv", cents, dim = 64)
+          .select(col("vec_id").as("doc_id"), col("cell_id"))
+        val toks = assigned
+          .join(Tables.documents(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
+          .select(col("cell_id"), explode(split(col("text"), " ")).as("term"))
+        val ct = toks.groupBy("cell_id", "term").agg(count(lit(1)).as("term_count"))
+        val cellTot = toks.groupBy("cell_id").agg(count(lit(1)).as("cell_tokens"))
+        val termTot = toks.groupBy("term").agg(count(lit(1)).as("corpus_count"))
+        val tot = toks.agg(count(lit(1)).as("corpus_tokens"))
+        val w = Window.partitionBy("cell_id").orderBy(col("lift").desc, col("term").asc)
+        ct.filter(col("term_count") >= 5)
+          .join(cellTot, Seq("cell_id"))
+          .join(termTot, Seq("term"))
+          .crossJoin(broadcast(tot))
+          .withColumn("lift",
+            (col("term_count") * col("corpus_tokens")).cast("double") /
+              (col("cell_tokens") * col("corpus_count")).cast("double"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("cell_id"), col("rank"), col("term"), col("term_count"), col("lift"))
+          .orderBy("cell_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |qz AS (
+             |  SELECT vec_id, list_transform(e, x -> floor(x / greatest(
+             |    list_max(list_transform(e, y -> abs(y))), 5e-324) * 127.0 + 0.5)) AS q
+             |  FROM v),
+             |n AS (SELECT vec_id, q,
+             |  sqrt(list_reduce(list_transform(q, x -> x*x), (a,b) -> a+b)) AS nrm FROM qz),
+             |c AS (SELECT vec_id AS cell_id, q AS cq, nrm AS cnrm FROM n WHERE vec_id < 8),
+             |assign AS (
+             |  SELECT vec_id, cell_id FROM (
+             |    SELECT v2.vec_id, c.cell_id, row_number() OVER (PARTITION BY v2.vec_id ORDER BY
+             |      list_reduce(list_transform(range(1, len(v2.q)+1), i -> v2.q[i]*c.cq[i]), (x,y) -> x+y)
+             |        / (v2.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+             |    FROM n v2, c) WHERE rn = 1),
+             |tk AS (SELECT a.cell_id, unnest(string_split(d.text, ' ')) AS term
+             |  FROM assign a JOIN documents d ON d.doc_id = a.vec_id),
+             |ct AS (SELECT cell_id, term, CAST(count(*) AS BIGINT) AS term_count
+             |  FROM tk GROUP BY 1, 2),
+             |ctot AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS cell_tokens
+             |  FROM tk GROUP BY 1),
+             |ttot AS (SELECT term, CAST(count(*) AS BIGINT) AS corpus_count
+             |  FROM tk GROUP BY 1),
+             |gt AS (SELECT CAST(count(*) AS BIGINT) AS corpus_tokens FROM tk),
+             |sc AS (SELECT ct.cell_id, ct.term, ct.term_count,
+             |    CAST(ct.term_count * gt.corpus_tokens AS DOUBLE)
+             |      / CAST(ctot.cell_tokens * ttot.corpus_count AS DOUBLE) AS lift
+             |  FROM ct JOIN ctot USING (cell_id) JOIN ttot USING (term), gt
+             |  WHERE ct.term_count >= 5)
+             |SELECT cell_id, CAST(rank AS INT) AS rank, term, term_count, lift FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY cell_id
+             |    ORDER BY lift DESC, term ASC) AS rank FROM sc)
+             |WHERE rank <= 5 ORDER BY cell_id, rank""".stripMargin)),
+
     // Full Lloyd TRAINING (assign→mean iterated to fixed point, capped at
     // 3 rounds) over int8 codes — the loop around q_kmeans_refine's
     // single step. Early convergence composes with the oracle's fixed

@@ -1372,6 +1372,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("cluster keywords: dense ranks, count floor, lift-ordered per cell") {
+    // exact values are the oracle's job (q_cluster_keywords hash-compares
+    // against DuckDB); this pins the report's structural contract
+    val out = SparkEntry.queries("q_cluster_keywords")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to rows.length),
+        s"cell $cell ranks not dense")
+      val lifts = byRank.map(_.getDouble(4))
+      assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
+        s"cell $cell lifts not non-increasing")
+      assert(rows.forall(_.getLong(3) >= 5L), s"cell $cell floor violated")
+    }
+  }
+
   test("cluster-balanced sample keeps the perCell most-typical per cell") {
     val pts = Seq(
       (0L, Seq(10.0, 1.0)), (1L, Seq(8.0, 0.0)), (2L, Seq(12.0, -1.0)),
