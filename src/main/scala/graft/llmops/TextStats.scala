@@ -521,6 +521,41 @@ object TextStats {
           .as("rate"))
   }
 
+  // ---- Budget-constrained quality selection (quota fill) --------------
+
+  /** Greedy per-domain budget fill — the assembly step AFTER
+    * [[recipePlan]]: given each domain's token quota, take that domain's
+    * documents in DESCENDING quality until the quota is spent. A
+    * document is kept when it STARTS within budget
+    * (cumulative − own tokens < quota), so the overshoot is bounded by
+    * one document and the decision is a pure function of the ordered
+    * prefix — deterministic and cross-engine replayable (quality ties
+    * break on the id). Domains absent from `quotas` get quota 0 (keep
+    * nothing); quota domains absent from the corpus simply fill nothing.
+    * Returns every input row with (quota, cum_tokens, keep) attached —
+    * the audit columns threshold tuning needs; filter on `keep` for the
+    * final corpus.
+    *
+    * Scale shape: quotas broadcast (|domains| rows); ONE shuffle on the
+    * domain for the quality-ordered running token sum. The per-domain
+    * sort is inherent to the semantics (a selection defined by an
+    * ordered prefix cannot use a bounded heap — the running SUM, not a
+    * top-k, decides the cut), so group size = domain size is the
+    * honest cost; at 100 TB shard domains further (e.g. by quality
+    * decile) if a single domain exceeds a task's sort budget. */
+  def selectToBudget(df: DataFrame, idCol: String, domainCol: String,
+      tokenCol: String, qualityCol: String, quotas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domainCol)
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(quotas), Seq(domainCol), "left")
+      .withColumn("quota", coalesce(col("quota"), lit(0L)))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .withColumn("keep", col("cum_tokens") - col(tokenCol) < col("quota"))
+  }
+
   // ---- Hashed n-gram importance scoring (DSIR-style data selection) ----
 
   /** Score each corpus document by how target-like its hashed n-gram

@@ -2105,6 +2105,49 @@ object LlmQueries extends QueryFamily {
              |    ELSE CAST(assigned AS DOUBLE) / CAST(avail AS DOUBLE) END AS rate
              |FROM res ORDER BY lang""".stripMargin)),
 
+    // Budget-constrained quality selection — the assembly step after
+    // recipe planning: per language, documents taken in descending
+    // quality until the token quota is spent (kept iff the doc STARTS
+    // within budget, so overshoot is bounded by one doc). Quotas here
+    // are literals; in production they come from q_recipe_plan's
+    // `assigned` column.
+    ("q_budget_select",
+      (s: SparkSession, d: String) => {
+        val spark = s
+        import spark.implicits._
+        val quotas = Seq(("en", 5000L), ("de", 3000L), ("fr", 2000L),
+          ("es", 1000L), ("zh", 800L)).toDF("lang", "quota")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextStats.qualityScore(col("text"), Stopwords).as("quality"))
+        TextStats.selectToBudget(docs, "doc_id", "lang", "n_tokens",
+            "quality", quotas)
+          .select("doc_id", "lang", "n_tokens", "quality", "quota",
+            "cum_tokens", "keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+              |q AS (
+              |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+              |    least(1.0, CAST(len(toks) AS DOUBLE)/100.0) * 0.4 +
+              |    (1.0 - CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)/len(toks)) * 0.3 +
+              |    CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) * 0.3 AS quality
+              |  FROM t),
+              |qt(lang, quota) AS (VALUES ('en', CAST(5000 AS BIGINT)),
+              |  ('de', 3000), ('fr', 2000), ('es', 1000), ('zh', 800)),
+              |c AS (
+              |  SELECT q.doc_id, q.lang, q.n_tokens, q.quality,
+              |    coalesce(qt.quota, 0) AS quota,
+              |    SUM(q.n_tokens) OVER (PARTITION BY q.lang
+              |      ORDER BY q.quality DESC, q.doc_id ASC
+              |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              |  FROM q LEFT JOIN qt USING (lang))
+              |SELECT doc_id, lang, n_tokens, quality, quota,
+              |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+              |  (cum_tokens - n_tokens < quota) AS keep
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
     // DSIR-style importance scoring: hashed bigram features (1024 md5
     // buckets), target = the English slice, score = ratio-of-means
     // surrogate for the log-likelihood ratio (engine-exact; see

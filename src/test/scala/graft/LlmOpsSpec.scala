@@ -1252,6 +1252,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(full == 1250000L)
   }
 
+  test("budget fill keeps the quality-ordered prefix; overshoot bounded by one doc") {
+    val docs = Seq(
+      ("en", 1L, 100L, 0.9), ("en", 2L, 100L, 0.8), ("en", 3L, 100L, 0.7),
+      ("en", 4L, 100L, 0.6),
+      ("de", 5L, 50L, 0.5), ("de", 6L, 50L, 0.4),
+      ("fr", 7L, 10L, 0.9))
+      .toDF("lang", "doc_id", "toks", "q")
+    val quotas = Seq(("en", 250L), ("de", 10L)).toDF("lang", "quota")
+    val out = TextStats.selectToBudget(docs, "doc_id", "lang", "toks", "q", quotas)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[Long]("cum_tokens"))).toMap
+    // en quota 250: docs 1,2 fit fully; doc 3 STARTS at 200 < 250 → kept
+    // (overshoot bounded by one doc); doc 4 starts at 300 → cut
+    assert(out(1L) == ((true, 100L)) && out(2L) == ((true, 200L)))
+    assert(out(3L) == ((true, 300L)))
+    assert(out(4L) == ((false, 400L)))
+    // de quota 10 < first doc, but the first doc STARTS at 0 → kept
+    assert(out(5L)._1 && !out(6L)._1)
+    // fr has no quota row → quota 0 → nothing starts within budget
+    assert(!out(7L)._1)
+  }
+
   test("recall report scores approx against exact per query") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "cand_id")
