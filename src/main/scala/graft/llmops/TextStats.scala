@@ -534,7 +534,9 @@ object TextStats {
     * nothing); quota domains absent from the corpus simply fill nothing.
     * Returns every input row with (quota, cum_tokens, keep) attached —
     * the audit columns threshold tuning needs; filter on `keep` for the
-    * final corpus.
+    * final corpus. `quotaCol` names the quota column in `quotas`
+    * (default "quota") — pass "assigned" to feed [[recipePlan]]'s
+    * output in directly.
     *
     * Scale shape: quotas broadcast (|domains| rows); ONE shuffle on the
     * domain for the quality-ordered running token sum. The per-domain
@@ -544,14 +546,21 @@ object TextStats {
     * honest cost; at 100 TB shard domains further (e.g. by quality
     * decile) if a single domain exceeds a task's sort budget. */
   def selectToBudget(df: DataFrame, idCol: String, domainCol: String,
-      tokenCol: String, qualityCol: String, quotas: DataFrame): DataFrame = {
+      tokenCol: String, qualityCol: String, quotas: DataFrame,
+      quotaCol: String = "quota"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     import org.apache.spark.sql.expressions.Window
+    // internal alias: avoids ambiguity when df itself carries a column
+    // named like quotaCol, and lets quotas arrive under any name
+    // (recipePlan emits "assigned")
+    val qtab = quotas.select(col(domainCol),
+      col(quotaCol).cast("long").as("_graft_quota"))
     val w = Window.partitionBy(domainCol)
       .orderBy(col(qualityCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(quotas), Seq(domainCol), "left")
-      .withColumn("quota", coalesce(col("quota"), lit(0L)))
+    df.join(broadcast(qtab), Seq(domainCol), "left")
+      .withColumn("quota", coalesce(col("_graft_quota"), lit(0L)))
+      .drop("_graft_quota")
       .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       .withColumn("keep", col("cum_tokens") - col(tokenCol) < col("quota"))
   }

@@ -1091,10 +1091,14 @@ object LlmQueries extends QueryFamily {
         val toks = assigned
           .join(Tables.documents(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
           .select(col("cell_id"), explode(split(col("text"), " ")).as("term"))
+        // ct is the ONLY aggregate over the corpus-sized explode; the
+        // three totals re-aggregate ct's (cell, term)-sized output, so
+        // the assign→join→explode lineage and its exchange run once
+        // (ReuseExchange) instead of once per differently-keyed consumer
         val ct = toks.groupBy("cell_id", "term").agg(count(lit(1)).as("term_count"))
-        val cellTot = toks.groupBy("cell_id").agg(count(lit(1)).as("cell_tokens"))
-        val termTot = toks.groupBy("term").agg(count(lit(1)).as("corpus_count"))
-        val tot = toks.agg(count(lit(1)).as("corpus_tokens"))
+        val cellTot = ct.groupBy("cell_id").agg(sum("term_count").as("cell_tokens"))
+        val termTot = ct.groupBy("term").agg(sum("term_count").as("corpus_count"))
+        val tot = ct.agg(sum("term_count").as("corpus_tokens"))
         val w = Window.partitionBy("cell_id").orderBy(col("lift").desc, col("term").asc)
         ct.filter(col("term_count") >= 5)
           .join(cellTot, Seq("cell_id"))

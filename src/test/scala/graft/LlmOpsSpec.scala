@@ -1272,6 +1272,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(5L)._1 && !out(6L)._1)
     // fr has no quota row → quota 0 → nothing starts within budget
     assert(!out(7L)._1)
+    // the documented composition: recipePlan's output (quota column
+    // named "assigned") feeds in directly via quotaCol
+    val planned = TextStats.recipePlan(docs, "lang", "toks",
+      weights = Map("en" -> 2L, "de" -> 1L), budgetTokens = 300L)
+    val composed = TextStats.selectToBudget(docs, "doc_id", "lang", "toks",
+        "q", planned, quotaCol = "assigned")
+      .filter(col("keep")).count()
+    assert(composed > 0L)
   }
 
   test("recall report scores approx against exact per query") {
