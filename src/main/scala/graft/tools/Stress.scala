@@ -147,7 +147,11 @@ object Stress {
     // 3 Pregel rounds over the bipartite purchase graph — per-round
     // rank⋈edges + contribution shuffle; edge count scales with the
     // distinct (customer, supplier) pairs
-    "q_page_rank")
+    "q_page_rank",
+    // cross-modal keyword report (assignment + one corpus explode, totals
+    // re-aggregated from the (cell,term) table) and the per-domain
+    // quality-ordered budget fill (domain-sized window groups)
+    "q_cluster_keywords", "q_budget_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"
