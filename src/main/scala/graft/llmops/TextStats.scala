@@ -521,6 +521,58 @@ object TextStats {
           .as("rate"))
   }
 
+  // ---- Binned-CDF quantiles (the histogram scale path) ----------------
+
+  /** Per-group quantiles from a FIXED-BIN histogram — the scale path
+    * beside the exact form (`percentile(...)` in q_length_quantiles
+    * buffers and sorts every group member; at corpus scale the standard
+    * move is one map-side binning pass + a (groups · nBins)-sized
+    * aggregate, error bounded by one bin width). Values clamp into
+    * [lo, hi): below-range lands in bin 0, above-range in the last bin —
+    * outliers distort only the extreme quantile estimates, never the
+    * counts.
+    *
+    * Estimate: target rank = q·n; the answer lives in the first bin
+    * whose cumulative count reaches the target, placed by linear
+    * interpolation within the bin
+    * (binLo + width · (target − cumBefore)/binCount — the histogram
+    * analog of the exact form's R-7 interpolation). Every quantity is an
+    * integer count or an exact double product/division of them, so the
+    * whole table hash-replays cross-engine — unlike t-digest/GK
+    * sketches, whose merge order is nondeterministic.
+    *
+    * Scale shape: one map-side bin assignment, one (group, bin) count
+    * shuffle with map-side combining, then windows/joins over the
+    * (groups · nBins)-sized table only. No global or per-group sort of
+    * the DATA ever happens. */
+  def binnedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): DataFrame = {
+    require(nBins >= 1 && hi > lo, s"need nBins >= 1 and hi > lo, got $nBins, [$lo, $hi)")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)).cast("int"), lit(0)),
+      lit(nBins - 1))
+    val counts = df.select(col(groupCol), bin.as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(groupCol)))
+    val targets = cum.select(col(groupCol), col("n")).distinct()
+      .withColumn("q", explode(lit(qs.toArray)))
+      .withColumn("target", col("q") * col("n"))
+    cum.join(targets.select(col(groupCol), col("q"), col("target")), Seq(groupCol))
+      .filter(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+      .select(col(groupCol), col("q"), col("n"),
+        (lit(lo) + lit(width) * (col("bin") +
+          (col("target") - (col("cum") - col("cnt"))) / col("cnt")))
+          .as("estimate"))
+  }
+
   // ---- Budget-constrained quality selection (quota fill) --------------
 
   /** Greedy per-domain budget fill — the assembly step AFTER

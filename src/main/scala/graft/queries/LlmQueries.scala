@@ -1875,6 +1875,35 @@ object LlmQueries extends QueryFamily {
              |  quantile_cont(n_chars, 0.99) AS p99
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Binned-CDF quantiles — the scale path beside q_length_quantiles'
+    // exact percentile (which buffers + sorts every group): one map-side
+    // binning pass, a (groups·bins)-sized aggregate, interpolation
+    // within the hit bin. Integer counts + exact double interpolation,
+    // so the estimates hash-replay (t-digest/GK can't).
+    ("q_binned_quantiles",
+      (s: SparkSession, d: String) => {
+        TextStats.binnedQuantiles(Tables.documents(s, d), "lang", "n_chars",
+            lo = 0.0, hi = 4096.0, nBins = 64, qs = Seq(0.5, 0.9, 0.99))
+          .orderBy("lang", "q")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang,
+             |    least(greatest(CAST(floor((n_chars - 0.0) / 64.0) AS INT), 0), 63) AS bin
+             |  FROM documents),
+             |c AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+             |cc AS (SELECT lang, bin, cnt,
+             |  SUM(cnt) OVER (PARTITION BY lang ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             |  SUM(cnt) OVER (PARTITION BY lang) AS n FROM c),
+             |t AS (SELECT DISTINCT lang, n FROM cc),
+             |tq AS (SELECT lang, n, CAST(q AS DOUBLE) AS q,
+             |    CAST(q AS DOUBLE) * n AS target
+             |  FROM t, (VALUES (0.5), (0.9), (0.99)) AS v(q))
+             |SELECT cc.lang, tq.q, CAST(tq.n AS BIGINT) AS n,
+             |  0.0 + 64.0 * (cc.bin + (tq.target - (cc.cum - cc.cnt)) / cc.cnt) AS estimate
+             |FROM cc JOIN tq USING (lang)
+             |WHERE cc.cum >= tq.target AND (cc.cum - cc.cnt) < tq.target
+             |ORDER BY lang, q""".stripMargin)),
+
     // TF-IDF-style salient terms: per-document term frequency weighted by
     // inverse document frequency, top-5 per doc. The score is the raw
     // ratio tf/df (df as a fraction of N) rather than the log form —

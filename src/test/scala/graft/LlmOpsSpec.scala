@@ -1252,6 +1252,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(full == 1250000L)
   }
 
+  test("binned quantiles track exact quantiles within one bin width") {
+    // uniform 0..999: p50 ≈ 500, p90 ≈ 900 — binned estimates must land
+    // within one bin width (100) of truth, and exactly at edges when the
+    // target rank falls on a bin boundary
+    val df = spark.range(1000).toDF("v").withColumn("g", lit("a"))
+    val out = TextStats.binnedQuantiles(df, "g", "v",
+        lo = 0.0, hi = 1000.0, nBins = 10, qs = Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("q") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("estimate"))).toMap
+    // target 500 lands exactly on the bin-4/bin-5 boundary: bin 4 holds
+    // ranks 401..500, interpolation gives 400 + 100·(500-400)/100 = 500
+    assert(out(0.5) == ((1000L, 500.0)))
+    assert(out(0.9) == ((1000L, 900.0)))
+    // out-of-range values clamp into the edge bins, never vanish
+    val clamped = TextStats.binnedQuantiles(
+        Seq(("a", -50L), ("a", 10L), ("a", 99999L)).toDF("g", "v"),
+        "g", "v", lo = 0.0, hi = 100.0, nBins = 4, qs = Seq(1.0))
+      .collect()
+    assert(clamped.length == 1 && clamped.head.getAs[Long]("n") == 3L)
+  }
+
   test("budget fill keeps the quality-ordered prefix; overshoot bounded by one doc") {
     val docs = Seq(
       ("en", 1L, 100L, 0.9), ("en", 2L, 100L, 0.8), ("en", 3L, 100L, 0.7),
