@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llmops.{Dedup, HeavyHitters, Similarity, TextStats}
+import graft.llmops.{Dedup, HeavyHitters, Pipelines, Similarity, TextStats}
 
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -1250,6 +1250,38 @@ class LlmOpsSpec extends SparkSpec {
         budgetTokens = 1250000L, rounds = 5)
       .collect().map(r => r.getAs[Long]("assigned")).sum
     assert(full == 1250000L)
+  }
+
+  test("curate pipeline: every stage fires on its planted case, shards are dense") {
+    // one planted victim per stage; distinct vocab elsewhere so stages
+    // can't cross-trigger
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "en", "the the the the"),                      // quality-gated
+      (10L, "en", "one two three four five six seven eight nine ten eleven twelve"),
+      (11L, "en", "one two three four five six seven eight nine ten eleven twelve"), // exact clone
+      (20L, "en", "red orange yellow green blue indigo violet cyan magenta teal maroon navy"),
+      (21L, "en", "red orange yellow green blue indigo violet cyan magenta teal maroon olive"), // near-dup
+      (30L, "en", "contaminated trigram leak plus filler words here now okay fine good yes"),
+      (40L, "de", "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"),
+      (41L, "de", "einz zwei drei vier funf sechs sieben acht neun zehn elf zwolf"))
+      .toDF("doc_id", "domain", "text")
+    val bench = Seq("contaminated trigram leak").toDF("text")
+    val out = Pipelines.curate(docs, "doc_id", "text", "domain",
+        bench, "text", stopwords = Seq("the", "a"), minQuality = 0.3,
+        shingleSize = 3, nearDupThreshold = 0.5, decontamN = 3,
+        weights = Map("en" -> 1L, "de" -> 1L), budgetTokens = 36L,
+        numShards = 2, shardSeed = "s").collect()
+    // gate drops 2; exact dedup drops 11; near-dup drops 21 (larger id);
+    // decontamination drops 30; en quota 18 admits docs 1 and 10 (10
+    // STARTS at 12 < 18 — bounded overshoot) but cuts 20 (starts at 24);
+    // de keeps both
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 10L, 40L, 41L))
+    val shards = out.map(_.getAs[Long]("shard"))
+    assert(shards.forall(s => s >= 0 && s < 2))
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq == (0 until rows.length))
+    }
   }
 
   test("binned quantiles track exact quantiles within one bin width") {
