@@ -151,7 +151,10 @@ object Stress {
     // cross-modal keyword report (assignment + one corpus explode, totals
     // re-aggregated from the (cell,term) table) and the per-domain
     // quality-ordered budget fill (domain-sized window groups)
-    "q_cluster_keywords", "q_budget_select")
+    "q_cluster_keywords", "q_budget_select",
+    // the histogram scale path vs the exact buffer-and-sort percentile —
+    // a measured head-to-head on the same column
+    "q_binned_quantiles", "q_length_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"
