@@ -539,7 +539,10 @@ object TextStats {
     * analog of the exact form's R-7 interpolation). Every quantity is an
     * integer count or an exact double product/division of them, so the
     * whole table hash-replays cross-engine — unlike t-digest/GK
-    * sketches, whose merge order is nondeterministic.
+    * sketches, whose merge order is nondeterministic. NULL values are
+    * ignored (the exact `percentile` form's convention); quantiles must
+    * be in (0, 1] — q = 0 is just the group minimum, which a histogram
+    * cannot sharpen below its first bin edge.
     *
     * Scale shape: one map-side bin assignment, one (group, bin) count
     * shuffle with map-side combining, then windows/joins over the
@@ -548,14 +551,15 @@ object TextStats {
   def binnedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): DataFrame = {
     require(nBins >= 1 && hi > lo, s"need nBins >= 1 and hi > lo, got $nBins, [$lo, $hi)")
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
-      s"quantiles must be in [0, 1], got $qs")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
     import org.apache.spark.sql.expressions.Window
     val width = (hi - lo) / nBins
     val bin = least(greatest(
       floor((col(valueCol) - lit(lo)) / lit(width)).cast("int"), lit(0)),
       lit(nBins - 1))
-    val counts = df.select(col(groupCol), bin.as("bin"))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), bin.as("bin"))
       .groupBy(groupCol, "bin").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(groupCol).orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1889,7 +1889,7 @@ object LlmQueries extends QueryFamily {
       Some("""WITH b AS (
              |  SELECT lang,
              |    least(greatest(CAST(floor((n_chars - 0.0) / 64.0) AS INT), 0), 63) AS bin
-             |  FROM documents),
+             |  FROM documents WHERE n_chars IS NOT NULL),
              |c AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
              |cc AS (SELECT lang, bin, cnt,
              |  SUM(cnt) OVER (PARTITION BY lang ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,

@@ -1263,20 +1263,30 @@ class LlmOpsSpec extends SparkSpec {
       (20L, "en", "red orange yellow green blue indigo violet cyan magenta teal maroon navy"),
       (21L, "en", "red orange yellow green blue indigo violet cyan magenta teal maroon olive"), // near-dup
       (30L, "en", "contaminated trigram leak plus filler words here now okay fine good yes"),
+      // the ordering trap: 50 is contaminated AND the min-id near-dup of
+      // clean 51 — near-dup-before-decon would delete both
+      (50L, "en", "apple pear plum cherry grape lemon lime fig date secret bench phrase"),
+      (51L, "en", "apple pear plum cherry grape lemon lime fig date juniper holly elm"),
+      (60L, "en", "sun moon star cloud rain snow wind storm mist frost dew hail"),
+      (61L, "en", "north south east west up down left right front back inner outer"), // budget-cut
       (40L, "de", "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"),
       (41L, "de", "einz zwei drei vier funf sechs sieben acht neun zehn elf zwolf"))
       .toDF("doc_id", "domain", "text")
-    val bench = Seq("contaminated trigram leak").toDF("text")
+    val bench = Seq("contaminated trigram leak", "secret bench phrase").toDF("text")
     val out = Pipelines.curate(docs, "doc_id", "text", "domain",
         bench, "text", stopwords = Seq("the", "a"), minQuality = 0.3,
         shingleSize = 3, nearDupThreshold = 0.5, decontamN = 3,
-        weights = Map("en" -> 1L, "de" -> 1L), budgetTokens = 36L,
+        weights = Map("en" -> 1L, "de" -> 1L), budgetTokens = 80L,
         numShards = 2, shardSeed = "s").collect()
-    // gate drops 2; exact dedup drops 11; near-dup drops 21 (larger id);
-    // decontamination drops 30; en quota 18 admits docs 1 and 10 (10
-    // STARTS at 12 < 18 — bounded overshoot) but cuts 20 (starts at 24);
-    // de keeps both
-    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 10L, 40L, 41L))
+    // gate drops 2; exact dedup drops 11; decontamination drops 30 and 50
+    // BEFORE near-dup dedup, so clean 51 survives its contaminated
+    // canonical; near-dup drops 21 (larger id than 20). Water-filling:
+    // de saturates at its 24 available tokens, the surplus flows to en
+    // (quota 80 − 24 = 56); over en survivors 1,10,20,51,60,61
+    // (12 tokens each, equal quality, id order) that admits through 60
+    // (STARTS at 48 < 56 — bounded overshoot) and cuts 61 (starts at 60)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet ==
+      Set(1L, 10L, 20L, 51L, 60L, 40L, 41L))
     val shards = out.map(_.getAs[Long]("shard"))
     assert(shards.forall(s => s >= 0 && s < 2))
     out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
