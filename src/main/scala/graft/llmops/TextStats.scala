@@ -396,6 +396,27 @@ object TextStats {
       .drop("_shuffle_key")
   }
 
+  /** Per-shard integrity manifest for a [[trainingShards]] layout — the
+    * record a training data-loader verifies before an epoch: document
+    * count, token total, and a content fingerprint (md5 over the
+    * position-ordered per-document md5s, so ANY change — a missing doc,
+    * a reorder, one edited byte — flips the shard hash). Deterministic
+    * by construction: the position order is part of the shard layout and
+    * md5 is engine-portable, so the manifest hash-replays anywhere.
+    *
+    * Scale shape: one groupBy(shard) aggregation; the collect_list is
+    * per-shard-sized, the same per-shard locality the shard writer
+    * itself needs (a shard that doesn't fit its writer's task doesn't
+    * fit here either — shard count is the knob for both). */
+  def shardManifest(shards: DataFrame, textCol: String,
+      tokenCol: String): DataFrame =
+    shards.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(tokenCol)).as("n_tokens"),
+      md5(concat_ws("", transform(
+        array_sort(collect_list(struct(col("pos"), md5(col(textCol)).as("h")))),
+        s => s.getField("h")))).as("content_md5"))
+
   // ---- Percentile-based quality gate --------------------------------------
 
   /** Keep the top `keepFraction` of documents per group (language,

@@ -1835,6 +1835,37 @@ object LlmQueries extends QueryFamily {
              |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS INT) AS pos
              |FROM s ORDER BY shard, pos""".stripMargin)),
 
+    // Per-shard integrity manifest: doc count, token total, and a
+    // position-ordered content md5 per shard — what a data loader
+    // verifies before an epoch. Any missing/reordered/edited doc flips
+    // the shard hash, and the hash replays cross-engine.
+    ("q_shard_manifest",
+      (s: SparkSession, d: String) => {
+        val sharded = TextStats.trainingShards(
+          Tables.documents(s, d).withColumn("n_tokens",
+            TextStats.tokenCount(col("text")).cast("long")),
+          "doc_id", numShards = 8, seed = "ep0")
+        TextStats.shardManifest(sharded, "text", "n_tokens")
+          .orderBy("shard")
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    md5(concat('ep0-', CAST(doc_id AS VARCHAR))) AS key
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, text, n_tokens, key,
+             |    CAST(concat('0x', substring(key, 1, 15)) AS BIGINT) % 8 AS shard
+             |  FROM k),
+             |p AS (
+             |  SELECT shard, text, n_tokens,
+             |    row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS pos
+             |  FROM s)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  md5(string_agg(md5(text), '' ORDER BY pos)) AS content_md5
+             |FROM p GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // Deterministic stratified sample: k docs per language, selected by
     // md5(doc_id) order — a reproducible per-stratum sample (same rows on
     // every run/engine/layout), unlike sample()/TABLESAMPLE. One shuffle

@@ -1294,6 +1294,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("shard manifest flips on any edit, reorder, or loss") {
+    val base = TextStats.trainingShards(
+      (0 until 40).map(i => (i.toLong, s"doc number $i body", 3L))
+        .toDF("doc_id", "text", "n_tokens"),
+      "doc_id", numShards = 2, seed = "s")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      TextStats.shardManifest(df, "text", "n_tokens").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    val m1 = manifest(base)
+    assert(m1.values.map(_._1).sum == 40L)
+    // identical layout → identical manifest (repartition can't change it)
+    assert(manifest(base.repartition(7)) == m1)
+    // one edited byte flips exactly that doc's shard hash, counts intact
+    val edited = base.withColumn("text",
+      when(col("doc_id") === 3, concat(col("text"), lit("!"))).otherwise(col("text")))
+    val m2 = manifest(edited)
+    val changedShard = base.filter(col("doc_id") === 3)
+      .select("shard").head().getLong(0)
+    assert(m2(changedShard)._3 != m1(changedShard)._3)
+    assert(m2.filter(_._1 != changedShard) == m1.filter(_._1 != changedShard))
+    // a lost doc flips its shard's count AND hash
+    val m3 = manifest(base.filter(col("doc_id") =!= 3))
+    assert(m3(changedShard)._1 == m1(changedShard)._1 - 1)
+    assert(m3(changedShard)._3 != m1(changedShard)._3)
+  }
+
   test("binned quantiles track exact quantiles within one bin width") {
     // uniform 0..999: p50 ≈ 500, p90 ≈ 900 — binned estimates must land
     // within one bin width (100) of truth, and exactly at edges when the
