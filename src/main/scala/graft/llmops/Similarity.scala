@@ -505,6 +505,36 @@ object Similarity {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  /** Bitext mining — mutual cross-label nearest neighbors above a
+    * cosine floor: the parallel-corpus discovery step (CCMatrix/LASER
+    * style) that pairs a document with its best OTHER-label match only
+    * when each is the other's top-1. The mutuality test is what
+    * separates translation pairs from mere topical similarity: a hub
+    * document that is "closest" to many foreign docs survives only with
+    * its own reciprocal best. Each pair is emitted once (id_a < id_b)
+    * with its cosine.
+    *
+    * Built on [[hardNegatives]]' cross-label top-k kernel at k = 1
+    * (bounded-heap, label inequality in the join condition), then one
+    * self-equi-join of the top-1 table against its reverse — (queries·1)
+    * rows per side, trivially small. The fixture-exact form broadcasts
+    * the query side; corpus×corpus mining at scale feeds the same
+    * mutuality join from LSH/IVF candidate top-1s instead (the
+    * [[lshTopK]]/[[ivfTopK]] scale path — mutuality composes with any
+    * top-1 generator). */
+  def mutualNearestPairs(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, minCosine: Double, dim: Int = 0): DataFrame = {
+    val top1 = hardNegatives(df, df, idCol, vecCol, labelCol, k = 1, dim)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+    val fwd = top1.select(col("query_id").as("id_a"),
+      col("cand_id").as("id_b"), col("cosine"))
+    val bwd = top1.select(col("query_id").as("id_b"),
+      col("cand_id").as("id_a"))
+    fwd.join(bwd, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b") && col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Dedup decision from near-dup pairs: each duplicate id maps to its
     * canonical (the smallest near-dup neighbor id below it). Dropping
     * every `dup_id` row keeps exactly one representative per local dup

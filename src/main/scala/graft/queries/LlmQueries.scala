@@ -946,6 +946,34 @@ object LlmQueries extends QueryFamily {
              |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM ex)
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Bitext mining: mutual cross-label nearest neighbors — the
+    // parallel-corpus discovery step. A pair survives only when each
+    // side is the other's top-1 among the OTHER label's vectors
+    // (mutuality separates translation pairs from topical hubs).
+    ("q_bitext_pairs",
+      (s: SparkSession, d: String) => {
+        Similarity.mutualNearestPairs(Tables.embeddings(s, d),
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+            minCosine = 0.0, dim = 64)
+          .orderBy("id_a")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e,
+             |  sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+             |p AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_reduce(list_transform(range(1, 65), i -> q.e[i]*c.e[i]), (x,y) -> x+y)
+             |      / (q.nrm * c.nrm) AS cosine
+             |  FROM n q JOIN n c ON q.vec_id <> c.vec_id AND q.label <> c.label),
+             |t AS (SELECT query_id, cand_id, cosine FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, cand_id ASC) AS rn FROM p) WHERE rn = 1),
+             |m AS (SELECT f.query_id AS id_a, f.cand_id AS id_b, f.cosine
+             |  FROM t f JOIN t b ON b.query_id = f.cand_id AND b.cand_id = f.query_id)
+             |SELECT id_a, id_b, cosine FROM m
+             |WHERE id_a < id_b AND cosine >= 0.0 ORDER BY id_a""".stripMargin)),
+
     // int8-quantized top-k: symmetric per-vector scalar quantization
     // (q = floor(x/amax·127+0.5)), then exact cosine over the integer
     // codes — every product/add exact in double, so the ranking is

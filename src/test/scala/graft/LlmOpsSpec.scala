@@ -1492,6 +1492,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bitext mining keeps mutual best pairs, rejects one-way hub matches") {
+    // label 0 = "english", label 1 = "foreign". a/b are a clean mutual
+    // pair; hub c (foreign) is the top-1 of BOTH d and e (english), but
+    // c's own top-1 is d — so (c, d) is mutual and (c, e) is not
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),       // a
+      (2L, 1, Array(0.99f, 0.1f, 0.0f, 0.0f)),      // b ≈ a
+      (10L, 1, Array(0.0f, 0.0f, 1.0f, 0.0f)),      // hub c
+      (11L, 0, Array(0.0f, 0.05f, 1.0f, 0.0f)),     // d — c's best
+      (12L, 0, Array(0.0f, 0.3f, 1.0f, 0.0f)))      // e — loses to d
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Similarity.mutualNearestPairs(vecs, "vec_id", "embedding",
+        "label", minCosine = 0.0, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (10L, 11L)))
+    // the cosine floor prunes weak mutual pairs
+    val strict = Similarity.mutualNearestPairs(vecs, "vec_id", "embedding",
+        "label", minCosine = 0.996, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((10L, 11L)))  // cos(c,d) ≈ 0.9988 > cos(a,b) ≈ 0.995
+  }
+
   test("cluster keywords: dense ranks, count floor, lift-ordered per cell") {
     // exact values are the oracle's job (q_cluster_keywords hash-compares
     // against DuckDB); this pins the report's structural contract
