@@ -535,6 +535,51 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Ratio-margin scoring for mined bitext pairs — the CCMatrix/LASER
+    * criterion proper: raw cosine overrates pairs in dense regions (a
+    * doc whose whole neighborhood scores 0.9 is not special at 0.91),
+    * so each mutual pair is scored by its cosine relative to both
+    * endpoints' average top-`k` cross-label cosine:
+    * margin = cos(a,b) / ((avgTopK(a) + avgTopK(b)) / 2). Pairs are the
+    * [[mutualNearestPairs]] reciprocal-best set; callers threshold on
+    * `margin` (≥ ~1.06 in the CCMatrix paper) instead of a raw cosine
+    * floor.
+    *
+    * Determinism: each average folds its top-k cosines in RANK order
+    * (an explicit rank-sorted array fold, not an unordered SUM — float
+    * addition order is the difference between a hash-replayable margin
+    * and an engine-dependent one); the division and the final margin are
+    * then single IEEE ops. Scale shape: one cross-label top-k pass
+    * (bounded heap), the mutuality join, and a broadcast-sized
+    * per-vector average table joined to both endpoints. */
+  def marginScoredPairs(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, dim: Int = 0): DataFrame = {
+    require(k >= 1, s"need k >= 1 top neighbors for the margin, got $k")
+    val topk = hardNegatives(df, df, idCol, vecCol, labelCol, k, dim)
+    val avg = topk.groupBy("query_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("rank"), col("cosine")))),
+          s => s.getField("cosine")),
+        lit(0.0), (acc, x) => acc + x).as("_sum"),
+        count(lit(1)).as("_k"))
+      .select(col("query_id"), (col("_sum") / col("_k")).as("avg_topk"))
+    val top1 = topk.filter(col("rank") === 1)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+    val fwd = top1.select(col("query_id").as("id_a"),
+      col("cand_id").as("id_b"), col("cosine"))
+    val bwd = top1.select(col("query_id").as("id_b"),
+      col("cand_id").as("id_a"))
+    fwd.join(bwd, Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .join(avg.select(col("query_id").as("id_a"), col("avg_topk").as("_avg_a")),
+        Seq("id_a"))
+      .join(avg.select(col("query_id").as("id_b"), col("avg_topk").as("_avg_b")),
+        Seq("id_b"))
+      .withColumn("margin",
+        col("cosine") / ((col("_avg_a") + col("_avg_b")) / lit(2.0)))
+      .select("id_a", "id_b", "cosine", "margin")
+  }
+
   /** Dedup decision from near-dup pairs: each duplicate id maps to its
     * canonical (the smallest near-dup neighbor id below it). Dropping
     * every `dup_id` row keeps exactly one representative per local dup

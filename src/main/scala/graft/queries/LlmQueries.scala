@@ -974,6 +974,43 @@ object LlmQueries extends QueryFamily {
              |SELECT id_a, id_b, cosine FROM m
              |WHERE id_a < id_b AND cosine >= 0.0 ORDER BY id_a""".stripMargin)),
 
+    // Margin-scored bitext: the CCMatrix ratio criterion — each mutual
+    // pair's cosine relative to both endpoints' average top-4
+    // cross-label cosine. The averages fold in RANK order (explicit
+    // sorted-array fold, not an unordered SUM), which is what makes a
+    // float margin hash-replayable.
+    ("q_bitext_margin",
+      (s: SparkSession, d: String) => {
+        Similarity.marginScoredPairs(Tables.embeddings(s, d),
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+            k = 4, dim = 64)
+          .orderBy("id_a")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e,
+             |  sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+             |p AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |    list_reduce(list_transform(range(1, 65), i -> q.e[i]*c.e[i]), (x,y) -> x+y)
+             |      / (q.nrm * c.nrm) AS cosine
+             |  FROM n q JOIN n c ON q.vec_id <> c.vec_id AND q.label <> c.label),
+             |t AS (SELECT query_id, cand_id, cosine, rn FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, cand_id ASC) AS rn FROM p) WHERE rn <= 4),
+             |a AS (SELECT query_id,
+             |  list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) / count(*) AS avg_topk
+             |  FROM t GROUP BY query_id),
+             |t1 AS (SELECT query_id, cand_id, cosine FROM t WHERE rn = 1),
+             |m AS (SELECT f.query_id AS id_a, f.cand_id AS id_b, f.cosine
+             |  FROM t1 f JOIN t1 b ON b.query_id = f.cand_id AND b.cand_id = f.query_id
+             |  WHERE f.query_id < f.cand_id)
+             |SELECT m.id_a, m.id_b, m.cosine,
+             |  m.cosine / ((aa.avg_topk + ab.avg_topk) / 2.0) AS margin
+             |FROM m JOIN a aa ON aa.query_id = m.id_a
+             |  JOIN a ab ON ab.query_id = m.id_b
+             |ORDER BY id_a""".stripMargin)),
+
     // int8-quantized top-k: symmetric per-vector scalar quantization
     // (q = floor(x/amax·127+0.5)), then exact cosine over the integer
     // codes — every product/add exact in double, so the ranking is

@@ -1514,6 +1514,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(strict == Set((10L, 11L)))  // cos(c,d) ≈ 0.9988 > cos(a,b) ≈ 0.995
   }
 
+  test("margin scoring demotes dense-neighborhood pairs below isolated ones") {
+    // two mutual pairs with EQUAL raw cosine; the (20, 21) pair sits in a
+    // dense cluster (22, 23 nearby), so its top-k average is high and its
+    // margin low — the isolated (1, 2) pair must outrank it on margin
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, 1, Array(1.0f, 0.0f, 0.2f, 0.0f)),
+      (20L, 0, Array(0.0f, 1.0f, 0.2f, 0.0f)),
+      (21L, 1, Array(0.0f, 1.0f, 0.0f, 0.2f)),
+      (22L, 1, Array(0.1f, 1.0f, 0.0f, 0.1f)),
+      (23L, 0, Array(0.1f, 1.0f, 0.1f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.marginScoredPairs(vecs, "vec_id", "embedding",
+        "label", k = 3, dim = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Double]("cosine"), r.getAs[Double]("margin"))).toMap
+    assert(out.contains((1L, 2L)))
+    val isolated = out((1L, 2L))
+    val dense = out.collectFirst { case (k, v) if k._1 >= 20L => v }.get
+    assert(isolated._2 > dense._2,
+      s"isolated margin ${isolated._2} should exceed dense ${dense._2}")
+    assert(out.values.forall(v => v._2 > 0.0))
+  }
+
   test("cluster keywords: dense ranks, count floor, lift-ordered per cell") {
     // exact values are the oracle's job (q_cluster_keywords hash-compares
     // against DuckDB); this pins the report's structural contract
