@@ -145,6 +145,39 @@ object StreamingQueries extends QueryFamily {
     // streaming operator (Monitor.minuteSummary) on a batch frame —
     // window() and the watermark no-op are batch/stream agnostic, so the
     // oracle hash-checks the same code the stream executes.
+    // Per-type z-score outlier flags over event values — the telemetry
+    // QC rule, made deterministic: moments are exact integer sums of
+    // micro-quantized values (second moment in DECIMAL(38,0)), so every
+    // z replays bit-for-bit. Precondition: values non-negative (both
+    // engines' round() agree away from the half-negative case) — holds
+    // for the events fixture.
+    ("q_zscore_outliers",
+      (s: SparkSession, d: String) => {
+        graft.operators.Anomaly.zScoreOutliers(
+            Tables.events(s, d).select("event_id", "event_type", "value"),
+            keyCol = "event_type", valueCol = "value", threshold = 3.0)
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(round(value * 1000000.0) AS BIGINT) AS q FROM events),
+             |s AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(q) AS BIGINT) AS sq,
+             |    SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS qq
+             |  FROM b GROUP BY 1),
+             |x AS (
+             |  SELECT b.*, s.n, CAST(s.sq AS DOUBLE) AS ds, CAST(s.qq AS DOUBLE) AS dq
+             |  FROM b JOIN s USING (event_type)),
+             |y AS (SELECT *, ds / n AS mean,
+             |  sqrt((dq - ds * ds / n) / n) AS sd FROM x)
+             |SELECT event_id, event_type, value,
+             |  CASE WHEN sd = 0.0 THEN 0.0
+             |       ELSE (CAST(q AS DOUBLE) - mean) / sd END AS z,
+             |  CASE WHEN sd = 0.0 THEN FALSE
+             |       ELSE abs((CAST(q AS DOUBLE) - mean) / sd) > 3.0 END AS is_outlier
+             |FROM y ORDER BY event_id""".stripMargin)),
+
     ("q_minute_summary",
       (s: SparkSession, d: String) => {
         graft.streaming.Monitor.minuteSummary(Tables.events(s, d), "ts", "event_type")

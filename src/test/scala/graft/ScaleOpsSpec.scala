@@ -55,4 +55,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(laid.count() == 1000)
     assert(laid.rdd.getNumPartitions == 4)
   }
+
+  test("z-score outliers flag the planted spike, nothing else, on any layout") {
+    import graft.operators.Anomaly
+    // key "a": 99 values at 10.0 and one spike at 1000.0 — only the spike
+    // flags at 3 sigma; key "b" is constant, so sd = 0 and z = 0 for all
+    val rows = ((1 to 99).map(i => (i.toLong, "a", 10.0)) :+ (100L, "a", 1000.0)) ++
+      (101 to 110).map(i => (i.toLong, "b", 7.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    def flags(d: org.apache.spark.sql.DataFrame) =
+      Anomaly.zScoreOutliers(d, "event_type", "value", threshold = 3.0)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Double]("z"), r.getAs[Boolean]("is_outlier"))).toMap
+    val f = flags(df)
+    assert(f(100L)._2 && f(100L)._1 > 3.0)
+    assert(f.filter(_._1 != 100L).values.forall(!_._2))
+    assert((101 to 110).forall(i => f(i.toLong)._1 == 0.0))
+    // determinism across physical layout — the entire point of the
+    // integer-moment construction: identical z maps, bit for bit
+    assert(flags(df.repartition(13)) == f)
+  }
 }
