@@ -26,7 +26,8 @@ object SparkEntry {
     SourceQueries,
     MiscQueries,
     AnnotationQueries,
-    ScaleQueries
+    ScaleQueries,
+    CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

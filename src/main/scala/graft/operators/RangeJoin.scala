@@ -36,4 +36,37 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bucket")
   }
+
+  /** Interval×interval OVERLAP join — the two-large-sides generalization
+    * of [[bucketedJoin]] (both relations are interval sets; emit every
+    * overlapping pair). Closed intervals: `[lo,hi]` overlaps `[lo',hi']`
+    * iff `lo <= hi' && lo' <= hi`.
+    *
+    * Scale shape: both sides explode to the fixed-width cells they span
+    * and equi-join on the cell — a hash/sort-merge join, never a nested
+    * loop. A pair spanning several shared cells would surface once per
+    * cell; instead of a `distinct` shuffle over the (large) pair output,
+    * each pair is emitted ONLY from its canonical cell — the cell
+    * containing `max(lo, lo')`, which both sides of a true overlap
+    * always share. Cell width trades replication (intervals spanning
+    * many cells) against cell occupancy (candidate pairs per cell);
+    * pick it near the median interval span, as with [[bucketedJoin]].
+    *
+    * Column name collisions between the two inputs are the caller's to
+    * avoid (same contract as Spark's own join).
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      cellWidth: Double): DataFrame = {
+    def cells(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("_cell",
+        explode(sequence(
+          floor(col(lo) / cellWidth).cast("long"),
+          floor(col(hi) / cellWidth).cast("long"))))
+    cells(left, lLo, lHi).join(cells(right, rLo, rHi), Seq("_cell"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("_cell") ===
+        floor(greatest(col(lLo), col(rLo)) / cellWidth).cast("long"))
+      .drop("_cell")
+  }
 }

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.functions.{Hll, UrlFunctions}
+import graft.llmops.Privacy
+import graft.operators.RangeJoin
+
+/** Corpus-governance operators: URL identity (canonicalize / dedup),
+  * interval-overlap join, k-anonymity suppression, and the replayable
+  * HLL distinct sketch. URLs are synthesized deterministically from
+  * doc_id (the fixture has no URL column) so that the variant families
+  * exercise every canonicalization rule — case, www, default port,
+  * tracking params, param order, trailing slash, fragments, ccTLD
+  * registered domains — and genuinely collide post-canonicalization.
+  */
+object CurationQueries extends QueryFamily {
+
+  /** 4 URL spellings per article (base = doc_id div 4): variants 0/1
+    * canonicalize identically, 2 differs only by dropped query, 3 is a
+    * co.uk blog exercising the registered-domain ladder. */
+  private def syntheticUrl(s: SparkSession): org.apache.spark.sql.Column = {
+    val base = expr("doc_id div 4").cast("string")
+    val hostCore = concat(lit("h"), expr("(doc_id div 4) % 50").cast("string"))
+    when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("https://www."), hostCore, lit("-News.COM/articles/"), base,
+          lit("?utm_source=feed&b=2&a=1")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit("HTTPS://"), hostCore, lit("-news.com:443/articles/"), base,
+          lit("?a=1&b=2&fbclid=x")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("https://"), hostCore, lit("-news.com/articles/"), base, lit("/")))
+      .otherwise(
+        concat(lit("http://Blogs."), hostCore, lit(".co.uk/post/"),
+          col("doc_id").cast("string"), lit("#frag")))
+  }
+
+  /** The same synthesis in DuckDB SQL. */
+  private val urlSqlCte =
+    """u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'https://www.h' || CAST((doc_id//4) % 50 AS VARCHAR) || '-News.COM/articles/' || CAST(doc_id//4 AS VARCHAR) || '?utm_source=feed&b=2&a=1'
+      |      WHEN 1 THEN 'HTTPS://h' || CAST((doc_id//4) % 50 AS VARCHAR) || '-news.com:443/articles/' || CAST(doc_id//4 AS VARCHAR) || '?a=1&b=2&fbclid=x'
+      |      WHEN 2 THEN 'https://h' || CAST((doc_id//4) % 50 AS VARCHAR) || '-news.com/articles/' || CAST(doc_id//4 AS VARCHAR) || '/'
+      |      ELSE 'http://Blogs.h' || CAST((doc_id//4) % 50 AS VARCHAR) || '.co.uk/post/' || CAST(doc_id AS VARCHAR) || '#frag'
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+      |      ':[0-9]+$', ''), '^www\.', '') AS host,
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |  FROM u),
+      |canon AS (
+      |  SELECT doc_id, url, host,
+      |    scheme || '://' || host ||
+      |    CASE WHEN rawpath = '' THEN '/' ELSE regexp_replace(rawpath, '/$', '') END ||
+      |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+      |  FROM (
+      |    SELECT *, COALESCE(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |        p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|ref)='))), '&'), '') AS q
+      |    FROM parts)),
+      |dom AS (
+      |  SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS nl
+      |  FROM canon),
+      |withdom AS (
+      |  SELECT doc_id, url, host, canonical_url,
+      |    CASE WHEN nl < 2 THEN host
+      |         WHEN len(ls[-1]) = 2 AND ls[-2] IN ('co','com','ac','gov','org','net','edu') AND nl >= 3
+      |           THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+      |         ELSE ls[-2] || '.' || ls[-1] END AS domain
+      |  FROM dom)""".stripMargin
+
+  def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // URL canonicalization + registered domain — pure map-side column
+    // expressions (UrlFunctions), one per crawl record at 100 TB.
+    ("q_url_normalize",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).withColumn("url", syntheticUrl(s))
+        docs.select(col("doc_id"), col("url"),
+            UrlFunctions.canonicalizeUrl(col("url")).as("canonical_url"),
+            UrlFunctions.host(col("url")).as("host"),
+            UrlFunctions.registeredDomain(UrlFunctions.host(col("url"))).as("domain"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $urlSqlCte
+             |SELECT doc_id, url, canonical_url, host, domain
+             |FROM withdom ORDER BY doc_id""".stripMargin)),
+
+    // URL-level dedup: one keeper (min doc_id) per canonical URL + the
+    // duplicate multiplicity — the C4/CCNet first dedup stage. The
+    // canonical key is computed map-side; the group is one hash shuffle.
+    ("q_url_dedup",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).withColumn("url", syntheticUrl(s))
+        docs.select(UrlFunctions.canonicalizeUrl(col("url")).as("canonical_url"),
+            col("doc_id"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper_doc"))
+          .orderBy("canonical_url")
+      },
+      Some(s"""WITH $urlSqlCte
+             |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+             |  min(doc_id) AS keeper_doc
+             |FROM withdom GROUP BY canonical_url ORDER BY canonical_url""".stripMargin)),
+
+    // Interval×interval overlap join, bucketed (RangeJoin.overlapJoin):
+    // click windows [v, v+2] × view windows [v, v+1.5]; per-click
+    // overlap count. The canonical-cell emission makes the bucketed form
+    // exactly-once without a distinct — the oracle's plain theta join
+    // would expose any double-emission as an inflated count.
+    ("q_interval_overlap",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("value").as("c_lo"),
+            (col("value") + 2.0).as("c_hi"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("value").as("v_lo"),
+            (col("value") + 1.5).as("v_hi"))
+        RangeJoin.overlapJoin(clicks, views,
+            lLo = "c_lo", lHi = "c_hi", rLo = "v_lo", rHi = "v_hi",
+            cellWidth = 4.0)
+          .groupBy("click_id")
+          .agg(count(lit(1)).as("n_overlaps"), min("view_id").as("first_view"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id AS click_id, value AS lo, value + 2.0 AS hi
+             |  FROM events WHERE event_type = 'click'),
+             |v AS (
+             |  SELECT event_id AS view_id, value AS lo, value + 1.5 AS hi
+             |  FROM events WHERE event_type = 'view')
+             |SELECT c.click_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+             |  min(v.view_id) AS first_view
+             |FROM c JOIN v ON c.lo <= v.hi AND v.lo <= c.hi
+             |GROUP BY c.click_id ORDER BY c.click_id""".stripMargin)),
+
+    // k-anonymity suppression over (c_mktsegment, c_nationkey): groups
+    // smaller than k=7 released as '*'. groupBy-count + null-safe join
+    // back (map-side partial agg; no hot-combination window buffering).
+    ("q_k_anonymity",
+      (s: SparkSession, d: String) => {
+        Privacy.kAnonymize(
+            Tables.customer(s, d).select("c_custkey", "c_mktsegment", "c_nationkey"),
+            quasiCols = Seq("c_mktsegment", "c_nationkey"), k = 7)
+          .orderBy("c_custkey")
+      },
+      Some("""WITH g AS (
+             |  SELECT c_mktsegment AS s, c_nationkey AS n, COUNT(*) AS gs
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT c_custkey,
+             |  CASE WHEN gs < 7 THEN '*' ELSE c_mktsegment END AS c_mktsegment,
+             |  CASE WHEN gs < 7 THEN '*' ELSE CAST(c_nationkey AS VARCHAR) END AS c_nationkey
+             |FROM customer JOIN g ON c_mktsegment = g.s AND c_nationkey = g.n
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Replayable HLL distinct-user sketch per event_type: register state
+    // + raw estimate, hash-compared register-for-register against a full
+    // SQL replay; exact distinct alongside for the error to be visible.
+    ("q_hll_distinct",
+      (s: SparkSession, d: String) => {
+        val p = 8
+        Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("event_type"), col("user_id"),
+            Hll.hllInput(col("user_id"), p).as("enc"))
+          .groupBy("event_type")
+          .agg(Hll.hllAgg(col("enc"), p).as("h"),
+            countDistinct(col("user_id")).as("exact_distinct"))
+          .select(col("event_type"),
+            col("h.vEmpty").as("v_empty"), col("h.zScaled").as("z_scaled"),
+            Hll.rawEstimate(col("h.zScaled"), p).as("raw_est"),
+            col("exact_distinct"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT event_type, user_id,
+             |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+             |  FROM events WHERE user_id IS NOT NULL),
+             |b AS (
+             |  SELECT event_type, user_id, hv % 256 AS bucket, hv // 256 AS rest FROM h),
+             |r AS (
+             |  SELECT event_type, bucket,
+             |    CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END AS rho
+             |  FROM b),
+             |regs AS (
+             |  SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT event_type,
+             |    CAST(256 - COUNT(*) AS INT) AS v_empty,
+             |    CAST(SUM(1::BIGINT << (53 - reg)) + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT) AS z_scaled
+             |  FROM regs GROUP BY event_type),
+             |ex AS (
+             |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+             |SELECT agg.event_type, v_empty, z_scaled,
+             |  CAST(${Hll.alphaNumerator(8).toString} AS DOUBLE) / z_scaled AS raw_est,
+             |  exact_distinct
+             |FROM agg JOIN ex ON agg.event_type = ex.event_type
+             |ORDER BY 1""".stripMargin))
+  )
+}

@@ -154,7 +154,13 @@ object Stress {
     "q_cluster_keywords", "q_budget_select",
     // the histogram scale path vs the exact buffer-and-sort percentile —
     // a measured head-to-head on the same column
-    "q_binned_quantiles", "q_length_quantiles")
+    "q_binned_quantiles", "q_length_quantiles",
+    // round-6 third batch: URL canonicalize+dedup (map-side key, one
+    // group shuffle), interval-overlap join (output-bound: pair count
+    // grows with the DENSITY product, the honest cost of overlap joins),
+    // k-anonymity (two shuffles on the quasi key), HLL sketch (one
+    // shuffle, 256-byte state per group)
+    "q_url_dedup", "q_interval_overlap", "q_k_anonymity", "q_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"
