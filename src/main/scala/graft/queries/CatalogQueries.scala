@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.catalog.CatalogOps
+import graft.catalog.{CatalogOps, Scd2}
 
 /** Catalog/registry operator family (SURVEY.md §2: A1, S4, J3-J5, J7, P6/P7,
   * U1-U5, A14) demonstrated on the driver testdata star schema.
@@ -40,6 +40,34 @@ object CatalogQueries extends QueryFamily {
     // S4 — upsert merge with column-level update semantics: latest row per
     // key wins, but created_at-style columns keep the oldest value
     // (reference: scene_registry.py:391-404 ON CONFLICT DO UPDATE).
+    // SCD type 2: the history-preserving dimension build next to the
+    // SCD1 upsert below — per-user status runs from the event change log
+    // (consecutive duplicates collapsed, half-open validity intervals,
+    // open run flagged current). One hash shuffle on user_id; the three
+    // window passes share its sort.
+    ("q_scd2",
+      (s: SparkSession, d: String) => {
+        Scd2.buildDimension(
+            Tables.events(s, d).select("user_id", "event_id", "ts", "event_type"),
+            keyCols = Seq("user_id"), tsCol = "ts",
+            attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
+          .select(col("user_id"), col("event_type").as("status"),
+            col("valid_from"), col("valid_to"), col("version"), col("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, ts, event_id, event_type FROM o
+             |  WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type AS status, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+             |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+             |FROM c ORDER BY user_id, version""".stripMargin)),
+
     ("q_upsert_latest",
       (s: SparkSession, d: String) => {
         val orders = Tables.orders(s, d)

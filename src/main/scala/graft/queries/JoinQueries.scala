@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{AsOfJoin, RangeJoin, PrefixJoin, SkewJoin}
+import graft.operators.{AsOfJoin, BlockingJoin, RangeJoin, PrefixJoin, SkewJoin}
 import graft.graph.Knn
 
 /** Join family beyond plain equi-joins (SURVEY.md §2.3: J2, J8, J9, J11). */
@@ -74,6 +74,65 @@ object JoinQueries extends QueryFamily {
              |  CASE WHEN next_t IS NULL OR (prev_t IS NOT NULL AND (t - prev_t) <= (next_t - t))
              |       THEN prev_v ELSE next_v END AS signup_value
              |FROM w WHERE isq = 1 ORDER BY user_id, event_id""".stripMargin)),
+
+    // Record linkage via multi-key blocking: customers matched against a
+    // reformatted directory (names restyled, every 7th record missing) on
+    // two blocking keys — nation, and the last 3 digits of the
+    // normalized name — scored by field agreement, best match per left.
+    // A pair surfacing under both keys must score ONCE (the oracle's
+    // UNION-distinct pins the dedup), and partnerless lefts degrade to
+    // the best same-nation candidate instead of vanishing.
+    ("q_record_linkage",
+      (s: SparkSession, d: String) => {
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        val dir = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+          .select((col("c_custkey") + 1000000L).as("rid"),
+            regexp_replace(upper(col("c_name")), "CUSTOMER#", "CUST-").as("r_name"),
+            col("c_nationkey").as("r_nation"), col("c_acctbal").as("r_acct"))
+        def digits(c: org.apache.spark.sql.Column) = regexp_replace(c, "[^0-9]", "")
+        BlockingJoin.bestMatch(cust, dir, leftId = "c_custkey", rightId = "rid",
+            blockKeys = Seq(
+              cust("c_nationkey") -> dir("r_nation"),
+              substring(digits(cust("c_name")), -3, 3) ->
+                substring(digits(dir("r_name")), -3, 3)),
+            score =
+              when(digits(col("c_name")) === digits(col("r_name")), 10).otherwise(0)
+                + when(col("c_nationkey") === col("r_nation"), 2).otherwise(0)
+                + when(col("c_acctbal") === col("r_acct"), 3).otherwise(0))
+          .select("c_custkey", "rid", "match_score")
+          .orderBy("c_custkey")
+      },
+      Some("""WITH l AS (
+             |  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+             |r AS (
+             |  SELECT c_custkey + 1000000 AS rid,
+             |    replace(upper(c_name), 'CUSTOMER#', 'CUST-') AS r_name,
+             |    c_nationkey AS r_nation, c_acctbal AS r_acct
+             |  FROM customer WHERE c_custkey % 7 <> 0),
+             |cand AS (
+             |  SELECT l.c_custkey, l.c_name, l.c_nationkey, l.c_acctbal,
+             |         r.rid, r.r_name, r.r_nation, r.r_acct
+             |  FROM l JOIN r ON l.c_nationkey = r.r_nation
+             |  UNION
+             |  SELECT l.c_custkey, l.c_name, l.c_nationkey, l.c_acctbal,
+             |         r.rid, r.r_name, r.r_nation, r.r_acct
+             |  FROM l JOIN r
+             |    ON substring(regexp_replace(l.c_name, '[^0-9]', '', 'g'), -3, 3)
+             |     = substring(regexp_replace(r.r_name, '[^0-9]', '', 'g'), -3, 3)),
+             |scored AS (
+             |  SELECT c_custkey, rid,
+             |    (CASE WHEN regexp_replace(c_name, '[^0-9]', '', 'g')
+             |               = regexp_replace(r_name, '[^0-9]', '', 'g') THEN 10 ELSE 0 END
+             |     + CASE WHEN c_nationkey = r_nation THEN 2 ELSE 0 END
+             |     + CASE WHEN c_acctbal = r_acct THEN 3 ELSE 0 END) AS match_score
+             |  FROM cand),
+             |best AS (
+             |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+             |    ORDER BY match_score DESC, rid) AS rn FROM scored)
+             |SELECT c_custkey, rid, match_score FROM best WHERE rn = 1
+             |ORDER BY c_custkey""".stripMargin)),
 
     // J2 — sequence→map resolution: strip trailing index, exact match
     // first, else prefix, else unmatched (reference:

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.trajectory.{TrajectoryOps, BehaviorGenerator, Extrinsics}
-import graft.graph.{Knn, ConnectedComponents, ConnectivityCache, PageRank}
+import graft.graph.{Knn, ConnectedComponents, ConnectivityCache, PageRank, Triangles}
 
 /** Trajectory + graph family (SURVEY.md §2.5 W7/W8, §2.10 generator/CC). */
 object TrajectoryQueries extends QueryFamily {
@@ -227,6 +227,44 @@ object TrajectoryQueries extends QueryFamily {
              |r3 AS (SELECT r.node, r.base + (85 * coalesce(s3.in_sum, 0)) // 100 AS rank
              |  FROM r2 r LEFT JOIN s3 ON r.node = s3.dst)
              |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin)),
+
+    // Per-node triangle counts with degree-ordered orientation — the
+    // clustering/link-farm signal beside CC and PageRank. Graph: parts
+    // adjacent by line number within an order (sparse co-purchase
+    // adjacency; dups/orientations collapsed by the operator). The
+    // oracle enumerates each triangle once as an id-ordered path a<b<c —
+    // orientation changes the plan, never the triangle set.
+    ("q_triangle_count",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — the
+        // partkey tie-break makes the adjacency deterministic in both
+        // engines (identical full-row dups yield the same pair multiset
+        // under any order).
+        val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+        val edges = li.withColumn("_next", lead("l_partkey", 1).over(w))
+          .filter(col("_next").isNotNull)
+          .select(col("l_partkey").as("x"), col("_next").as("y"))
+        Triangles.nodeTriangles(edges, "x", "y").orderBy("node")
+      },
+      Some("""WITH adj AS (
+             |  SELECT l_partkey AS x,
+             |    lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS y
+             |  FROM lineitem),
+             |e AS (
+             |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+             |  FROM adj WHERE y IS NOT NULL AND x <> y),
+             |t AS (
+             |  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+             |  FROM e e1
+             |  JOIN e e2 ON e2.a = e1.b
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+             |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             |  SELECT v1 AS node FROM t
+             |  UNION ALL SELECT v2 FROM t
+             |  UNION ALL SELECT v3 FROM t)
+             |GROUP BY node ORDER BY node""".stripMargin)),
 
     ("q_island_ratios",
       (s: SparkSession, d: String) => {
