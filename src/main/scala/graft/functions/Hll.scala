@@ -99,6 +99,79 @@ object Hll {
   def hllAgg(encoded: Column, p: Int): Column =
     udaf(new HllAggregator(p)).apply(encoded)
 
+  /** Register-vector form of [[hllAgg]]: the raw m-byte register array,
+    * for PERSISTED sketches — write one row per (source, batch), then
+    * [[mergeRegistersAgg]] unions any subset later without rescanning
+    * the data. max-per-register is associative/commutative/idempotent,
+    * so merge order, batch boundaries, and re-delivery all wash out. */
+  private final class HllRegisterAggregator(p: Int)
+      extends Aggregator[Int, Array[Byte], Array[Byte]] {
+    private val m = 1 << p
+    def zero: Array[Byte] = new Array[Byte](m)
+    def reduce(buf: Array[Byte], in: Int): Array[Byte] = {
+      val b = in >>> 6
+      val r = (in & 63).toByte
+      if (r > buf(b)) buf(b) = r
+      buf
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Register-wise union of stored sketches (binary m-byte columns). */
+  private final class HllMergeAggregator(p: Int)
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private val m = 1 << p
+    def zero: Array[Byte] = new Array[Byte](m)
+    private def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      if (b != null) {
+        require(b.length == m, s"sketch width ${b.length} != m=$m (p mismatch)")
+        var i = 0
+        while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      }
+      a
+    }
+    def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = mergeInto(buf, in)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeInto(a, b)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def hllRegistersAgg(encoded: Column, p: Int): Column =
+    udaf(new HllRegisterAggregator(p)).apply(encoded)
+
+  def mergeRegistersAgg(registers: Column, p: Int): Column =
+    udaf(new HllMergeAggregator(p)).apply(registers)
+
+  /** [[HllSummary]] fields from a stored register vector, as pure column
+    * arithmetic over the byte array (no UDF): vEmpty and the exact
+    * integer zScaled, ready for [[rawEstimate]]. */
+  def summarizeRegisters(registers: Column, p: Int): Column = {
+    val m = 1 << p
+    val w = wMax(p)
+    // element_at on binary is unsupported — go through an int array once.
+    val regs = transform(sequence(lit(1), lit(m)), i => registerAt(registers, i))
+    struct(
+      aggregate(regs, lit(0),
+        (acc, r) => acc + when(r === 0, 1).otherwise(0)).as("vEmpty"),
+      aggregate(regs, lit(0L),
+        (acc, r) => acc + call_function("shiftleft", lit(1L), lit(w) - r))
+        .as("zScaled"))
+  }
+
+  /** Register i (1-based) of a stored sketch as an int: substr on the
+    * binary column yields the 1-byte slice, hex→conv decodes it — no
+    * UDF, stays in codegen. */
+  private def registerAt(bin: Column, i: Column): Column =
+    conv(hex(bin.substr(i, lit(1))), 16, 10).cast("int")
+
   /** Raw HLL estimate from the summary struct fields (one exact double
     * division; no small-range correction — callers needing it can branch
     * on vEmpty, it is exposed for exactly that). */

@@ -157,6 +157,43 @@ object Multimodal {
 
   /** Y4M container geometry as codegen'd expressions — MUST mirror
     * [[Codecs.Y4m.header]] / [[Codecs.Y4m.frameLen]]. */
+  /** 64-bit perceptual average-hash per image: resize to 8×8 (the one
+    * decode pass), then PURE column arithmetic — bit i set iff luma pixel
+    * i exceeds the raster mean. Shift-robust the way crop/rescale-robust
+    * image dedup needs (aHash); the decode is the only non-Catalyst step.
+    * Output: (media_id, phash). */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val r = resize(media, 8, 8).select(col("media_id"), col("pixels"))
+    val mean = aggregate(col("pixels"), lit(0.0d), (a, x) => a + x) /
+      size(col("pixels"))
+    r.withColumn("_mean", mean)
+      .withColumn("phash",
+        aggregate(sequence(lit(0), lit(63)), lit(0L),
+          (acc, i) => acc + when(
+            element_at(col("pixels"), i + 1) > col("_mean"),
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+      .select("media_id", "phash")
+  }
+
+  /** Hamming-banded near-duplicate image pairs over perceptual hashes:
+    * 4×16-bit pigeonhole bands (any pair within ≤3·16 bit flips shares a
+    * clean band — maxDist ≤ 16 here keeps the guarantee trivially), band
+    * equi-join, popcount verify. The same banded-candidate shape as
+    * [[Dedup.simhashNearDups]], on a 64-bit image code. */
+  def phashNearDups(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 16, "pigeonhole guarantee needs maxDist <= 16")
+    def banded(tag: String) = hashes
+      .select(col("media_id").as(s"id_$tag"), col("phash").as(s"ph_$tag"))
+      .withColumn("_band", explode(sequence(lit(0), lit(3))))
+      .withColumn("_key", call_function("shiftright", col(s"ph_$tag"), col("_band") * 16)
+        .bitwiseAND(lit(0xFFFFL)))
+    banded("a").join(banded("b"), Seq("_band", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
   private def y4mHeaderLen(w: Column, h: Column): Column =
     length(concat(lit("YUV4MPEG2 W"), w.cast("string"),
       lit(" H"), h.cast("string"), lit(" F30:1 Ip A1:1 C420\n")))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.catalog.{CatalogOps, Scd2}
+import graft.catalog.{CatalogOps, Compaction, Profiler, Scd2}
 
 /** Catalog/registry operator family (SURVEY.md §2: A1, S4, J3-J5, J7, P6/P7,
   * U1-U5, A14) demonstrated on the driver testdata star schema.
@@ -40,6 +40,65 @@ object CatalogQueries extends QueryFamily {
     // S4 — upsert merge with column-level update semantics: latest row per
     // key wins, but created_at-style columns keep the oldest value
     // (reference: scene_registry.py:391-404 ON CONFLICT DO UPDATE).
+    // Small-file compaction planning: deterministic size-desc contiguous
+    // bin packing toward a target size, one window shuffle on the
+    // directory key. "Files" are the orders table (dir = priority class,
+    // size = floored total price) — shape-identical to an fsInventory
+    // feed, and exactly replayable.
+    ("q_compaction_plan",
+      (s: SparkSession, d: String) => {
+        val files = Tables.orders(s, d).select(
+          col("o_orderpriority").as("dir"),
+          col("o_orderkey").cast("string").as("file"),
+          floor(col("o_totalprice")).cast("long").as("size"))
+        Compaction.planBins(files, "dir", "file", "size", targetBytes = 1000000L)
+          .orderBy("dir", "bin")
+      },
+      Some("""WITH f AS (
+             |  SELECT o_orderpriority AS dir, CAST(o_orderkey AS VARCHAR) AS file,
+             |    CAST(floor(o_totalprice) AS BIGINT) AS size
+             |  FROM orders),
+             |c AS (
+             |  SELECT dir, file, size,
+             |    SUM(size) OVER (PARTITION BY dir ORDER BY size DESC, file
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM f)
+             |SELECT dir, CAST(floor((cum - size) / 1000000) AS BIGINT) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(size) AS BIGINT) AS bytes
+             |FROM c GROUP BY 1, 2 ORDER BY dir, bin""".stripMargin)),
+
+    // One-pass table profile (null/distinct/min/max per column, long
+    // format) — the catalog's data-quality report. Multi-distinct runs
+    // as one expand scan; min/max only for cross-engine-stable types.
+    ("q_table_profile",
+      (s: SparkSession, d: String) => {
+        Profiler.profile(Tables.customer(s, d),
+            Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+          .orderBy("column")
+      },
+      Some("""WITH t AS (SELECT * FROM customer)
+             |SELECT 'c_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+             |  CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+             |  CAST(MAX(c_custkey) AS VARCHAR) AS max_value FROM t
+             |UNION ALL
+             |SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(COUNT(DISTINCT c_name) AS BIGINT),
+             |  MIN(c_name), MAX(c_name) FROM t
+             |UNION ALL
+             |SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+             |  CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM t
+             |UNION ALL
+             |SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+             |  MIN(c_mktsegment), MAX(c_mktsegment) FROM t
+             |ORDER BY "column"""".stripMargin)),
+
     // SCD type 2: the history-preserving dimension build next to the
     // SCD1 upsert below — per-user status runs from the event change log
     // (consecutive duplicates collapsed, half-open validity intervals,

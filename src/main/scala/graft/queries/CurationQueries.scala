@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.functions.{Hll, UrlFunctions}
+import graft.functions.{Hll, Regression, UrlFunctions}
 import graft.llmops.Privacy
 import graft.operators.RangeJoin
 
@@ -160,6 +160,181 @@ object CurationQueries extends QueryFamily {
              |  CASE WHEN gs < 7 THEN '*' ELSE CAST(c_nationkey AS VARCHAR) END AS c_nationkey
              |FROM customer JOIN g ON c_mktsegment = g.s AND c_nationkey = g.n
              |ORDER BY c_custkey""".stripMargin)),
+
+    // Corpus-composition drift: source×lang contingency with exact
+    // expected counts and lift (the log-free PMI discipline from
+    // collocationLift applied to metadata). Marginal windows run over
+    // the GROUPED table — one row per category pair, bounded by category
+    // vocabulary, never corpus-sized.
+    ("q_contingency",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.documents(s, d).groupBy("source", "lang")
+          .agg(count(lit(1)).as("n"))
+        val bySrc = Window.partitionBy("source")
+        val byLang = Window.partitionBy("lang")
+        val all = Window.partitionBy()
+        g.withColumn("n_source", sum("n").over(bySrc))
+          .withColumn("n_lang", sum("n").over(byLang))
+          .withColumn("n_total", sum("n").over(all))
+          .withColumn("expected",
+            (col("n_source") * col("n_lang")).cast("double") / col("n_total"))
+          .withColumn("lift",
+            (col("n") * col("n_total")).cast("double")
+              / (col("n_source") * col("n_lang")).cast("double"))
+          .select("source", "lang", "n", "expected", "lift")
+          .orderBy("source", "lang")
+      },
+      Some("""WITH g AS (
+             |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY source, lang),
+             |m AS (
+             |  SELECT *, SUM(n) OVER (PARTITION BY source) AS n_source,
+             |    SUM(n) OVER (PARTITION BY lang) AS n_lang,
+             |    SUM(n) OVER () AS n_total
+             |  FROM g)
+             |SELECT source, lang, n,
+             |  CAST(n_source * n_lang AS DOUBLE) / n_total AS expected,
+             |  CAST(n * n_total AS DOUBLE) / CAST(n_source * n_lang AS DOUBLE) AS lift
+             |FROM m ORDER BY source, lang""".stripMargin)),
+
+    // Event-time ordering audit: per user, the fraction of events whose
+    // timestamp regresses vs ARRIVAL order (event_id) — the
+    // late/out-of-order-data metric that sizes streaming watermarks.
+    ("q_order_audit",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .withColumn("_prev_ts", lag(col("ts"), 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("ts") < col("_prev_ts"), 1L).otherwise(0L)).as("n_regressed"))
+          .withColumn("frac_regressed",
+            when(col("n") > 1,
+              col("n_regressed").cast("double") / (col("n") - 1).cast("double")))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+             |  FROM events)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_regressed,
+             |  CASE WHEN COUNT(*) > 1
+             |       THEN CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS DOUBLE)
+             |            / CAST(COUNT(*) - 1 AS DOUBLE) END AS frac_regressed
+             |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Incremental HLL: per-source register sketches persisted, then
+    // UNIONED register-wise — the cross-batch cardinality path (count
+    // distinct users over any source subset without rescanning events).
+    // The oracle replays the GLOBAL sketch: merge-of-maxes must equal
+    // max-over-all — associativity/idempotence on real data, hash-checked.
+    ("q_hll_incremental",
+      (s: SparkSession, d: String) => {
+        val p = 8
+        val enc = Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("event_type"), Hll.hllInput(col("user_id"), p).as("enc"))
+        val perSource = enc.groupBy("event_type")
+          .agg(Hll.hllRegistersAgg(col("enc"), p).as("sk"))
+        perSource
+          .agg(count(lit(1)).as("n_sources"),
+            Hll.mergeRegistersAgg(col("sk"), p).as("sk"))
+          .select(col("n_sources"), Hll.summarizeRegisters(col("sk"), p).as("h"))
+          .select(col("n_sources"),
+            col("h.vEmpty").as("v_empty"), col("h.zScaled").as("z_scaled"),
+            Hll.rawEstimate(col("h.zScaled"), p).as("raw_est"))
+      },
+      Some(s"""WITH h AS (
+             |  SELECT event_type, user_id,
+             |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+             |  FROM events WHERE user_id IS NOT NULL),
+             |r AS (
+             |  SELECT hv % 256 AS bucket,
+             |    CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END AS rho
+             |  FROM h),
+             |regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+             |agg AS (
+             |  SELECT CAST(256 - COUNT(*) AS INT) AS v_empty,
+             |    CAST(SUM(1::BIGINT << (53 - reg)) + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT) AS z_scaled
+             |  FROM regs),
+             |ns AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_sources
+             |  FROM events WHERE user_id IS NOT NULL)
+             |SELECT n_sources, v_empty, z_scaled,
+             |  CAST(${Hll.alphaNumerator(8).toString} AS DOUBLE) / z_scaled AS raw_est
+             |FROM agg, ns""".stripMargin)),
+
+    // Pareto frontier (2-D skyline) of length vs vocabulary richness —
+    // the non-dominated exemplar set for data-selection tradeoffs. All
+    // integer: per-x max + representative doc, then one ordered pass
+    // over the DISTINCT-x table (bounded: one row per length) with a
+    // strict running-max dominance test.
+    ("q_pareto_front",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val pts = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).as("rich"))
+        val perX = Window.partitionBy("n_chars")
+        val g = pts
+          .withColumn("_ymax", max(col("rich")).over(perX))
+          .filter(col("rich") === col("_ymax"))
+          .groupBy("n_chars").agg(max("rich").as("rich"), min("doc_id").as("rep_doc"))
+        val desc = Window.orderBy(col("n_chars").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("_prevmax", max(col("rich")).over(desc))
+          .filter(col("_prevmax").isNull || col("rich") > col("_prevmax"))
+          .select("n_chars", "rich", "rep_doc")
+          .orderBy("n_chars")
+      },
+      Some("""WITH pts AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS rich
+             |  FROM documents),
+             |g AS (
+             |  SELECT n_chars, max(rich) AS rich,
+             |    min(doc_id) FILTER (WHERE rich = mx) AS rep_doc
+             |  FROM (SELECT *, max(rich) OVER (PARTITION BY n_chars) AS mx FROM pts)
+             |  GROUP BY n_chars),
+             |f AS (
+             |  SELECT *, max(rich) OVER (ORDER BY n_chars DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+             |  FROM g)
+             |SELECT n_chars, rich, rep_doc FROM f
+             |WHERE prevmax IS NULL OR rich > prevmax
+             |ORDER BY n_chars""".stripMargin)),
+
+    // Per-user OLS value trend (drift detection): exact integer/decimal
+    // sufficient statistics, float only in the two final divisions —
+    // slope/intercept hash-compare exactly. Rank-as-x keeps Σx² long-safe.
+    ("q_group_trend",
+      (s: SparkSession, d: String) => {
+        Regression.groupTrend(
+            Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+            groupCols = Seq("user_id"), yCol = "value",
+            orderCols = Seq("ts", "event_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH xy AS (
+             |  SELECT user_id,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS x,
+             |    CAST(value AS DECIMAL(18,2)) AS y
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+             |    SUM(y * x) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+             |  FROM xy GROUP BY user_id),
+             |sl AS (
+             |  SELECT user_id, n, sx, sy,
+             |    CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL
+             |         ELSE CAST(sxy * n - sx * sy AS DOUBLE)
+             |              / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+             |  FROM s)
+             |SELECT user_id, n, slope,
+             |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+             |FROM sl ORDER BY user_id""".stripMargin)),
 
     // Replayable HLL distinct-user sketch per event_type: register state
     // + raw estimate, hash-compared register-for-register against a full

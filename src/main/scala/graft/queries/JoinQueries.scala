@@ -134,6 +134,43 @@ object JoinQueries extends QueryFamily {
              |SELECT c_custkey, rid, match_score FROM best WHERE rn = 1
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Edit-distance fuzzy match: the verify stage after blocking — each
+    // customer recovers its directory record (zeros OCR'd to 'O's, every
+    // 9th record missing) as the minimum-Levenshtein candidate within
+    // the nation block. Distance varies with the name's zero count, so
+    // the assertion is per-row, not a constant.
+    ("q_fuzzy_match",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val l = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+        val r = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(9)) =!= 0)
+          .select((col("c_custkey") + 1000000L).as("rid"),
+            regexp_replace(col("c_name"), "0", "O").as("r_name"),
+            col("c_nationkey").as("r_nation"))
+        val best = Window.partitionBy(col("c_custkey"))
+          .orderBy(col("edit_dist"), col("rid"))
+        l.join(r, col("c_nationkey") === col("r_nation"))
+          .withColumn("edit_dist", levenshtein(col("c_name"), col("r_name")))
+          .withColumn("_rn", row_number().over(best))
+          .filter(col("_rn") === 1)
+          .select("c_custkey", "rid", "edit_dist")
+          .orderBy("c_custkey")
+      },
+      Some("""WITH l AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+             |r AS (
+             |  SELECT c_custkey + 1000000 AS rid, replace(c_name, '0', 'O') AS r_name,
+             |    c_nationkey AS r_nation
+             |  FROM customer WHERE c_custkey % 9 <> 0),
+             |cand AS (
+             |  SELECT c_custkey, rid, levenshtein(c_name, r_name) AS edit_dist
+             |  FROM l JOIN r ON c_nationkey = r_nation),
+             |best AS (
+             |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+             |    ORDER BY edit_dist, rid) AS rn FROM cand)
+             |SELECT c_custkey, rid, CAST(edit_dist AS INT) AS edit_dist
+             |FROM best WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
+
     // J2 — sequence→map resolution: strip trailing index, exact match
     // first, else prefix, else unmatched (reference:
     // render_engine.py:87-158). Sequences are doc source_docid names; two

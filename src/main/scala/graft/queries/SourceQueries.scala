@@ -169,6 +169,22 @@ object SourceQueries extends QueryFamily {
             expr("bit_xor(xxhash64(frame_idx, frame_bytes))").as("frames_hash"))
           .orderBy("media_id")
       },
+      None),
+
+    // Multimodal — perceptual average-hash image dedup: one decode pass
+    // (8×8 resize), hash + Hamming-banded near-dup pairs in pure column
+    // arithmetic. Golden locks every 64-bit code and neighbor count.
+    ("q_media_phash",
+      (s: SparkSession, d: String) => {
+        val h = Multimodal.perceptualHash(Multimodal.syntheticMedia(s, 64))
+        val pairs = Multimodal.phashNearDups(h, maxDist = 12)
+        val cnt = pairs.select(col("id_a").as("media_id"))
+          .union(pairs.select(col("id_b").as("media_id")))
+          .groupBy("media_id").agg(count(lit(1)).as("n_near"))
+        h.join(cnt, Seq("media_id"), "left")
+          .na.fill(0L, Seq("n_near"))
+          .orderBy("media_id")
+      },
       None)
   )
 }

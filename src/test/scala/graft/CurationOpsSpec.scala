@@ -68,6 +68,91 @@ class CurationOpsSpec extends SparkSpec {
       .select("group_size").as[Long].head() == 3L)
   }
 
+  test("Compaction: oversized files isolate, small files pack toward target") {
+    import graft.catalog.Compaction
+    val files = Seq(("d", "big", 2500L), ("d", "a", 400L), ("d", "b", 400L),
+      ("d", "c", 300L), ("e", "solo", 10L)).toDF("dir", "file", "size")
+    val bins = Compaction.assignBins(files, "dir", "file", "size", targetBytes = 1000L)
+      .select("file", "bin").as[(String, Long)].collect().toMap
+    // size-desc order: big(2500) spans [0,2500) → bin 0; a starts at 2500
+    // → bin 2; b at 2900 → bin 2; c at 3300 → bin 3.
+    assert(bins == Map("big" -> 0L, "a" -> 2L, "b" -> 2L, "c" -> 3L, "solo" -> 0L))
+    val plan = Compaction.planBins(files, "dir", "file", "size", 1000L)
+      .filter($"dir" === "d" && $"bin" === 2).select("n_files", "bytes")
+      .as[(Long, Long)].head()
+    assert(plan == ((2L, 800L)))
+  }
+
+  test("Profiler: nulls, exact distinct, min/max only for stable types") {
+    import graft.catalog.Profiler
+    val df = Seq((Some(1L), Some("a"), Some(1.5)), (None, Some("b"), None),
+      (Some(1L), None, Some(2.5))).toDF("k", "s", "v")
+    val rows = Profiler.profile(df, Seq("k", "s", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("k") == (("k", 3L, 1L, 1L, "1", "1")))
+    assert(rows("s") == (("s", 3L, 1L, 2L, "a", "b")))
+    assert(rows("v") == (("v", 3L, 1L, 2L, null, null))) // double: no min/max text
+  }
+
+  test("Regression.groupTrend recovers an exact line; degenerate groups are NULL") {
+    import graft.functions.Regression
+    // y = 2.5x + 1 exactly, plus a single-point group
+    val df = ((1 to 10).map(i => (1L, i.toLong, 2.5 * i + 1.0)) :+ (2L, 1L, 7.0))
+      .toDF("g", "ord", "y")
+    val out = Regression.groupTrend(df, Seq("g"), "y", Seq("ord"))
+      .as[(Long, Long, Option[Double], Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 10L, Some(2.5), Some(1.0))))
+    assert(out(1) == ((2L, 1L, None, None)))
+  }
+
+  test("HLL registers: merged per-source sketches equal the global sketch bit-for-bit") {
+    import graft.functions.Hll
+    val p = 8
+    val df = spark.range(5000).select((col("id") % 7).as("src"),
+      Hll.hllInput(col("id"), p).as("enc"))
+    val global = df.agg(Hll.hllRegistersAgg(col("enc"), p).as("sk"))
+      .select("sk").as[Array[Byte]].head()
+    val merged = df.groupBy("src").agg(Hll.hllRegistersAgg(col("enc"), p).as("sk"))
+      .agg(Hll.mergeRegistersAgg(col("sk"), p).as("sk"))
+      .select("sk").as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(global, merged))
+    // summarizeRegisters (pure-column decode) must agree with hllAgg
+    val viaRegisters = df.agg(Hll.hllRegistersAgg(col("enc"), p).as("sk"))
+      .select(Hll.summarizeRegisters(col("sk"), p).as("h"))
+      .select(col("h.vEmpty"), col("h.zScaled")).as[(Int, Long)].head()
+    val viaAgg = df.agg(Hll.hllAgg(col("enc"), p).as("h"))
+      .select(col("h.vEmpty"), col("h.zScaled")).as[(Int, Long)].head()
+    assert(viaRegisters == viaAgg)
+  }
+
+  test("Pareto frontier: strict dominance, ties kept out, representative is min id") {
+    // points: (x=len, y=rich). (5,9) dominates (5,7) and (3,9); (8,4) survives
+    // on x; (9,4) dominates (8,4) on equal y... no: equal y, higher x → (8,4)
+    // is dominated ONLY if rich <= a larger-x point's rich. The operator keeps
+    // strictly-greater-y going down in x.
+    val docs = Seq(
+      (1L, 9, "a b c d e f g h i"), (2L, 5, "a b c d e f g"),
+      (3L, 5, "a b c d e f g"), (4L, 3, "a b c d e f g h"),
+      (5L, 2, "a b")
+    ).toDF("doc_id", "n_chars", "text")
+    // rich = distinct tokens: doc1→9@x9, doc2/3→7@x5, doc4→8@x3, doc5→2@x2
+    // frontier: x9/rich9; x5 rich7 < 9 dominated; x3 rich8 < 9 dominated.
+    import org.apache.spark.sql.expressions.Window
+    val pts = docs.select(col("doc_id"), col("n_chars"),
+      size(array_distinct(split(col("text"), " "))).as("rich"))
+    val perX = Window.partitionBy("n_chars")
+    val g = pts.withColumn("_ymax", max(col("rich")).over(perX))
+      .filter(col("rich") === col("_ymax"))
+      .groupBy("n_chars").agg(max("rich").as("rich"), min("doc_id").as("rep_doc"))
+    val desc = Window.orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = g.withColumn("_prevmax", max(col("rich")).over(desc))
+      .filter(col("_prevmax").isNull || col("rich") > col("_prevmax"))
+      .select("n_chars", "rich", "rep_doc").as[(Int, Int, Long)].collect().toSet
+    assert(front == Set((9, 9, 1L)))
+  }
+
   test("HLL estimate within tolerance and invariant to partitioning") {
     val p = 8
     val n = 20000

@@ -20,7 +20,8 @@ class HarnessContractSpec extends AnyFunSuite {
     "q_extrinsic_export",    // camera extrinsic matrices (trig, golden-locked)
     "q_media_features",      // pure-JVM codec decode
     "q_media_resize",
-    "q_frame_sample")
+    "q_frame_sample",
+    "q_media_phash")     // perceptual hash over synthetic decoded media
 
   test("query names are globally unique across families") {
     val all = SparkEntry.families.flatMap(_.queries.keys)
