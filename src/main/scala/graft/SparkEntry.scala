@@ -27,7 +27,8 @@ object SparkEntry {
     MiscQueries,
     AnnotationQueries,
     ScaleQueries,
-    CurationQueries
+    CurationQueries,
+    EvalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

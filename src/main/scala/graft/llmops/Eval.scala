@@ -1,0 +1,173 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation / drift metrics for data-quality classifiers and corpus
+  * versions — the measurement half of a curation pipeline. Every filter
+  * in the curation chain (quality scores, language ID, dedup priorities)
+  * is implicitly a classifier; before a threshold ships, its ranking
+  * power (AUC), its agreement with existing labels (Cohen's kappa), and
+  * the distribution shift it induces (two-sample Kolmogorov–Smirnov)
+  * need numbers. All three are computed under the [[graft.queries.Det]]
+  * discipline pushed to its limit: EVERY sufficient statistic is an
+  * exact integer (tie-aware rank sums doubled to stay integral, CDF
+  * differences cross-multiplied instead of divided), and floating point
+  * enters only in the single final division — so the results
+  * hash-compare exactly against any other engine.
+  *
+  * Scale shape: each metric aggregates the data down to a bounded
+  * intermediate FIRST — (group, distinct score) for AUC, (group,
+  * distinct value) for KS, the label×label confusion for kappa, the key
+  * frequency table for skew — and runs its windows partitioned by the
+  * group key over that reduced table. Nothing windows over raw rows and
+  * nothing sorts globally. For continuous scores of unbounded
+  * cardinality, pre-bin (see [[TextStats.binnedQuantiles]]'s bin
+  * arithmetic); at the fixture's 2-decimal values the distinct table is
+  * already thousands of times smaller than the data.
+  */
+object Eval {
+
+  /** Tie-aware Mann–Whitney AUC of `score` ranking `label`, per group:
+    * P(score⁺ > score⁻) + ½·P(score⁺ = score⁻). Rank sums use average
+    * ranks for ties, kept integral by working with DOUBLED ranks: a tie
+    * block of size c starting after b items has average rank
+    * b + (c+1)/2, so 2·rank = 2b + c + 1 — every per-score contribution
+    * `pos·(2b + c + 1)` is a long. AUC = (2U)/(2·n⁺·n⁻) with
+    * 2U = Σ2ranks⁺ − n⁺(n⁺+1); NULL when a group is single-class.
+    *
+    * Two exchanges: one groupBy on (group, score), then the group-key
+    * window and final rollup share the second. Σ2ranks ≤ 2n² caps group
+    * size at ~2 billion rows before long overflow — beyond that, bin the
+    * score first (AUC over binned scores is AUC of the binned
+    * classifier, the honest quantity at that scale).
+    */
+  def aucByGroup(df: DataFrame, groupCols: Seq[String], score: Column,
+      label: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val g = df
+      .select(keys :+ score.as("_s") :+
+        when(label, 1L).otherwise(0L).as("_y"): _*)
+      .groupBy(keys :+ col("_s"): _*)
+      .agg(count(lit(1)).as("_cnt"), sum("_y").as("_pos"))
+    val w = Window.partitionBy(keys: _*).orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum("_cnt").over(w), lit(0L))
+    val sums = g
+      .withColumn("_c2", col("_pos") * (lit(2L) * cumBefore + col("_cnt") + lit(1L)))
+      .groupBy(keys: _*)
+      .agg(sum("_cnt").as("n"), sum("_pos").as("n_pos"), sum("_c2").as("_s2"))
+    val nNeg = col("n") - col("n_pos")
+    val u2 = col("_s2") - col("n_pos") * (col("n_pos") + lit(1L))
+    sums
+      .withColumn("auc",
+        when(col("n_pos") === 0L || nNeg === 0L, lit(null).cast("double"))
+          .otherwise(u2.cast("double")
+            / (lit(2.0) * (col("n_pos") * nNeg).cast("double"))))
+      .select(keys ++ Seq(col("n"), col("n_pos"), col("auc")): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group:
+    * D = max over values of |F_a(v) − F_b(v)|, the standard drift test
+    * between two corpus slices' value distributions. The CDF difference
+    * is held integral by cross-multiplying: |cumA·nB − cumB·nA| is a
+    * long, maxed exactly, divided by nA·nB once at the end. Rows
+    * matching neither side are ignored; a group missing one side yields
+    * NULL. Output: group keys, n_a, n_b, ks_scaled (the exact integer
+    * numerator), ks.
+    */
+  def ksByGroup(df: DataFrame, groupCols: Seq[String], value: Column,
+      sideA: Column, sideB: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val g = df
+      .select(keys :+ value.as("_v") :+
+        when(sideA, 1L).otherwise(0L).as("_a") :+
+        when(sideB, 1L).otherwise(0L).as("_b"): _*)
+      .filter(col("_a") + col("_b") > 0)
+      .groupBy(keys :+ col("_v"): _*)
+      .agg(sum("_a").as("_ca"), sum("_b").as("_cb"))
+    val run = Window.partitionBy(keys: _*).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(keys: _*)
+    g.withColumn("_cumA", sum("_ca").over(run))
+      .withColumn("_cumB", sum("_cb").over(run))
+      .withColumn("_nA", sum("_ca").over(tot))
+      .withColumn("_nB", sum("_cb").over(tot))
+      .withColumn("_d", abs(col("_cumA") * col("_nB") - col("_cumB") * col("_nA")))
+      .groupBy(keys: _*)
+      .agg(max("_nA").as("n_a"), max("_nB").as("n_b"),
+        max("_d").as("ks_scaled"))
+      .withColumn("ks",
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(col("ks_scaled").cast("double")
+            / (col("n_a") * col("n_b")).cast("double")))
+      .select(keys ++ Seq(col("n_a"), col("n_b"),
+        col("ks_scaled"), col("ks")): _*)
+  }
+
+  /** Cohen's kappa between two categorical labelings of the same rows —
+    * chance-corrected agreement, e.g. declared metadata vs a
+    * classifier's prediction. From the confusion matrix's integers:
+    * kappa = (N·agree − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k); both
+    * po and pe are also emitted (identical single divisions). NULL when
+    * pe = 1 (a degenerate single-label task). One shuffle on the label
+    * pair; everything downstream is label-vocabulary-sized.
+    */
+  def kappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cm = df.select(a.as("_a"), b.as("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_n"))
+    val tot = cm.agg(sum("_n").as("n_total"),
+      sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L)).as("n_agree"))
+    val rows = cm.groupBy("_a").agg(sum("_n").as("_ra"))
+    val cols = cm.groupBy("_b").agg(sum("_n").as("_cb"))
+    val prod = rows.join(cols, col("_a") === col("_b"))
+      .agg(coalesce(sum(col("_ra") * col("_cb")), lit(0L)).as("sum_prod"))
+    val den = col("n_total") * col("n_total") - col("sum_prod")
+    tot.crossJoin(prod)
+      .select(col("n_total"), col("n_agree"), col("sum_prod"),
+        (col("n_agree").cast("double") / col("n_total").cast("double")).as("po"),
+        (col("sum_prod").cast("double")
+          / (col("n_total") * col("n_total")).cast("double")).as("pe"),
+        when(den === 0L, lit(null).cast("double"))
+          .otherwise((col("n_total") * col("n_agree") - col("sum_prod"))
+            .cast("double") / den.cast("double")).as("kappa"))
+  }
+
+  /** Key-skew diagnostic per group: Gini coefficient plus top-1/top-10
+    * concentration of the key frequency distribution — the number that
+    * decides whether a join on this key needs salting
+    * ([[graft.operators.SkewJoin]]) before it falls over. Gini via the
+    * rank form G = Σᵢ(2i − n − 1)xᵢ / (n·Σx) over frequencies sorted
+    * ascending: the numerator is an exact long (tie order cancels — equal
+    * xᵢ make the coefficient sum over a tie block order-free), one
+    * division at the end. NULL keys are excluded (they are their own
+    * skew problem, visible in [[graft.catalog.Profiler]]). Both windows
+    * share the one exchange on the group key; everything runs on the
+    * |keys|-sized frequency table, never the raw rows.
+    */
+  def keySkew(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val freq = df.filter(col(keyCol).isNotNull)
+      .groupBy(keys :+ col(keyCol): _*)
+      .agg(count(lit(1)).as("_x"))
+    val asc = Window.partitionBy(keys: _*).orderBy(col("_x"), col(keyCol))
+    val desc = Window.partitionBy(keys: _*)
+      .orderBy(col("_x").desc, col(keyCol))
+    val i = row_number().over(asc).cast("long")
+    val r = row_number().over(desc).cast("long")
+    val nk = count(lit(1)).over(Window.partitionBy(keys: _*)).cast("long")
+    freq
+      .withColumn("_i", i).withColumn("_r", r).withColumn("_nk", nk)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_keys"), sum("_x").as("n_rows"),
+        sum((lit(2L) * col("_i") - col("_nk") - lit(1L)) * col("_x")).as("_gnum"),
+        sum(when(col("_r") === 1L, col("_x")).otherwise(0L)).as("_top1"),
+        sum(when(col("_r") <= 10L, col("_x")).otherwise(0L)).as("_top10"))
+      .select(keys ++ Seq(col("n_keys"), col("n_rows"),
+        (col("_gnum").cast("double")
+          / (col("n_keys") * col("n_rows")).cast("double")).as("gini"),
+        (col("_top1").cast("double") / col("n_rows").cast("double")).as("top1_share"),
+        (col("_top10").cast("double") / col("n_rows").cast("double")).as("top10_share")): _*)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.llmops.{Eval, TextStats}
+
+/** Evaluation / drift metrics (see [[graft.llmops.Eval]]): AUC of a
+  * quality signal, two-sample KS drift between corpus slices, Cohen's
+  * kappa between a label column and a classifier, and the key-skew
+  * (Gini / top-k concentration) diagnostic that decides when a join key
+  * needs [[graft.operators.SkewJoin]]. Every metric is integer-exact up
+  * to one final division, so all four hash-compare against DuckDB.
+  */
+object EvalQueries extends QueryFamily {
+
+  def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // Tie-aware Mann–Whitney AUC per source: how well does raw document
+    // length rank English documents? (The eval a length-based quality
+    // filter gets before its threshold ships.) n_chars has heavy ties —
+    // the doubled-rank tie handling is load-bearing, not decorative.
+    ("q_auc",
+      (s: SparkSession, d: String) => {
+        Eval.aucByGroup(Tables.documents(s, d), Seq("source"),
+            col("n_chars"), col("lang") === "en")
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+             |  SELECT source, n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+             |  FROM documents GROUP BY source, n_chars),
+             |c AS (
+             |  SELECT *, COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+             |  FROM g),
+             |a AS (
+             |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+             |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+             |    CAST(SUM(pos * (2 * cumb + cnt + 1)) AS BIGINT) AS s2
+             |  FROM c GROUP BY source)
+             |SELECT source, n, n_pos,
+             |  CASE WHEN n_pos = 0 OR n - n_pos = 0 THEN NULL
+             |       ELSE CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+             |            / (2.0 * CAST(n_pos * (n - n_pos) AS DOUBLE)) END AS auc
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // Two-sample KS drift per day: did the click-value distribution move
+    // away from the view-value distribution? The exact integer numerator
+    // (ks_scaled) is emitted next to the statistic — cross-multiplied
+    // CDFs, one division.
+    ("q_ks_drift",
+      (s: SparkSession, d: String) => {
+        Eval.ksByGroup(
+            Tables.events(s, d)
+              .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+            Seq("day"), col("value"),
+            col("event_type") === "click", col("event_type") === "view")
+          .orderBy("day")
+      },
+      Some("""WITH e AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day, value,
+             |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+             |  FROM events),
+             |g AS (
+             |  SELECT day, value, CAST(SUM(a) AS BIGINT) AS ca,
+             |    CAST(SUM(b) AS BIGINT) AS cb
+             |  FROM e WHERE a + b > 0 GROUP BY day, value),
+             |c AS (
+             |  SELECT day,
+             |    SUM(ca) OVER (PARTITION BY day ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+             |    SUM(cb) OVER (PARTITION BY day ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB,
+             |    SUM(ca) OVER (PARTITION BY day) AS nA,
+             |    SUM(cb) OVER (PARTITION BY day) AS nB
+             |  FROM g),
+             |a AS (
+             |  SELECT day, CAST(MAX(nA) AS BIGINT) AS n_a,
+             |    CAST(MAX(nB) AS BIGINT) AS n_b,
+             |    CAST(MAX(ABS(cumA * nB - cumB * nA)) AS BIGINT) AS ks_scaled
+             |  FROM c GROUP BY day)
+             |SELECT day, n_a, n_b, ks_scaled,
+             |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+             |       ELSE CAST(ks_scaled AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) END AS ks
+             |FROM a ORDER BY day""".stripMargin)),
+
+    // Cohen's kappa between the declared lang column and the marker
+    // lang-ID classifier (q_lang_id's predictor) — chance-corrected
+    // agreement, the honest version of "the classifier is 97% right"
+    // on a label distribution this lopsided.
+    ("q_kappa_langid",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Eval.kappa(docs, col("lang"),
+          TextStats.predictedLang(col("text"), LlmQueries.LangProfiles))
+      },
+      Some {
+        val profs = LlmQueries.LangProfiles.toSeq.sortBy(_._1)
+        val scoreExprs = profs.map { case (l, ws) =>
+          val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"CAST(len(list_filter(list_distinct(toks), x -> list_contains($list, x))) AS INT) AS s_$l"
+        }.mkString(",\n    ")
+        val langs = profs.map(_._1)
+        val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+        s"""WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+           |sc AS (SELECT lang, $scoreExprs FROM t),
+           |p AS (SELECT lang AS a, CASE $pick END AS b FROM sc),
+           |cm AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY a, b),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           |  CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS n_agree FROM cm),
+           |r AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM cm GROUP BY a),
+           |c AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cb FROM cm GROUP BY b),
+           |pr AS (SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS sum_prod
+           |  FROM r JOIN c ON a = b)
+           |SELECT n_total, n_agree, sum_prod,
+           |  CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS po,
+           |  CAST(sum_prod AS DOUBLE) / CAST(n_total * n_total AS DOUBLE) AS pe,
+           |  CASE WHEN n_total * n_total - sum_prod = 0 THEN NULL
+           |       ELSE CAST(n_total * n_agree - sum_prod AS DOUBLE)
+           |            / CAST(n_total * n_total - sum_prod AS DOUBLE) END AS kappa
+           |FROM tot, pr""".stripMargin
+      }),
+
+    // Key-skew diagnostic: Gini + top-1/top-10 concentration of user_id
+    // per event_type — the pre-join report that decides whether the key
+    // needs salting. Runs on the |keys|-sized frequency table only.
+    ("q_key_skew",
+      (s: SparkSession, d: String) => {
+        Eval.keySkew(Tables.events(s, d), Seq("event_type"), "user_id")
+          .orderBy("event_type")
+      },
+      Some("""WITH f AS (
+             |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type, user_id),
+             |w AS (
+             |  SELECT event_type, x,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS BIGINT) AS i,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY x DESC, user_id) AS BIGINT) AS r,
+             |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nk
+             |  FROM f),
+             |a AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |    CAST(SUM(x) AS BIGINT) AS n_rows,
+             |    CAST(SUM((2 * i - nk - 1) * x) AS BIGINT) AS gnum,
+             |    CAST(SUM(CASE WHEN r = 1 THEN x ELSE 0 END) AS BIGINT) AS top1,
+             |    CAST(SUM(CASE WHEN r <= 10 THEN x ELSE 0 END) AS BIGINT) AS top10
+             |  FROM w GROUP BY event_type)
+             |SELECT event_type, n_keys, n_rows,
+             |  CAST(gnum AS DOUBLE) / CAST(n_keys * n_rows AS DOUBLE) AS gini,
+             |  CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+             |  CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share
+             |FROM a ORDER BY event_type""".stripMargin))
+  )
+}

@@ -12,7 +12,7 @@ import graft.llmops.{TextStats, BpeTrainer, Dedup, HeavyHitters, KMeansOps, Prod
 object LlmQueries extends QueryFamily {
 
   private val Stopwords = Seq("the", "a", "of", "and", "in", "to")
-  private val LangProfiles = Map(
+  private[queries] val LangProfiles = Map(
     "de" -> Seq("der", "die", "das", "und"),
     "en" -> Seq("the", "a", "and", "of"),
     "es" -> Seq("el", "la", "los", "de"),

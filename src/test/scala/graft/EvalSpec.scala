@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llmops.Eval
+
+/** Hand-computed cases for the eval/drift metrics — the integer-exact
+  * rank/CDF arithmetic is easy to get subtly wrong (tie blocks, doubled
+  * ranks, cross-multiplied CDFs), so every branch gets a case small
+  * enough to verify on paper. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
+    val df = rows.map { case (s, y) => ("g", s, y) }.toDF("g", "s", "y")
+    Eval.aucByGroup(df, Seq("g"), col("s"), col("y"))
+      .select("auc").as[Option[Double]].head()
+  }
+
+  test("AUC: separable=1, anti-separable=0, all-tied=0.5, mixed=0.25") {
+    assert(auc(Seq((3.0, true), (4.0, true), (1.0, false), (2.0, false))) == Some(1.0))
+    assert(auc(Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))) == Some(0.0))
+    assert(auc(Seq((7.0, true), (7.0, true), (7.0, false), (7.0, false))) == Some(0.5))
+    // pos {1,3}, neg {2,4}: only (3 > 2) of the 4 pairs → 0.25
+    assert(auc(Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))) == Some(0.25))
+  }
+
+  test("AUC: single-class group is NULL; tie straddling classes counts half") {
+    assert(auc(Seq((1.0, true), (2.0, true))).isEmpty)
+    // pos {2}, neg {2}: one tied pair → 0.5
+    assert(auc(Seq((2.0, true), (2.0, false))) == Some(0.5))
+  }
+
+  private def ks(a: Seq[Double], b: Seq[Double]): (Long, Option[Double]) = {
+    val df = (a.map(("g", _, "a")) ++ b.map(("g", _, "b")))
+      .toDF("g", "v", "side")
+    Eval.ksByGroup(df, Seq("g"), col("v"),
+        col("side") === "a", col("side") === "b")
+      .select("ks_scaled", "ks").as[(Long, Option[Double])].head()
+  }
+
+  test("KS: identical=0, disjoint=1, interleaved=0.5, exact numerator") {
+    assert(ks(Seq(1, 2, 3), Seq(1, 2, 3)) == ((0L, Some(0.0))))
+    assert(ks(Seq(1, 2), Seq(3, 4)) == ((4L, Some(1.0))))
+    // a={1,2}, b={2,3}: max |cumA·nB − cumB·nA| = 2 at v∈{1,2} → 2/4
+    assert(ks(Seq(1, 2), Seq(2, 3)) == ((2L, Some(0.5))))
+  }
+
+  test("kappa: perfect=1, independent=0, degenerate single label=NULL") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(Eval.kappa(perfect, col("a"), col("b"))
+      .select("kappa").as[Option[Double]].head() == Some(1.0))
+    // uniform 2x2 confusion: po = pe = 0.5 → kappa = 0
+    val indep = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")).toDF("a", "b")
+    val r = Eval.kappa(indep, col("a"), col("b"))
+      .select("po", "pe", "kappa").as[(Double, Double, Option[Double])].head()
+    assert(r == ((0.5, 0.5, Some(0.0))))
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Eval.kappa(degen, col("a"), col("b"))
+      .select("kappa").as[Option[Double]].head().isEmpty)
+  }
+
+  test("keySkew: uniform gini=0; 97-1-1-1 gini=0.72, top shares exact") {
+    val uniform = (1 to 4).flatMap(k => Seq.fill(5)(("g", k.toLong))).toDF("g", "k")
+    val u = Eval.keySkew(uniform, Seq("g"), "k")
+      .select("n_keys", "n_rows", "gini", "top1_share")
+      .as[(Long, Long, Double, Double)].head()
+    assert(u == ((4L, 20L, 0.0, 0.25)))
+    val skewed = (Seq.fill(97)(("g", 4L)) ++ Seq(("g", 1L), ("g", 2L), ("g", 3L)))
+      .toDF("g", "k")
+    val s = Eval.keySkew(skewed, Seq("g"), "k")
+      .select("gini", "top1_share", "top10_share")
+      .as[(Double, Double, Double)].head()
+    // sorted asc x=(1,1,1,97), coeffs (2i−n−1)=(−3,−1,1,3) → 288/(4·100)
+    assert(s == ((0.72, 0.97, 1.0)))
+  }
+
+  test("keySkew: null keys excluded") {
+    val df = Seq(("g", Some(1L)), ("g", Some(1L)), ("g", None)).toDF("g", "k")
+    assert(Eval.keySkew(df, Seq("g"), "k")
+      .select("n_rows").as[Long].head() == 2L)
+  }
+}
