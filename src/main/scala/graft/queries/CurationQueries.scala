@@ -379,6 +379,63 @@ object CurationQueries extends QueryFamily {
              |  CAST(${Hll.alphaNumerator(8).toString} AS DOUBLE) / z_scaled AS raw_est,
              |  exact_distinct
              |FROM agg JOIN ex ON agg.event_type = ex.event_type
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Incremental histogram: per-source equi-width count vectors
+    // persisted, then UNIONED element-wise — the distribution analog of
+    // q_hll_incremental (drift dashboards / quantile thresholds over any
+    // batch subset without rescanning). The oracle recounts the GLOBAL
+    // histogram directly: merge-of-sums must equal sum-over-all, bin for
+    // bin, including the running CDF and the p50/p90/p99 bin indices
+    // derived from it. Width 0.625 = 5/8 is binary-exact, so the floor
+    // arithmetic replays identically in DuckDB.
+    ("q_hist_incremental",
+      (s: SparkSession, d: String) => {
+        import graft.functions.HistSketch
+        val nBins = 32
+        val perSource = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            HistSketch.binIndex(col("value"), 0.0, 0.625, nBins).as("b"))
+          .groupBy("event_type")
+          .agg(HistSketch.histAgg(col("b"), nBins).as("sk"))
+        val merged = perSource
+          .agg(count(lit(1)).as("n_sketches"),
+            HistSketch.mergeHistAgg(col("sk"), nBins).as("sk"))
+          .select(col("n_sketches"),
+            HistSketch.quantileBin(col("sk"), 50, nBins).as("p50_bin"),
+            HistSketch.quantileBin(col("sk"), 90, nBins).as("p90_bin"),
+            HistSketch.quantileBin(col("sk"), 99, nBins).as("p99_bin"),
+            posexplode(col("sk")).as(Seq("bin", "cnt")))
+        merged
+          .withColumn("cum", sum("cnt").over(
+            org.apache.spark.sql.expressions.Window.orderBy("bin")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .select("bin", "cnt", "cum", "n_sketches", "p50_bin", "p90_bin", "p99_bin")
+          .orderBy("bin")
+      },
+      Some("""WITH v AS (
+             |  SELECT LEAST(GREATEST(CAST(FLOOR(value / 0.625) AS INT), 0), 31) AS bin
+             |  FROM events WHERE value IS NOT NULL),
+             |bins AS (SELECT CAST(UNNEST(range(32)) AS INT) AS bin),
+             |c AS (
+             |  SELECT b.bin, CAST(COALESCE(n, 0) AS BIGINT) AS cnt
+             |  FROM bins b LEFT JOIN (SELECT bin, COUNT(*) AS n FROM v GROUP BY bin) g
+             |    ON b.bin = g.bin),
+             |cdf AS (
+             |  SELECT bin, cnt,
+             |    CAST(SUM(cnt) OVER (ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+             |q AS (
+             |  SELECT
+             |    CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS INT) AS p50_bin,
+             |    CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS INT) AS p90_bin,
+             |    CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS INT) AS p99_bin
+             |  FROM cdf),
+             |ns AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_sketches
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT bin, cnt, cum, n_sketches, p50_bin, p90_bin, p99_bin
+             |FROM cdf, q, ns ORDER BY bin""".stripMargin))
   )
 }

@@ -153,6 +153,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(front == Set((9, 9, 1L)))
   }
 
+  test("HistSketch: merged per-source sketches equal global recount bit-for-bit") {
+    import graft.functions.HistSketch
+    val nBins = 10
+    val df = spark.range(1000).select((col("id") % 7).as("src"),
+      (col("id") % 50).cast("double").as("v"))
+    def bin = HistSketch.binIndex(col("v"), 0.0, 5.0, nBins)
+    val global = df.agg(HistSketch.histAgg(bin, nBins).as("sk"))
+      .select("sk").as[Array[Long]].head()
+    val merged = df.select(col("src"), bin.as("b"))
+      .groupBy("src").agg(HistSketch.histAgg(col("b"), nBins).as("sk"))
+      .agg(HistSketch.mergeHistAgg(col("sk"), nBins).as("sk"))
+      .select("sk").as[Array[Long]].head()
+    assert(java.util.Arrays.equals(global, merged))
+    assert(merged.sum == 1000L && merged.forall(_ == 100L))
+  }
+
+  test("HistSketch: quantile bins from a uniform sketch; clamping; width guard") {
+    import graft.functions.HistSketch
+    val df = spark.range(1000)
+      .select((col("id") % 50).cast("double").as("v"))
+    val sk = df.agg(HistSketch.histAgg(
+        HistSketch.binIndex(col("v"), 0.0, 5.0, 10), 10).as("sk"))
+    val q = sk.select(
+        HistSketch.quantileBin(col("sk"), 50, 10),
+        HistSketch.quantileBin(col("sk"), 90, 10),
+        HistSketch.quantileBin(col("sk"), 99, 10),
+        HistSketch.quantileBin(col("sk"), 100, 10))
+      .as[(Int, Int, Int, Int)].head()
+    assert(q == ((4, 8, 9, 9)))
+    // out-of-range values clamp into edge bins
+    val edges = Seq(-5.0, 999.0).toDF("v")
+      .select(HistSketch.binIndex(col("v"), 0.0, 5.0, 10).as("b"))
+      .as[Int].collect().sorted
+    assert(edges.toSeq == Seq(0, 9))
+    // mismatched sketch width fails loudly, not silently
+    val bad = Seq(Array(1L, 2L)).toDF("sk")
+    intercept[Exception] {
+      bad.agg(HistSketch.mergeHistAgg(col("sk"), 10)).collect()
+    }
+  }
+
   test("HLL estimate within tolerance and invariant to partitioning") {
     val p = 8
     val n = 20000
