@@ -39,7 +39,8 @@ object DumpGolden {
     // PPM/WAV/Y4M containers) through the real pure-JVM codecs — byte-exact
     // goldens stand in for the missing SQL oracle (binary plumbing has no
     // DuckDB analog)
-    "q_media_features", "q_media_resize", "q_frame_sample", "q_media_phash")
+    "q_media_features", "q_media_resize", "q_frame_sample", "q_media_phash",
+    "q_media_ahash")
 
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "src/test/resources/golden"

@@ -162,18 +162,66 @@ object Multimodal {
     * i exceeds the raster mean. Shift-robust the way crop/rescale-robust
     * image dedup needs (aHash); the decode is the only non-Catalyst step.
     * Output: (media_id, phash). */
-  def perceptualHash(media: DataFrame): DataFrame = {
-    val r = resize(media, 8, 8).select(col("media_id"), col("pixels"))
-    val mean = aggregate(col("pixels"), lit(0.0d), (a, x) => a + x) /
-      size(col("pixels"))
-    r.withColumn("_mean", mean)
+  def perceptualHash(media: DataFrame): DataFrame =
+    bitsAboveMean(resize(media, 8, 8)
+      .select(col("media_id"), col("pixels").as("vals")))
+
+  /** Shared aHash bit-packing: 64-bit code with bit i set iff vals[i]
+    * exceeds the vector mean — pure column arithmetic over any 64-value
+    * feature raster (image luma, audio envelope). */
+  private def bitsAboveMean(df: DataFrame): DataFrame = {
+    val mean = aggregate(col("vals"), lit(0.0d), (a, x) => a + x) /
+      size(col("vals"))
+    df.withColumn("_mean", mean)
       .withColumn("phash",
         aggregate(sequence(lit(0), lit(63)), lit(0L),
           (acc, i) => acc + when(
-            element_at(col("pixels"), i + 1) > col("_mean"),
+            element_at(col("vals"), i + 1) > col("_mean"),
             call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
       .select("media_id", "phash")
   }
+
+  private val envelopeSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("env", ArrayType(FloatType))))
+
+  /** Mean-|amplitude| envelope (nWindows equal buckets) per audio row —
+    * the one decode pass behind [[audioHash]]. Undecodable rows are
+    * dropped (flatMap; quarantine via [[extractFeatures]]' meta_ok first
+    * if lineage matters). */
+  def audioEnvelope(media: DataFrame, nWindows: Int): DataFrame = {
+    implicit val enc = Encoders.row(envelopeSchema)
+    media.filter(col("kind") === "audio")
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.Wav.decode(r.getAs[Array[Byte]]("payload")).map { a =>
+            val s = Codecs.Wav.normalized(a)
+            val env = new Array[Float](nWindows)
+            val w = math.max(s.length / nWindows, 1)
+            var b = 0
+            while (b < nWindows) {
+              var acc = 0.0; var n = 0; var i = b * w
+              val end = math.min((b + 1) * w, s.length)
+              while (i < end) { acc += math.abs(s(i)); n += 1; i += 1 }
+              env(b) = if (n == 0) 0f else (acc / n).toFloat
+              b += 1
+            }
+            Row(r.getAs[Long]("media_id"), env)
+          }
+        }
+      }
+  }
+
+  /** 64-bit audio fingerprint: energy-envelope aHash — bit i set iff
+    * window i's mean |amplitude| exceeds the clip mean. Gain-robust
+    * up to the mean threshold (uniform rescale preserves every
+    * comparison), loudness-profile-sensitive — the cheap first-pass
+    * audio near-dup code; pair search reuses [[phashNearDups]].
+    * Output: (media_id, phash). */
+  def audioHash(media: DataFrame): DataFrame =
+    bitsAboveMean(audioEnvelope(media, 64)
+      .select(col("media_id"), col("env").as("vals")))
 
   /** Hamming-banded near-duplicate image pairs over perceptual hashes:
     * 4×16-bit pigeonhole bands (any pair within ≤3·16 bit flips shares a

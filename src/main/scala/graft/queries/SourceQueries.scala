@@ -185,6 +185,22 @@ object SourceQueries extends QueryFamily {
           .na.fill(0L, Seq("n_near"))
           .orderBy("media_id")
       },
+      None),
+
+    // Multimodal — audio energy-envelope fingerprint: the WAV analog of
+    // q_media_phash (one decode pass → 64-window envelope → aHash bits →
+    // the same Hamming-banded pair search). Golden locks every code.
+    ("q_media_ahash",
+      (s: SparkSession, d: String) => {
+        val h = Multimodal.audioHash(Multimodal.syntheticMedia(s, 64))
+        val pairs = Multimodal.phashNearDups(h, maxDist = 10)
+        val cnt = pairs.select(col("id_a").as("media_id"))
+          .union(pairs.select(col("id_b").as("media_id")))
+          .groupBy("media_id").agg(count(lit(1)).as("n_near"))
+        h.join(cnt, Seq("media_id"), "left")
+          .na.fill(0L, Seq("n_near"))
+          .orderBy("media_id")
+      },
       None)
   )
 }

@@ -178,6 +178,36 @@ object StreamingQueries extends QueryFamily {
              |       ELSE abs((CAST(q AS DOUBLE) - mean) / sd) > 3.0 END AS is_outlier
              |FROM y ORDER BY event_id""".stripMargin)),
 
+    // CUSUM change-point alarms per user series: catches a small
+    // SUSTAINED upward shift the per-point z-score never sees. The
+    // recurrence (s depends on previous s, with post-alarm reset) runs
+    // as the rate-clamp-style ordered scan; the oracle replays it as a
+    // recursive CTE with the identical per-step operation tree, so the
+    // accumulator doubles hash-compare exactly.
+    ("q_cusum",
+      (s: SparkSession, d: String) => {
+        graft.streaming.ChangePoint.cusum(
+            Tables.events(s, d), seqCol = "user_id",
+            orderCols = Seq("ts", "event_id"), valueCol = "value",
+            k = 60.0, h = 120.0)
+          .orderBy("seq", "idx")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS seq,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS idx,
+             |    value AS x
+             |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+             |r(seq, idx, value, s, alarm) AS (
+             |  SELECT seq, idx, x, greatest(0.0, 0.0 + (x - 60.0)),
+             |    greatest(0.0, 0.0 + (x - 60.0)) >= 120.0
+             |  FROM t WHERE idx = 1
+             |  UNION ALL
+             |  SELECT t.seq, t.idx, t.x,
+             |    greatest(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s END) + (t.x - 60.0)),
+             |    greatest(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s END) + (t.x - 60.0)) >= 120.0
+             |  FROM r JOIN t ON t.seq = r.seq AND t.idx = r.idx + 1)
+             |SELECT seq, idx, value, s, alarm FROM r ORDER BY seq, idx""".stripMargin)),
+
     ("q_minute_summary",
       (s: SparkSession, d: String) => {
         graft.streaming.Monitor.minuteSummary(Tables.events(s, d), "ts", "event_type")

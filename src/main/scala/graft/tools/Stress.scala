@@ -193,7 +193,12 @@ object Stress {
     // compaction / trend (window-over-key shapes expected ~linear),
     // blocking linkage (block-sized equi-join products)
     "q_triangle_count", "q_scd2", "q_compaction_plan", "q_group_trend",
-    "q_record_linkage")
+    "q_record_linkage",
+    // eval metrics (windows over bounded distinct-value tables — the
+    // measurement shows the reduce-first shape holds when the raw input
+    // is 64×) and the mergeable histogram (fixed nBins state per group)
+    "q_auc", "q_ks_drift", "q_kappa_langid", "q_key_skew",
+    "q_hist_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

@@ -74,6 +74,30 @@ class EvalSpec extends SparkSpec {
     assert(s == ((0.72, 0.97, 1.0)))
   }
 
+  test("CUSUM: accumulation, alarm, post-alarm reset — hand-computed") {
+    import graft.streaming.ChangePoint
+    // k=5, h=6: xs = 8,7,4,9,3 → s = 3, 5, 4, 8(ALARM→reset), 0
+    val df = Seq((1L, 1L, 8.0), (1L, 2L, 7.0), (1L, 3L, 4.0),
+      (1L, 4L, 9.0), (1L, 5L, 3.0)).toDF("u", "i", "x")
+    val out = ChangePoint.cusum(df, "u", Seq("i"), "x", k = 5.0, h = 6.0)
+      .orderBy("idx").select("s", "alarm")
+      .as[(Double, Boolean)].collect().toSeq
+    assert(out == Seq((3.0, false), (5.0, false), (4.0, false),
+      (8.0, true), (0.0, false)))
+  }
+
+  test("CUSUM: series isolated across keys and invariant to input partitioning") {
+    import graft.streaming.ChangePoint
+    val rnd = new scala.util.Random(11)
+    val rows = for (u <- 1L to 20L; i <- 1L to 50L)
+      yield (u, i, rnd.nextInt(1000) / 100.0)
+    def run(parts: Int) =
+      ChangePoint.cusum(rows.toDF("u", "i", "x").repartition(parts),
+          "u", Seq("i"), "x", k = 5.0, h = 8.0)
+        .orderBy("seq", "idx").collect().toSeq
+    assert(run(1) == run(17))
+  }
+
   test("keySkew: null keys excluded") {
     val df = Seq(("g", Some(1L)), ("g", Some(1L)), ("g", None)).toDF("g", "k")
     assert(Eval.keySkew(df, Seq("g"), "k")

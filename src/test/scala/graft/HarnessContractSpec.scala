@@ -21,7 +21,8 @@ class HarnessContractSpec extends AnyFunSuite {
     "q_media_features",      // pure-JVM codec decode
     "q_media_resize",
     "q_frame_sample",
-    "q_media_phash")     // perceptual hash over synthetic decoded media
+    "q_media_phash",     // perceptual hash over synthetic decoded media
+    "q_media_ahash")     // audio envelope fingerprint over synthetic media
 
   test("query names are globally unique across families") {
     val all = SparkEntry.families.flatMap(_.queries.keys)

@@ -36,6 +36,25 @@ class PhashSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  private def wavRow(id: Long, samples: Array[Short]) =
+    (id, "audio", Codecs.Wav.encode(16000, samples), 0, 0, 16000, 0)
+
+  test("audio hash: identical clips match; gain rescale preserves it; noise breaks it") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate[Short](16000)(i =>
+      ((math.sin(i / 50.0) * 8000 + rnd.nextInt(800)).toShort))
+    val gained = base.map(s => (s / 2).toShort) // uniform gain change
+    val noise = Array.tabulate[Short](16000)(_ => (rnd.nextInt(16000) - 8000).toShort)
+    val df = mediaDf(Seq(wavRow(1, base), wavRow(2, base.clone()),
+      wavRow(3, gained), wavRow(4, noise)))
+    val h = Multimodal.audioHash(df).as[(Long, Long)].collect().toMap
+    assert(h(1) == h(2))
+    // halving every sample halves every window mean AND the clip mean —
+    // each comparison is preserved up to int16 truncation jitter
+    assert(java.lang.Long.bitCount(h(1) ^ h(3)) <= 4)
+    assert(java.lang.Long.bitCount(h(1) ^ h(4)) > 10)
+  }
+
   test("banded candidates equal brute force at the pigeonhole bound") {
     val rnd = new scala.util.Random(9)
     val hashes = (1L to 200L).map(i => (i, rnd.nextLong())).toDF("media_id", "phash")
