@@ -99,6 +99,57 @@ object CatalogQueries extends QueryFamily {
              |  MIN(c_mktsegment), MAX(c_mktsegment) FROM t
              |ORDER BY "column"""".stripMargin)),
 
+    // Profile drift between two corpus snapshots (here: documents before
+    // vs after a length cut — the post-curation regression check): per
+    // column, row/null/distinct deltas and whether the min/max moved.
+    // Two one-pass profiles joined on the column name — the report a
+    // catalog publishes next to every new corpus version.
+    ("q_profile_drift",
+      (s: SparkSession, d: String) => {
+        val cols = Seq("doc_id", "lang", "source", "n_chars")
+        val docs = Tables.documents(s, d)
+        val v1 = Profiler.profile(docs, cols)
+          .select(col("column"), col("n_rows").as("n_rows_v1"),
+            col("n_nulls").as("nulls_v1"), col("n_distinct").as("dist_v1"),
+            col("min_value").as("min_v1"), col("max_value").as("max_v1"))
+        val v2 = Profiler.profile(docs.filter(col("n_chars") >= 100), cols)
+          .select(col("column"), col("n_rows").as("n_rows_v2"),
+            col("n_nulls").as("nulls_v2"), col("n_distinct").as("dist_v2"),
+            col("min_value").as("min_v2"), col("max_value").as("max_v2"))
+        v1.join(v2, "column")
+          .select(col("column"), col("n_rows_v1"), col("n_rows_v2"),
+            (col("nulls_v2") - col("nulls_v1")).as("nulls_delta"),
+            (col("dist_v2") - col("dist_v1")).as("distinct_delta"),
+            (!col("min_v1").eqNullSafe(col("min_v2"))).as("min_changed"),
+            (!col("max_v1").eqNullSafe(col("max_v2"))).as("max_changed"))
+          .orderBy("column")
+      },
+      Some {
+        def profileSql(src: String, tag: String) = {
+          def block(c: String, stringable: Boolean) = {
+            val minMax = if (stringable)
+              s"CAST(MIN($c) AS VARCHAR) AS min_value, CAST(MAX($c) AS VARCHAR) AS max_value"
+            else "CAST(NULL AS VARCHAR) AS min_value, CAST(NULL AS VARCHAR) AS max_value"
+            s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows_$tag,
+               |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$tag,
+               |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS dist_$tag,
+               |  $minMax FROM $src""".stripMargin
+          }
+          Seq(block("doc_id", true), block("lang", true),
+            block("source", true), block("n_chars", true))
+            .mkString("\nUNION ALL\n")
+        }
+        s"""WITH v1 AS (${profileSql("documents", "v1")}),
+           |v2 AS (${profileSql("(SELECT * FROM documents WHERE n_chars >= 100)", "v2")})
+           |SELECT v1."column", n_rows_v1, n_rows_v2,
+           |  CAST(nulls_v2 - nulls_v1 AS BIGINT) AS nulls_delta,
+           |  CAST(dist_v2 - dist_v1 AS BIGINT) AS distinct_delta,
+           |  NOT (v1.min_value IS NOT DISTINCT FROM v2.min_value) AS min_changed,
+           |  NOT (v1.max_value IS NOT DISTINCT FROM v2.max_value) AS max_changed
+           |FROM v1 JOIN v2 ON v1."column" = v2."column"
+           |ORDER BY v1."column"""".stripMargin
+      }),
+
     // SCD type 2: the history-preserving dimension build next to the
     // SCD1 upsert below — per-user status runs from the event change log
     // (consecutive duplicates collapsed, half-open validity intervals,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.llmops.{TextStats, BpeTrainer, Dedup, HeavyHitters, KMeansOps, ProductQuantization, Similarity}
+import graft.llmops.{TextStats, BpeTrainer, Dedup, HeavyHitters, KMeansOps, ProductQuantization, Similarity, SparseSim}
 
 /** Training-data pipeline family (builder-prompt extensions): text
   * analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
@@ -2053,6 +2053,48 @@ object LlmQueries extends QueryFamily {
              |    ORDER BY score DESC, term ASC) AS INT) AS rank FROM scored)
              |SELECT doc_id, term, tf, df, score, rank
              |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Sparse lexical similarity search: IDF-weighted cosine top-3 via an
+    // inverted index with df-window pruning — catches shared-vocabulary
+    // similarity where shingles break (reordering) and no embedding
+    // model is in the loop. Integer numerator, one float division +
+    // sqrt at the end (identical operation tree in the oracle).
+    ("q_sparse_topk",
+      (s: SparkSession, d: String) => {
+        SparseSim.cosineTopK(Tables.documents(s, d), "doc_id", "text",
+            k = 3, maxDf = 50L)
+          .orderBy("id", "rank")
+      },
+      Some("""WITH post AS (
+             |  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+             |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents) t
+             |  WHERE term <> '' GROUP BY id, term),
+             |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+             |w AS (
+             |  SELECT term, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w FROM d
+             |  WHERE df BETWEEN 2 AND 50),
+             |wp AS (SELECT p.id, p.term, p.tf, w.w FROM post p JOIN w USING (term)),
+             |norms AS (SELECT id, CAST(SUM(tf * tf * w) AS BIGINT) AS s2
+             |  FROM wp GROUP BY id),
+             |pairs AS (
+             |  SELECT a.id AS id_a, b.id AS id_b,
+             |    CAST(SUM(a.tf * b.tf * a.w) AS BIGINT) AS score_num
+             |  FROM wp a JOIN wp b ON a.term = b.term AND a.id < b.id
+             |  GROUP BY 1, 2),
+             |sym AS (
+             |  SELECT id_a AS id, id_b AS neighbor, score_num FROM pairs
+             |  UNION ALL SELECT id_b, id_a, score_num FROM pairs),
+             |sc AS (
+             |  SELECT s.id, s.neighbor, s.score_num,
+             |    CAST(s.score_num AS DOUBLE)
+             |      / sqrt(CAST(na.s2 AS DOUBLE) * CAST(nb.s2 AS DOUBLE)) AS cosine
+             |  FROM sym s JOIN norms na ON s.id = na.id
+             |    JOIN norms nb ON s.neighbor = nb.id),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY id
+             |  ORDER BY cosine DESC, neighbor) AS INT) AS rank FROM sc)
+             |SELECT id, neighbor, score_num, cosine, rank FROM r WHERE rank <= 3
+             |ORDER BY id, rank""".stripMargin)),
 
     // Corpus vocabulary: token frequencies, deterministic top-50
     // (freq desc, token asc). Explode → partial-agg count → global top-k;

@@ -6,6 +6,23 @@ import graft.llmops.{Dedup, HeavyHitters, Pipelines, Similarity, TextStats}
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("SparseSim: identical docs cosine exactly 1; df-1 terms prune; top-k order") {
+    import graft.llmops.SparseSim
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "a b c"), (4L, "x q r"))
+      .toDF("doc_id", "text")
+    val out = SparseSim.cosineTopK(docs, "doc_id", "text", k = 3, maxDf = 10L)
+      .select("id", "neighbor", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // doc 3 shares no df≥2 term with anyone → absent entirely
+    assert(!out.exists(r => r._1 == 3L || r._2 == 3L))
+    // identical term multisets → exact cosine 1.0 (integer norms, exact sqrt)
+    val top1 = out.filter(r => r._1 == 1L && r._4 == 1).head
+    assert(top1._2 == 2L && top1._3 == 1.0)
+    // doc 4 shares only 'x' (df=3) with 1 and 2; cosine strictly < 1
+    val four = out.filter(_._1 == 4L)
+    assert(four.map(_._2).toSet == Set(1L, 2L) && four.forall(_._3 < 1.0))
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
     "into the green hills tonight while the pale moon rises slowly above the quiet " +
     "valley casting long silver shadows across the sleeping meadow below the ridge"
