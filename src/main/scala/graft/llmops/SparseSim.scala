@@ -29,24 +29,43 @@ import org.apache.spark.sql.functions._
   */
 object SparseSim {
 
-  /** (id, term, tf) postings from whitespace-tokenized text. */
-  def tfPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
+  /** (id, term, tf) postings from whitespace-tokenized text; `ngram > 1`
+    * makes the terms space-joined word n-grams — on a small-vocabulary
+    * corpus unigram dfs saturate (every word is a stopword) and the df
+    * window prunes everything, while n-grams restore a long-tailed df
+    * profile (the same reason the dedup family shingles). The
+    * descending-`sequence` guard matters: a doc shorter than `ngram`
+    * must yield no terms, not a backwards index range. */
+  def tfPostings(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 1): DataFrame = {
+    require(ngram >= 1)
+    val toks = split(col(textCol), " ")
+    val terms =
+      if (ngram == 1) filter(toks, t => t =!= "")
+      else when(size(toks) >= ngram,
+        transform(sequence(lit(1), size(toks) - (ngram - 1)),
+          i => array_join(slice(toks, i, lit(ngram)), " ")))
+        .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("id"), explode(terms).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+  }
 
   /** Top-k IDF-weighted cosine neighbors per document.
     * Output: (id, neighbor, score_num, cosine, rank) — `score_num` is
     * the exact integer numerator, kept for auditability. */
   def cosineTopK(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDf: Long): DataFrame = {
+      k: Int, maxDf: Long, ngram: Int = 1): DataFrame = {
     require(k >= 1 && maxDf >= 2)
-    val post = tfPostings(docs, idCol, textCol)
+    val post = tfPostings(docs, idCol, textCol, ngram)
     val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
-    val wpost = post.join(df_, "term")
+    // Three consumers (both join sides + norms) each re-derive the
+    // weighted postings otherwise, and the derivation includes a
+    // corpus-sized shuffle (the tf groupBy) — materialize-once applies
+    // (measured at 64× sf0.1 on the unigram form: 27.5 s unmaterialized
+    // → 11.1 s; the bigram form keeps the same three-consumer shape).
+    val wpost = post.join(df_, "term").localCheckpoint(true)
     // self-norms over the SAME df-pruned weighted postings the pair
     // scores use — cosine is then exact over the pruned vector space
     val norms = wpost.groupBy("id")
@@ -73,5 +92,55 @@ object SparseSim {
     scored.withColumn("rank", row_number().over(top))
       .filter(col("rank") <= k)
       .select("id", "neighbor", "score_num", "cosine", "rank")
+  }
+
+  /** BM25-style query→corpus retrieval, log-free: the standard tf
+    * saturation and length normalization with the rational IDF weight
+    * floor(1e6/df) in place of the usual log — `ln` is the one
+    * operation whose low bits differ across engines/libms, and the
+    * rational weight preserves the monotone rare-term preference the
+    * log encodes (this library's lift-not-PMI discipline). Each
+    * per-term score is ONE double operation tree, micro-quantized to an
+    * integer (`round(w·sat)`, the q_zscore device), so the per-document
+    * sum is an exact long regardless of aggregation order.
+    *
+    * Scale shape: the query side (terms of the query SET) broadcasts;
+    * corpus postings stream through one term join, score in one
+    * (query, doc) aggregation, and rank in one query-keyed window. The
+    * df window is the same candidate-volume knob as [[cosineTopK]]'s.
+    */
+  def bm25Retrieve(queries: DataFrame, qIdCol: String, qTextCol: String,
+      corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: Long, ngram: Int = 1,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && maxDf >= 1)
+    // Three consumers (lens, df, the scoring join) — same
+    // materialize-once case as cosineTopK's wpost: the postings
+    // derivation is a corpus-sized shuffle.
+    val post = tfPostings(corpus, idCol, textCol, ngram).localCheckpoint(true)
+    val lens = post.groupBy("id").agg(sum("tf").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_tokens"))
+    val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
+    val qterms = tfPostings(queries, qIdCol, qTextCol, ngram)
+      .select(col("id").as("qid"), col("term")).distinct()
+    val lenRatio = (col("len") * col("n_docs")).cast("double") /
+      col("total_tokens").cast("double")
+    val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * lenRatio))
+    val scored = post.join(df_, "term")
+      .join(broadcast(qterms), "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_ts", round(col("w").cast("double") * sat).cast("long"))
+      .groupBy("qid", "id")
+      .agg(sum("_ts").as("score_scaled"), count(lit(1)).as("n_terms"))
+    val top = Window.partitionBy("qid")
+      .orderBy(col("score_scaled").desc, col("id"))
+    scored.withColumn("rank", row_number().over(top))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "score_scaled", "n_terms", "rank")
   }
 }

@@ -2055,21 +2055,25 @@ object LlmQueries extends QueryFamily {
              |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
 
     // Sparse lexical similarity search: IDF-weighted cosine top-3 via an
-    // inverted index with df-window pruning — catches shared-vocabulary
-    // similarity where shingles break (reordering) and no embedding
-    // model is in the loop. Integer numerator, one float division +
-    // sqrt at the end (identical operation tree in the oracle).
+    // inverted index with df-window pruning, over word BIGRAMS — on this
+    // fixture's 31-word vocabulary every unigram is a stopword (df 24..393
+    // of 500 docs) and the df window would rightly prune them all; bigrams
+    // restore the long-tailed profile lexical search needs (915 terms,
+    // df ≤ 45). Integer numerator, one float division + sqrt at the end
+    // (identical operation tree in the oracle).
     ("q_sparse_topk",
       (s: SparkSession, d: String) => {
         SparseSim.cosineTopK(Tables.documents(s, d), "doc_id", "text",
-            k = 3, maxDf = 50L)
+            k = 3, maxDf = 50L, ngram = 2)
           .orderBy("id", "rank")
       },
       Some("""WITH post AS (
              |  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
-             |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+             |    SELECT doc_id AS id, unnest(list_transform(
+             |      range(1, greatest(len(string_split(text, ' ')), 1)),
+             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
              |    FROM documents) t
-             |  WHERE term <> '' GROUP BY id, term),
+             |  GROUP BY id, term),
              |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
              |w AS (
              |  SELECT term, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w FROM d
@@ -2095,6 +2099,57 @@ object LlmQueries extends QueryFamily {
              |  ORDER BY cosine DESC, neighbor) AS INT) AS rank FROM sc)
              |SELECT id, neighbor, score_num, cosine, rank FROM r WHERE rank <= 3
              |ORDER BY id, rank""".stripMargin)),
+
+    // BM25-style retrieval (rational IDF, exact integer sums): the first
+    // 10 documents as queries against the rest of the corpus — the
+    // decontamination / retrieval scorer with tf saturation + length
+    // normalization. Per-term scores micro-quantize to longs, so the
+    // per-doc sum is order-free.
+    ("q_bm25",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        SparseSim.bm25Retrieve(
+            docs.filter(col("doc_id") < 10), "doc_id", "text",
+            docs.filter(col("doc_id") >= 10), "doc_id", "text",
+            k = 5, maxDf = 50L, ngram = 2)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        val (k1p1, oneMb) = ((k1 + 1.0).toString, (1.0 - b).toString)
+        s"""WITH post AS (
+           |  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+           |    SELECT doc_id AS id, unnest(list_transform(
+           |      range(1, greatest(len(string_split(text, ' ')), 1)),
+           |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
+           |    FROM documents WHERE doc_id >= 10) t
+           |  GROUP BY id, term),
+           |lens AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS len FROM post GROUP BY id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(len) AS BIGINT) AS total_tokens FROM lens),
+           |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+           |w AS (SELECT term, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w
+           |  FROM d WHERE df <= 50),
+           |q AS (SELECT DISTINCT qid, term FROM (
+           |    SELECT doc_id AS qid, unnest(list_transform(
+           |      range(1, greatest(len(string_split(text, ' ')), 1)),
+           |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
+           |    FROM documents WHERE doc_id < 10) t),
+           |cand AS (
+           |  SELECT q.qid, p.id, CAST(round(CAST(w.w AS DOUBLE) *
+           |      ((CAST(p.tf AS DOUBLE) * $k1p1) /
+           |       (CAST(p.tf AS DOUBLE) + $k1 * ($oneMb + $b *
+           |        (CAST(l.len * s.n_docs AS DOUBLE)
+           |         / CAST(s.total_tokens AS DOUBLE)))))) AS BIGINT) AS ts
+           |  FROM post p JOIN w USING (term) JOIN q USING (term)
+           |    JOIN lens l ON p.id = l.id, stats s),
+           |sc AS (SELECT qid, id, CAST(SUM(ts) AS BIGINT) AS score_scaled,
+           |  CAST(COUNT(*) AS BIGINT) AS n_terms FROM cand GROUP BY qid, id),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+           |  ORDER BY score_scaled DESC, id) AS INT) AS rank FROM sc)
+           |SELECT qid, id, score_scaled, n_terms, rank FROM r WHERE rank <= 5
+           |ORDER BY qid, rank""".stripMargin
+      }),
 
     // Corpus vocabulary: token frequencies, deterministic top-50
     // (freq desc, token asc). Explode → partial-agg count → global top-k;

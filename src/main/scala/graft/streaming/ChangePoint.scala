@@ -27,6 +27,49 @@ import org.apache.spark.sql.types._
   */
 object ChangePoint {
 
+  case class MetricEvent(key: String, tsMillis: Long, value: Double)
+  case class CusumState(s: Double, lastTs: Long)
+  case class CusumAlarm(key: String, tsMillis: Long, value: Double, s: Double)
+
+  /** Streaming CUSUM: the same recurrence as [[cusum]] running live over
+    * a metric stream via flatMapGroupsWithState — emits one row per
+    * ALARM (append mode), carrying the accumulator across micro-batches
+    * in 16 bytes of state per key. Within a batch events sort by
+    * timestamp; an event at-or-before the last applied timestamp is
+    * dropped (the [[graft.operators.Funnel]] late-data convention —
+    * monotone per key, replays ignored). Parity with the batch scan is
+    * asserted across arbitrary micro-batch splits in StreamingSpec. */
+  def cusumAlarmStream(events: org.apache.spark.sql.Dataset[MetricEvent],
+      k: Double, h: Double): org.apache.spark.sql.Dataset[CusumAlarm] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val aEnc = E.product[CusumAlarm]
+    implicit val sEnc = E.product[CusumState]
+    events.groupByKey(_.key)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(advanceCusum(k, h))
+  }
+
+  private[graft] def advanceCusum(k: Double, h: Double)(
+      key: String,
+      events: Iterator[MetricEvent],
+      state: org.apache.spark.sql.streaming.GroupState[CusumState])
+      : Iterator[CusumAlarm] = {
+    val prev = state.getOption.getOrElse(CusumState(0.0, Long.MinValue))
+    var s = prev.s
+    var lastTs = prev.lastTs
+    val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlarm]
+    events.toSeq.sortBy(_.tsMillis).foreach { e =>
+      if (e.tsMillis > lastTs) {
+        lastTs = e.tsMillis
+        s = math.max(0.0, s + (e.value - k))
+        if (s >= h) { out += CusumAlarm(key, e.tsMillis, e.value, s); s = 0.0 }
+      }
+    }
+    state.update(CusumState(s, lastTs))
+    out.iterator
+  }
+
   /** (seq, idx, value, s, alarm) per input row; `idx` is the 1-based
     * position in the (orderCols)-sorted series. Null values or keys are
     * dropped (a null metric is upstream's data-quality problem;

@@ -198,7 +198,11 @@ object Stress {
     // measurement shows the reduce-first shape holds when the raw input
     // is 64×) and the mergeable histogram (fixed nBins state per group)
     "q_auc", "q_ks_drift", "q_kappa_langid", "q_key_skew",
-    "q_hist_incremental")
+    "q_hist_incremental",
+    // lexical inverted-index search: candidate volume is Σ df² over the
+    // df-window — the measurement shows whether the window keeps the
+    // term self-join bounded when the corpus (and its df profile) is 64×
+    "q_sparse_topk", "q_bm25", "q_cusum", "q_profile_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

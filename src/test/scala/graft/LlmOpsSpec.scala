@@ -6,6 +6,21 @@ import graft.llmops.{Dedup, HeavyHitters, Pipelines, Similarity, TextStats}
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("BM25: more query terms beats one; longer doc penalized at equal tf") {
+    import graft.llmops.SparseSim
+    val filler = (1 to 30).map(i => s"f$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "apple banana x"),           // both terms, short
+      (2L, "apple y z"),                // one term only
+      (3L, s"apple banana $filler"))    // both terms, 11x longer
+      .toDF("doc_id", "text")
+    val q = Seq((100L, "apple banana")).toDF("doc_id", "text")
+    val out = SparseSim.bm25Retrieve(q, "doc_id", "text",
+        corpus, "doc_id", "text", k = 3, maxDf = 100L)
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    assert(out.map(_.swap) == Map(1 -> 1L, 2 -> 3L, 3 -> 2L))
+  }
+
   test("SparseSim: identical docs cosine exactly 1; df-1 terms prune; top-k order") {
     import graft.llmops.SparseSim
     val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "a b c"), (4L, "x q r"))

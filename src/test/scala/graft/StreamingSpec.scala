@@ -249,6 +249,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM alarms match the batch scan across micro-batch splits") {
+    import graft.streaming.ChangePoint
+    import graft.streaming.ChangePoint.{CusumAlarm, MetricEvent}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rnd = new scala.util.Random(5)
+    val events = for (u <- Seq("a", "b", "c"); i <- 1 to 40)
+      yield MetricEvent(u, i * 1000L, rnd.nextInt(1200) / 100.0)
+    // ground truth: the batch ordered scan, alarms only
+    val batch = events.toDF("u", "tsm", "x")
+    val expected = ChangePoint.cusum(batch, "u", Seq("tsm"), "x", k = 6.0, h = 9.0)
+      .filter($"alarm").select("seq", "s").as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    for (cut <- Seq(events.length, 7, 25)) {
+      val input = MemoryStream[MetricEvent]
+      val q = ChangePoint.cusumAlarmStream(input.toDS(), k = 6.0, h = 9.0)
+        .writeStream.format("memory").queryName(s"cusum_stream_$cut")
+        .outputMode("append").start()
+      try {
+        events.grouped(cut).foreach { b =>
+          input.addData(b: _*)
+          q.processAllAvailable()
+        }
+        val got = sp.table(s"cusum_stream_$cut").as[CusumAlarm]
+          .collect().groupBy(_.key)
+          .view.mapValues(_.map(_.s).sorted.toSeq).toMap
+        assert(got == expected, s"cut=$cut")
+      } finally q.stop()
+    }
+  }
+
   test("stream-stream attribution join matches batch across micro-batch splits") {
     import graft.streaming.StreamJoin
     import graft.streaming.StreamJoin.{Impression, Conversion}
