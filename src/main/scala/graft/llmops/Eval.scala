@@ -46,9 +46,13 @@ object Eval {
   def aucByGroup(df: DataFrame, groupCols: Seq[String], score: Column,
       label: Column): DataFrame = {
     val keys = groupCols.map(col)
+    // NULL scores are excluded, not ranked: Spark windows sort NULLS
+    // FIRST ascending while DuckDB sorts them LAST — an unguarded null
+    // would diverge silently (the radialSimplify lesson).
     val g = df
       .select(keys :+ score.as("_s") :+
         when(label, 1L).otherwise(0L).as("_y"): _*)
+      .filter(col("_s").isNotNull)
       .groupBy(keys :+ col("_s"): _*)
       .agg(count(lit(1)).as("_cnt"), sum("_y").as("_pos"))
     val w = Window.partitionBy(keys: _*).orderBy("_s")
@@ -84,7 +88,7 @@ object Eval {
       .select(keys :+ value.as("_v") :+
         when(sideA, 1L).otherwise(0L).as("_a") :+
         when(sideB, 1L).otherwise(0L).as("_b"): _*)
-      .filter(col("_a") + col("_b") > 0)
+      .filter(col("_a") + col("_b") > 0 && col("_v").isNotNull)
       .groupBy(keys :+ col("_v"): _*)
       .agg(sum("_a").as("_ca"), sum("_b").as("_cb"))
     val run = Window.partitionBy(keys: _*).orderBy("_v")

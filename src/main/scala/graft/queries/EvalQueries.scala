@@ -29,7 +29,8 @@ object EvalQueries extends QueryFamily {
       Some("""WITH g AS (
              |  SELECT source, n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
              |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
-             |  FROM documents GROUP BY source, n_chars),
+             |  FROM documents WHERE n_chars IS NOT NULL
+             |  GROUP BY source, n_chars),
              |c AS (
              |  SELECT *, COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY s
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
@@ -66,7 +67,8 @@ object EvalQueries extends QueryFamily {
              |g AS (
              |  SELECT day, value, CAST(SUM(a) AS BIGINT) AS ca,
              |    CAST(SUM(b) AS BIGINT) AS cb
-             |  FROM e WHERE a + b > 0 GROUP BY day, value),
+             |  FROM e WHERE a + b > 0 AND value IS NOT NULL
+             |  GROUP BY day, value),
              |c AS (
              |  SELECT day,
              |    SUM(ca) OVER (PARTITION BY day ORDER BY value

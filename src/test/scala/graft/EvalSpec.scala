@@ -74,6 +74,20 @@ class EvalSpec extends SparkSpec {
     assert(s == ((0.72, 0.97, 1.0)))
   }
 
+  test("AUC and KS exclude NULL scores/values (the cross-engine null-order trap)") {
+    val df = Seq(("g", Some(3.0), true), ("g", Some(1.0), false),
+      ("g", None, true), ("g", None, false)).toDF("g", "s", "y")
+    val a = Eval.aucByGroup(df, Seq("g"), col("s"), col("y"))
+      .select("n", "auc").as[(Long, Option[Double])].head()
+    assert(a == ((2L, Some(1.0))))
+    val kdf = Seq(("g", Some(1.0), "a"), ("g", Some(1.0), "b"),
+      ("g", None, "a")).toDF("g", "v", "side")
+    val k = Eval.ksByGroup(kdf, Seq("g"), col("v"),
+        col("side") === "a", col("side") === "b")
+      .select("n_a", "ks").as[(Long, Option[Double])].head()
+    assert(k == ((1L, Some(0.0))))
+  }
+
   test("CUSUM: accumulation, alarm, post-alarm reset — hand-computed") {
     import graft.streaming.ChangePoint
     // k=5, h=6: xs = 8,7,4,9,3 → s = 3, 5, 4, 8(ALARM→reset), 0
