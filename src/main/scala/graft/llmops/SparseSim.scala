@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,17 +37,22 @@ object SparseSim {
     * descending-`sequence` guard matters: a doc shorter than `ngram`
     * must yield no terms, not a backwards index range. */
   def tfPostings(docs: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 1): DataFrame = {
-    require(ngram >= 1)
-    val toks = split(col(textCol), " ")
-    val terms =
-      if (ngram == 1) filter(toks, t => t =!= "")
-      else when(size(toks) >= ngram,
-        transform(sequence(lit(1), size(toks) - (ngram - 1)),
-          i => array_join(slice(toks, i, lit(ngram)), " ")))
-        .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("id"), explode(terms).as("term"))
+      ngram: Int = 1): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(termsExpr(col(textCol), ngram)).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  /** The term array (unigram tokens or space-joined n-grams) as a pure
+    * column — shared by the postings build and the map-side length
+    * computation so both count the same terms. */
+  private def termsExpr(text: Column, ngram: Int): Column = {
+    require(ngram >= 1)
+    val toks = split(text, " ")
+    if (ngram == 1) filter(toks, t => t =!= "")
+    else when(size(toks) >= ngram,
+      transform(sequence(lit(1), size(toks) - (ngram - 1)),
+        i => array_join(slice(toks, i, lit(ngram)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Top-k IDF-weighted cosine neighbors per document.
@@ -114,11 +119,22 @@ object SparseSim {
       k: Int, maxDf: Long, ngram: Int = 1,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1 && maxDf >= 1)
-    // Three consumers (lens, df, the scoring join) — same
-    // materialize-once case as cosineTopK's wpost: the postings
-    // derivation is a corpus-sized shuffle.
-    val post = tfPostings(corpus, idCol, textCol, ngram).localCheckpoint(true)
-    val lens = post.groupBy("id").agg(sum("tf").as("len"))
+    // NOT checkpointed, deliberately: an eager localCheckpoint of the
+    // UNPRUNED postings OOM'd at 256× sf0.1 (checkpoint blocks have no
+    // lineage, so they are unevictable and pin unified memory until the
+    // downstream aggregation can't acquire a page). cosineTopK
+    // checkpoints only its df-PRUNED postings — bounded — which is the
+    // materialize-once rule's real precondition: cheap to HOLD, not just
+    // expensive to recompute. Here the doc-length pass is computed
+    // map-side instead (no postings consumer), leaving two consumers
+    // that each re-run the corpus shuffle — measured cheaper than
+    // holding 300M rows hostage.
+    val post = tfPostings(corpus, idCol, textCol, ngram)
+    // len > 0 keeps term-less docs out of n_docs/avg-len, exactly as the
+    // postings-derived form did (they can't match anything anyway)
+    val lens = corpus.select(col(idCol).as("id"),
+        size(termsExpr(col(textCol), ngram)).cast("long").as("len"))
+      .filter(col("len") > 0)
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       sum("len").as("total_tokens"))
     val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))

@@ -336,6 +336,42 @@ object CurationQueries extends QueryFamily {
              |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
              |FROM sl ORDER BY user_id""".stripMargin)),
 
+    // Missing-value imputation: per-group exact-decimal mean fill with
+    // an audit flag — the repair step between the profile (which counts
+    // the nulls) and the model (which can't eat them). Missingness is
+    // planted deterministically (every 13th event) so the oracle replays
+    // it; the fill value is the group mean over NON-MISSING rows as one
+    // exact decimal sum / count, identical in both engines. One
+    // broadcast-sized mean table joined back over one scan.
+    ("q_impute",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+          when(pmod(col("event_id"), lit(13)) === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        val means = ev.filter(col("v").isNotNull)
+          .groupBy("event_type")
+          .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double") / count(lit(1))).as("fill"))
+        ev.join(broadcast(means), Seq("event_type"), "left")
+          .select(col("event_id"), col("event_type"),
+            coalesce(col("v"), col("fill")).as("value_imputed"),
+            col("v").isNull.as("was_imputed"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS fill
+             |  FROM ev WHERE v IS NOT NULL GROUP BY event_type)
+             |SELECT event_id, ev.event_type,
+             |  COALESCE(v, fill) AS value_imputed,
+             |  v IS NULL AS was_imputed
+             |FROM ev LEFT JOIN m ON ev.event_type = m.event_type
+             |ORDER BY event_id""".stripMargin)),
+
     // Replayable HLL distinct-user sketch per event_type: register state
     // + raw estimate, hash-compared register-for-register against a full
     // SQL replay; exact distinct alongside for the error to be visible.

@@ -202,7 +202,10 @@ object Stress {
     // lexical inverted-index search: candidate volume is Σ df² over the
     // df-window — the measurement shows whether the window keeps the
     // term self-join bounded when the corpus (and its df profile) is 64×
-    "q_sparse_topk", "q_bm25", "q_cusum", "q_profile_drift")
+    "q_sparse_topk", "q_bm25", "q_cusum", "q_profile_drift",
+    // all-candidate levenshtein verify (the unblocked-cost reference
+    // point next to q_record_linkage's blocked form)
+    "q_fuzzy_match")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

@@ -40,6 +40,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), p)
   }
 
+  test("plan: AUC reduces to (group, score) before any window; no global sort") {
+    val p = plan(SparkEntry.queries("q_auc")(spark, sf))
+    // the only range exchange is the deterministic output orderBy; the
+    // window and final rollup run on the grouped table's hash exchanges
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+    // raw rows aggregate FIRST: a partial_count on (source, score) must
+    // sit below the first exchange
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("plan: BM25 broadcasts the query-term side; no Cartesian on the corpus") {
+    val p = plan(SparkEntry.queries("q_bm25")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("plan: sparse cosine pair search joins on the term key, never all-pairs") {
+    val p = plan(SparkEntry.queries("q_sparse_topk")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("plan: FK-chain rollup joins catalog dims with broadcast hash joins") {
     val p = plan(SparkEntry.queries("q_fk_rollup")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
