@@ -29,11 +29,16 @@ object Regression {
   def groupTrend(df: DataFrame, groupCols: Seq[String], yCol: String,
       orderCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty && orderCols.nonEmpty)
+    // Rows with NULL y are excluded BEFORE ranking — otherwise n/Σx/Σx²
+    // would count rows the Σy/Σxy sums skip and the slope is silently
+    // wrong (and the oracle, replaying the same formula, can't catch
+    // it). The fit is over the observed points, x = rank among them.
+    val observed = df.filter(col(yCol).isNotNull)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val x = row_number().over(w).cast("long")
     val y = col(yCol).cast(DecimalType(18, 2))
-    val sums = df
+    val sums = observed
       .withColumn("_x", x).withColumn("_y", y)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),

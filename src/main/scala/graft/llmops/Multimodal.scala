@@ -223,18 +223,30 @@ object Multimodal {
     bitsAboveMean(audioEnvelope(media, 64)
       .select(col("media_id"), col("env").as("vals")))
 
-  /** Hamming-banded near-duplicate image pairs over perceptual hashes:
-    * 4×16-bit pigeonhole bands (any pair within ≤3·16 bit flips shares a
-    * clean band — maxDist ≤ 16 here keeps the guarantee trivially), band
-    * equi-join, popcount verify. The same banded-candidate shape as
-    * [[Dedup.simhashNearDups]], on a 64-bit image code. */
+  /** Hamming-banded near-duplicate pairs over 64-bit perceptual codes:
+    * maxDist+1 pigeonhole bands (m flips across m+1 bands always leave
+    * one band CLEAN — the [[Dedup.simhashNearDups]] `numChunks >
+    * maxHamming` contract, which a fixed 4-band split violates for any
+    * maxDist > 3), band equi-join on the band's bit-slice, popcount
+    * verify. NO false negatives at ≤ maxDist by construction. Scale
+    * caveat, same as simhash: higher maxDist ⇒ more and NARROWER bands
+    * (width 64/(m+1)) ⇒ coarser buckets ⇒ more chance candidates; at
+    * corpus scale keep maxDist modest or pre-partition by a cheap exact
+    * key. maxDist ≤ 15 keeps every band ≥ 4 bits. */
   def phashNearDups(hashes: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 16, "pigeonhole guarantee needs maxDist <= 16")
+    require(maxDist >= 0 && maxDist <= 15, "pigeonhole banding needs maxDist <= 15")
+    val nBands = maxDist + 1
+    val w = 64 / nBands // base width; the last band absorbs the slack
+    def widthOf(b: Int) = if (b == nBands - 1) 64 - b * w else w
+    def maskOf(b: Int) =
+      if (widthOf(b) == 64) -1L else (1L << widthOf(b)) - 1L
     def banded(tag: String) = hashes
       .select(col("media_id").as(s"id_$tag"), col("phash").as(s"ph_$tag"))
-      .withColumn("_band", explode(sequence(lit(0), lit(3))))
-      .withColumn("_key", call_function("shiftright", col(s"ph_$tag"), col("_band") * 16)
-        .bitwiseAND(lit(0xFFFFL)))
+      .withColumn("_band", explode(lit((0 until nBands).toArray)))
+      .withColumn("_key",
+        call_function("shiftright", col(s"ph_$tag"), col("_band") * w)
+          .bitwiseAND(element_at(
+            lit((0 until nBands).map(maskOf).toArray), col("_band") + 1)))
     banded("a").join(banded("b"), Seq("_band", "_key"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))

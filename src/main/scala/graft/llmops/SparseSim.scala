@@ -140,8 +140,9 @@ object SparseSim {
     val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
-    val qterms = tfPostings(queries, qIdCol, qTextCol, ngram)
-      .select(col("id").as("qid"), col("term")).distinct()
+    val qterms = queries.select(col(qIdCol).as("qid"),
+        explode(termsExpr(col(qTextCol), ngram)).as("term"))
+      .distinct()
     val lenRatio = (col("len") * col("n_docs")).cast("double") /
       col("total_tokens").cast("double")
     val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /

@@ -273,19 +273,10 @@ object CurationQueries extends QueryFamily {
     // strict running-max dominance test.
     ("q_pareto_front",
       (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.expressions.Window
         val pts = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
           size(array_distinct(split(col("text"), " "))).as("rich"))
-        val perX = Window.partitionBy("n_chars")
-        val g = pts
-          .withColumn("_ymax", max(col("rich")).over(perX))
-          .filter(col("rich") === col("_ymax"))
-          .groupBy("n_chars").agg(max("rich").as("rich"), min("doc_id").as("rep_doc"))
-        val desc = Window.orderBy(col("n_chars").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        g.withColumn("_prevmax", max(col("rich")).over(desc))
-          .filter(col("_prevmax").isNull || col("rich") > col("_prevmax"))
-          .select("n_chars", "rich", "rep_doc")
+        graft.operators.Pareto.frontier(pts, "n_chars", "rich", "doc_id",
+            repAs = "rep_doc")
           .orderBy("n_chars")
       },
       Some("""WITH pts AS (
@@ -320,7 +311,7 @@ object CurationQueries extends QueryFamily {
              |  SELECT user_id,
              |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS x,
              |    CAST(value AS DECIMAL(18,2)) AS y
-             |  FROM events),
+             |  FROM events WHERE value IS NOT NULL),
              |s AS (
              |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
              |    CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,

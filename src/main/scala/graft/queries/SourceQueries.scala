@@ -10,6 +10,20 @@ import graft.llmops.Multimodal
   * multimodal extension). */
 object SourceQueries extends QueryFamily {
 
+  /** Shared body of the media near-dup queries: hash codes + per-id
+    * banded-near-neighbor count — one place so the pair/count/fill
+    * semantics can't drift between the image and audio forms. */
+  private def hashWithNearCounts(h: org.apache.spark.sql.DataFrame,
+      maxDist: Int): org.apache.spark.sql.DataFrame = {
+    val pairs = Multimodal.phashNearDups(h, maxDist)
+    val cnt = pairs.select(col("id_a").as("media_id"))
+      .union(pairs.select(col("id_b").as("media_id")))
+      .groupBy("media_id").agg(count(lit(1)).as("n_near"))
+    h.join(cnt, Seq("media_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .orderBy("media_id")
+  }
+
   def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // S8 — bcecmd CLI listing parse: semi-structured text → typed rows
@@ -175,32 +189,16 @@ object SourceQueries extends QueryFamily {
     // (8×8 resize), hash + Hamming-banded near-dup pairs in pure column
     // arithmetic. Golden locks every 64-bit code and neighbor count.
     ("q_media_phash",
-      (s: SparkSession, d: String) => {
-        val h = Multimodal.perceptualHash(Multimodal.syntheticMedia(s, 64))
-        val pairs = Multimodal.phashNearDups(h, maxDist = 12)
-        val cnt = pairs.select(col("id_a").as("media_id"))
-          .union(pairs.select(col("id_b").as("media_id")))
-          .groupBy("media_id").agg(count(lit(1)).as("n_near"))
-        h.join(cnt, Seq("media_id"), "left")
-          .na.fill(0L, Seq("n_near"))
-          .orderBy("media_id")
-      },
+      (s: SparkSession, d: String) => hashWithNearCounts(
+        Multimodal.perceptualHash(Multimodal.syntheticMedia(s, 64)), maxDist = 12),
       None),
 
     // Multimodal — audio energy-envelope fingerprint: the WAV analog of
     // q_media_phash (one decode pass → 64-window envelope → aHash bits →
     // the same Hamming-banded pair search). Golden locks every code.
     ("q_media_ahash",
-      (s: SparkSession, d: String) => {
-        val h = Multimodal.audioHash(Multimodal.syntheticMedia(s, 64))
-        val pairs = Multimodal.phashNearDups(h, maxDist = 10)
-        val cnt = pairs.select(col("id_a").as("media_id"))
-          .union(pairs.select(col("id_b").as("media_id")))
-          .groupBy("media_id").agg(count(lit(1)).as("n_near"))
-        h.join(cnt, Seq("media_id"), "left")
-          .na.fill(0L, Seq("n_near"))
-          .orderBy("media_id")
-      },
+      (s: SparkSession, d: String) => hashWithNearCounts(
+        Multimodal.audioHash(Multimodal.syntheticMedia(s, 64)), maxDist = 10),
       None)
   )
 }

@@ -27,18 +27,23 @@ import org.apache.spark.sql.types._
   */
 object ChangePoint {
 
-  case class MetricEvent(key: String, tsMillis: Long, value: Double)
-  case class CusumState(s: Double, lastTs: Long)
+  case class MetricEvent(key: String, tsMillis: Long, seq: Long, value: Double)
+  case class CusumState(s: Double, lastTs: Long, lastSeq: Long)
   case class CusumAlarm(key: String, tsMillis: Long, value: Double, s: Double)
 
   /** Streaming CUSUM: the same recurrence as [[cusum]] running live over
     * a metric stream via flatMapGroupsWithState — emits one row per
     * ALARM (append mode), carrying the accumulator across micro-batches
-    * in 16 bytes of state per key. Within a batch events sort by
-    * timestamp; an event at-or-before the last applied timestamp is
-    * dropped (the [[graft.operators.Funnel]] late-data convention —
-    * monotone per key, replays ignored). Parity with the batch scan is
-    * asserted across arbitrary micro-batch splits in StreamingSpec. */
+    * in O(1) state per key. Events carry a per-key sequence number
+    * (event id) so equal TIMESTAMPS are not mistaken for replays: the
+    * admit test and the within-batch sort are both lexicographic on
+    * (tsMillis, seq), exactly the batch scan's (ts, event_id) order —
+    * a bare ts guard would silently drop a legitimate second event in
+    * the same millisecond and diverge from the batch form. Only an
+    * event at-or-below the last applied (ts, seq) is treated as a
+    * replay. Parity with the batch scan is asserted across arbitrary
+    * micro-batch splits — including equal-ts events — in
+    * StreamingSpec. */
   def cusumAlarmStream(events: org.apache.spark.sql.Dataset[MetricEvent],
       k: Double, h: Double): org.apache.spark.sql.Dataset[CusumAlarm] = {
     import org.apache.spark.sql.{Encoders => E}
@@ -55,18 +60,20 @@ object ChangePoint {
       events: Iterator[MetricEvent],
       state: org.apache.spark.sql.streaming.GroupState[CusumState])
       : Iterator[CusumAlarm] = {
-    val prev = state.getOption.getOrElse(CusumState(0.0, Long.MinValue))
+    val prev = state.getOption.getOrElse(CusumState(0.0, Long.MinValue, Long.MinValue))
     var s = prev.s
     var lastTs = prev.lastTs
+    var lastSeq = prev.lastSeq
     val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlarm]
-    events.toSeq.sortBy(_.tsMillis).foreach { e =>
-      if (e.tsMillis > lastTs) {
+    events.toSeq.sortBy(e => (e.tsMillis, e.seq)).foreach { e =>
+      if (e.tsMillis > lastTs || (e.tsMillis == lastTs && e.seq > lastSeq)) {
         lastTs = e.tsMillis
+        lastSeq = e.seq
         s = math.max(0.0, s + (e.value - k))
         if (s >= h) { out += CusumAlarm(key, e.tsMillis, e.value, s); s = 0.0 }
       }
     }
-    state.update(CusumState(s, lastTs))
+    state.update(CusumState(s, lastTs, lastSeq))
     out.iterator
   }
 

@@ -104,6 +104,14 @@ class CurationOpsSpec extends SparkSpec {
       .as[(Long, Long, Option[Double], Option[Double])].collect().sortBy(_._1)
     assert(out(0) == ((1L, 10L, Some(2.5), Some(1.0))))
     assert(out(1) == ((2L, 1L, None, None)))
+    // NULL y rows are excluded BEFORE ranking: interleaving nulls into the
+    // exact line must not perturb the fit (previously n/Σx counted the
+    // null rows the Σy/Σxy sums skipped — a silently wrong slope)
+    val noisy = ((1 to 10).flatMap(i =>
+      Seq((1L, 2L * i, Some(2.5 * i + 1.0)), (1L, 2L * i + 1, None)))).toDF("g", "ord", "y")
+    val fit = Regression.groupTrend(noisy, Seq("g"), "y", Seq("ord"))
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(fit == ((1L, 10L, Some(2.5), Some(1.0))))
   }
 
   test("HLL registers: merged per-source sketches equal the global sketch bit-for-bit") {
@@ -138,19 +146,21 @@ class CurationOpsSpec extends SparkSpec {
     ).toDF("doc_id", "n_chars", "text")
     // rich = distinct tokens: doc1→9@x9, doc2/3→7@x5, doc4→8@x3, doc5→2@x2
     // frontier: x9/rich9; x5 rich7 < 9 dominated; x3 rich8 < 9 dominated.
-    import org.apache.spark.sql.expressions.Window
     val pts = docs.select(col("doc_id"), col("n_chars"),
       size(array_distinct(split(col("text"), " "))).as("rich"))
-    val perX = Window.partitionBy("n_chars")
-    val g = pts.withColumn("_ymax", max(col("rich")).over(perX))
-      .filter(col("rich") === col("_ymax"))
-      .groupBy("n_chars").agg(max("rich").as("rich"), min("doc_id").as("rep_doc"))
-    val desc = Window.orderBy(col("n_chars").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val front = g.withColumn("_prevmax", max(col("rich")).over(desc))
-      .filter(col("_prevmax").isNull || col("rich") > col("_prevmax"))
-      .select("n_chars", "rich", "rep_doc").as[(Int, Int, Long)].collect().toSet
+    val front = graft.operators.Pareto
+      .frontier(pts, "n_chars", "rich", "doc_id", repAs = "rep_doc")
+      .as[(Int, Int, Long)].collect().toSet
     assert(front == Set((9, 9, 1L)))
+    // equal-y, larger-x points survive only via strict dominance: add a
+    // point (10, 9) — it joins the frontier and does NOT evict (9, 9)?
+    // it DOES: y=9 is not strictly greater, so (9,9) is dominated-equal
+    // and dropped; only strictly-better-y lower-x points survive.
+    val pts2 = pts.unionByName(Seq((6L, 10, 9)).toDF("doc_id", "n_chars", "rich"))
+    val front2 = graft.operators.Pareto
+      .frontier(pts2, "n_chars", "rich", "doc_id", repAs = "rep_doc")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(front2 == Set((10, 9, 6L)))
   }
 
   test("HistSketch: merged per-source sketches equal global recount bit-for-bit") {

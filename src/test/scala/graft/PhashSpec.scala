@@ -55,16 +55,34 @@ class PhashSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h(1) ^ h(4)) > 10)
   }
 
-  test("banded candidates equal brute force at the pigeonhole bound") {
+  test("banded candidates equal brute force, with PLANTED pairs at every distance") {
+    // Random 64-bit codes are ~32 bits apart, so a purely random fixture
+    // tests nothing (a previous form of this test compared two empty
+    // sets). Plant neighbors at every distance 0..20 around random
+    // bases — distances ≤ maxDist MUST all surface (pigeonhole bands),
+    // those above MUST all be cut by the popcount verify.
     val rnd = new scala.util.Random(9)
-    val hashes = (1L to 200L).map(i => (i, rnd.nextLong())).toDF("media_id", "phash")
-    val got = Multimodal.phashNearDups(hashes, maxDist = 16)
-      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
-    val h = (1L to 200L).zip(hashes.orderBy("media_id").select("phash").as[Long].collect()).toMap
-    val want = (for {
-      a <- 1L to 200L; b <- (a + 1) to 200L
-      d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= 16
-    } yield (a, b, d)).toSet
-    assert(got == want)
+    def flip(h: Long, k: Int): Long = {
+      val bits = rnd.shuffle((0 until 64).toList).take(k)
+      bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var id = 0L
+    for (_ <- 1 to 10; base = rnd.nextLong()) {
+      rows += ((id, base)); id += 1
+      for (k <- 0 to 20) { rows += ((id, flip(base, k))); id += 1 }
+    }
+    val hashes = rows.toSeq.toDF("media_id", "phash")
+    val h = rows.toMap
+    for (maxDist <- Seq(3, 12, 15)) {
+      val got = Multimodal.phashNearDups(hashes, maxDist)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+        d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= maxDist
+      } yield (a, b, d)).toSet
+      assert(want.nonEmpty, s"fixture must plant pairs within $maxDist")
+      assert(got == want, s"maxDist=$maxDist: missed ${(want -- got).take(5)}")
+    }
   }
 }

@@ -256,11 +256,14 @@ class StreamingSpec extends SparkSpec {
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
     val rnd = new scala.util.Random(5)
+    // i/2: every other pair of events shares a timestamp — equal-ts
+    // events are legitimate at millisecond granularity and must flow
+    // through the (ts, seq) admit test, not be dropped as replays
     val events = for (u <- Seq("a", "b", "c"); i <- 1 to 40)
-      yield MetricEvent(u, i * 1000L, rnd.nextInt(1200) / 100.0)
+      yield MetricEvent(u, (i / 2) * 1000L, i.toLong, rnd.nextInt(1200) / 100.0)
     // ground truth: the batch ordered scan, alarms only
-    val batch = events.toDF("u", "tsm", "x")
-    val expected = ChangePoint.cusum(batch, "u", Seq("tsm"), "x", k = 6.0, h = 9.0)
+    val batch = events.toDF("u", "tsm", "seq", "x")
+    val expected = ChangePoint.cusum(batch, "u", Seq("tsm", "seq"), "x", k = 6.0, h = 9.0)
       .filter($"alarm").select("seq", "s").as[(String, Double)]
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     for (cut <- Seq(events.length, 7, 25)) {
