@@ -52,6 +52,13 @@ object Bench {
     val fastReps = math.max(reps, 5)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
+      // Release prior queries' localCheckpoint blocks NOW instead of
+      // waiting for ContextCleaner GC: checkpoint blocks are unevictable
+      // (no lineage), and letting them accumulate across the session
+      // inflated later memory-hungry queries 3-5× (q_record_linkage
+      // benched 37-51 s vs 10.2 s isolated before this line).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // timeboxed so one wedged query costs its budget once, not the
       // whole bench; a timed-out first rep also skips the remaining reps
       var timedOut = false

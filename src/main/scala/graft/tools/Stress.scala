@@ -237,6 +237,10 @@ object Stress {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     selected.foreach { case (name, fn) =>
+      // free prior queries' localCheckpoint blocks (see Bench.scala —
+      // unevictable blocks otherwise inflate later queries)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try {
         // 2 timed reps: rep1 includes scan-cache warmup, rep2 is the
         // steady-state number; report the min. foreachPartition drives the
