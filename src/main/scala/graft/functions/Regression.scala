@@ -25,9 +25,15 @@ import org.apache.spark.sql.types.DecimalType
 object Regression {
 
   /** (groupCols..., n, slope, intercept); groups of one row get NULL
-    * slope/intercept (zero denominator → NULL, as in SQL). */
+    * slope/intercept (zero denominator → NULL, as in SQL).
+    *
+    * Determinism contract: `orderCols ++ tieBreak` must order each group
+    * UNIQUELY — x is a row_number over that ordering, so ties would make
+    * Σxy (hence slope/intercept) run-dependent. Pass `tieBreak` (as
+    * [[graft.catalog.Scd2.buildDimension]] does) when the natural order
+    * columns can repeat. */
   def groupTrend(df: DataFrame, groupCols: Seq[String], yCol: String,
-      orderCols: Seq[String]): DataFrame = {
+      orderCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     require(groupCols.nonEmpty && orderCols.nonEmpty)
     // Rows with NULL y are excluded BEFORE ranking — otherwise n/Σx/Σx²
     // would count rows the Σy/Σxy sums skip and the slope is silently
@@ -35,7 +41,7 @@ object Regression {
     // it). The fit is over the observed points, x = rank among them.
     val observed = df.filter(col(yCol).isNotNull)
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
+      .orderBy((orderCols ++ tieBreak).map(col): _*)
     val x = row_number().over(w).cast("long")
     val y = col(yCol).cast(DecimalType(18, 2))
     val sums = observed

@@ -41,7 +41,11 @@ object UrlFunctions {
     val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val h = host(url)
     val rawPath = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    val path = when(rawPath === "" , lit("/"))
+    // '/' must canonicalize like the empty path: 'http://x.com' and
+    // 'http://x.com/' are the same resource, and stripping the lone '/'
+    // in the otherwise-branch would give them DIFFERENT identities
+    // (empty→'/', '/'→''), defeating URL-level dedup.
+    val path = when(rawPath === "" || rawPath === "/", lit("/"))
       .otherwise(regexp_replace(rawPath, "/$", ""))
     // Query: split on '&', drop empties + tracking params, sort, rejoin.
     val rawQ = regexp_extract(url, "\\?([^#]*)", 1)

@@ -48,11 +48,14 @@ object Eval {
     val keys = groupCols.map(col)
     // NULL scores are excluded, not ranked: Spark windows sort NULLS
     // FIRST ascending while DuckDB sorts them LAST — an unguarded null
-    // would diverge silently (the radialSimplify lesson).
+    // would diverge silently (the radialSimplify lesson). NULL labels
+    // are excluded symmetrically — `when(label, 1).otherwise(0)` would
+    // silently coerce them to negatives and skew n/n_pos.
     val g = df
       .select(keys :+ score.as("_s") :+
-        when(label, 1L).otherwise(0L).as("_y"): _*)
-      .filter(col("_s").isNotNull)
+        when(label.isNull, lit(null).cast("long"))
+          .when(label, 1L).otherwise(0L).as("_y"): _*)
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
       .groupBy(keys :+ col("_s"): _*)
       .agg(count(lit(1)).as("_cnt"), sum("_y").as("_pos"))
     val w = Window.partitionBy(keys: _*).orderBy("_s")

@@ -198,11 +198,16 @@ object Multimodal {
           Codecs.Wav.decode(r.getAs[Array[Byte]]("payload")).map { a =>
             val s = Codecs.Wav.normalized(a)
             val env = new Array[Float](nWindows)
-            val w = math.max(s.length / nWindows, 1)
+            // Bucket boundaries at b*len/nWindows so a clip length that
+            // isn't a multiple of nWindows distributes its remainder
+            // across buckets instead of silently dropping up to
+            // nWindows-1 tail samples (proportionally large for short
+            // clips). Every sample lands in exactly one bucket.
             var b = 0
             while (b < nWindows) {
-              var acc = 0.0; var n = 0; var i = b * w
-              val end = math.min((b + 1) * w, s.length)
+              var acc = 0.0; var n = 0
+              var i = (b.toLong * s.length / nWindows).toInt
+              val end = ((b + 1).toLong * s.length / nWindows).toInt
               while (i < end) { acc += math.abs(s(i)); n += 1; i += 1 }
               env(b) = if (n == 0) 0f else (acc / n).toFloat
               b += 1

@@ -27,6 +27,13 @@ object Privacy {
   def withGroupSize(df: DataFrame, quasiCols: Seq[String],
       sizeCol: String = "group_size"): DataFrame = {
     require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier column")
+    // The join rename scheme reserves `_q_<col>` and `sizeCol`; an input
+    // already carrying one would silently collide in the join/drop.
+    val clash = df.columns.filter(c =>
+      c == sizeCol || quasiCols.map(q => s"_q_$q").contains(c))
+    require(clash.isEmpty,
+      s"input carries reserved column name(s) ${clash.mkString(", ")} — " +
+      "rename them (or pass a different sizeCol) before withGroupSize")
     val counts = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as(sizeCol))
       .select(quasiCols.map(c => col(c).as(s"_q_$c")) :+ col(sizeCol): _*)

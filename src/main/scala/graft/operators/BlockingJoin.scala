@@ -27,10 +27,24 @@ object BlockingJoin {
     * survive (column names must be disjoint — same contract as Spark's
     * join). Block-key expressions must be bound to the input frames
     * (`left("col")` / `right("col")`-based). */
+  /** Internal working-column names. `withColumn` silently OVERWRITES an
+    * existing column of the same name — an input already carrying one of
+    * these would corrupt the pair dedup / ranking, so reject it loudly
+    * (same contract as the width-mismatch requires elsewhere). */
+  private val reserved = Seq("_block", "_pair_rn", "_rank", "match_score")
+
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$side input carries reserved column name(s) ${clash.mkString(", ")} — " +
+      s"rename them before the blocking join (reserved: ${reserved.mkString(", ")})")
+  }
+
   def candidates(left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
       blockKeys: Seq[(Column, Column)]): DataFrame = {
     require(blockKeys.nonEmpty, "at least one blocking key")
+    requireNoReserved(left, "left"); requireNoReserved(right, "right")
     val tagged = blockKeys.zipWithIndex.map { case ((lk, rk), i) =>
       left.join(right, lk === rk).withColumn("_block", lit(i))
     }

@@ -59,7 +59,7 @@ object CurationQueries extends QueryFamily {
       |canon AS (
       |  SELECT doc_id, url, host,
       |    scheme || '://' || host ||
-      |    CASE WHEN rawpath = '' THEN '/' ELSE regexp_replace(rawpath, '/$', '') END ||
+      |    CASE WHEN rawpath = '' OR rawpath = '/' THEN '/' ELSE regexp_replace(rawpath, '/$', '') END ||
       |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
       |  FROM (
       |    SELECT *, COALESCE(array_to_string(list_sort(list_filter(string_split(rawq, '&'),

@@ -29,7 +29,7 @@ object EvalQueries extends QueryFamily {
       Some("""WITH g AS (
              |  SELECT source, n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
              |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
-             |  FROM documents WHERE n_chars IS NOT NULL
+             |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
              |  GROUP BY source, n_chars),
              |c AS (
              |  SELECT *, COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY s

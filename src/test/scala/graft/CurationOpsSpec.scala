@@ -17,6 +17,7 @@ class CurationOpsSpec extends SparkSpec {
       "HTTPS://WWW.Example.COM:443/A/b/?z=1&utm_campaign=x&a=2#frag",
       "https://example.com/A/b?a=2&z=1",
       "http://example.com",
+      "http://example.com/",
       "not a url",
       null
     ).toDF("url")
@@ -25,8 +26,11 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0) == "https://example.com/A/b?a=2&z=1")
     assert(out(1) == "https://example.com/A/b?a=2&z=1")
     assert(out(2) == "http://example.com/")
-    assert(out(3) == null)
+    // the two most common spellings of a root resource MUST canonicalize
+    // identically — the '/' path previously fell into the strip branch
+    assert(out(3) == out(2))
     assert(out(4) == null)
+    assert(out(5) == null)
   }
 
   test("registeredDomain ladder: plain, ccTLD second-level, bare host, single label") {

@@ -88,6 +88,16 @@ class EvalSpec extends SparkSpec {
     assert(k == ((1L, Some(0.0))))
   }
 
+  test("AUC excludes NULL labels instead of coercing them to negatives") {
+    // Without the guard, the NULL-label row counts as a negative ranked
+    // above the positive and drags a perfect AUC to 0.5.
+    val df = Seq(("g", 3.0, Some(true)), ("g", 1.0, Some(false)),
+      ("g", 5.0, None)).toDF("g", "s", "y")
+    val a = Eval.aucByGroup(df, Seq("g"), col("s"), col("y"))
+      .select("n", "auc").as[(Long, Option[Double])].head()
+    assert(a == ((2L, Some(1.0))))
+  }
+
   test("CUSUM: accumulation, alarm, post-alarm reset — hand-computed") {
     import graft.streaming.ChangePoint
     // k=5, h=6: xs = 8,7,4,9,3 → s = 3, 5, 4, 8(ALARM→reset), 0

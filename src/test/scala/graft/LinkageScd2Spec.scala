@@ -60,4 +60,17 @@ class LinkageScd2Spec extends SparkSpec {
       Seq(left("lname") -> right("rname"), left("lzone") -> right("rzone")))
     assert(cands.filter($"lid" === 1 && $"rid" === 10).count() == 1)
   }
+
+  test("BlockingJoin rejects inputs carrying its reserved working columns") {
+    // withColumn silently overwrites same-named columns — an input
+    // `match_score`/`_block` would corrupt the pair dedup, so it must
+    // fail loudly instead.
+    val left = Seq((1L, "ann", 9)).toDF("lid", "lname", "match_score")
+    val right = Seq((10L, "ann")).toDF("rid", "rname")
+    val e = intercept[IllegalArgumentException] {
+      BlockingJoin.candidates(left, right, "lid", "rid",
+        Seq(left("lname") -> right("rname")))
+    }
+    assert(e.getMessage.contains("match_score"))
+  }
 }

@@ -106,6 +106,23 @@ class SourcesSpec extends SparkSpec {
       "image" -> 64, "audio" -> 136, "video" -> 960))
   }
 
+  test("audioEnvelope covers the clip tail when length is not a multiple of nWindows") {
+    import spark.implicits._
+    import graft.llmops.Codecs
+    // 10 samples, 4 windows: the fixed-width bucketing dropped the last
+    // len % nWindows samples — energy parked at the tail would vanish.
+    val samples = Array.fill[Short](8)(0) ++ Array[Short](32767, 32767)
+    val media = Seq((1L, "audio", Codecs.Wav.encode(8000, samples)))
+      .toDF("media_id", "kind", "payload")
+    val env = Multimodal.audioEnvelope(media, 4).collect().head
+      .getSeq[Float](1)
+    assert(env.length == 4)
+    // boundaries at b*len/n: [0,2) [2,5) [5,7) [7,10) — tail bucket sees
+    // samples 7..9 = (0, max, max) → mean |.| = 2/3 of full scale
+    assert(math.abs(env(3) - 2f * (32767f / 32768f) / 3f) < 1e-6)
+    assert(env.take(3).forall(_ == 0f))
+  }
+
   test("multimodal: corrupt payload degrades to meta_ok=false, not a failure") {
     import spark.implicits._
     val bad = Seq((99L, "image", "not media at all".getBytes("UTF-8"), 8, 4, 0, 1))
