@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pinned default, not environment-derived: the r6 driver bench ran the
+  // same binary 5× slower than the builder run because an 8g heap put a
+  // 172-query local[32] session on the GC knife-edge under contention
+  // (q_bm25 3.5 s → 232 s). 32g holds the whole bench with headroom on
+  // the 128 GiB target box; override only for deliberate constrained-heap
+  // experiments (STRESS.md's memory-model runs).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

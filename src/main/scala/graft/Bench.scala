@@ -11,6 +11,35 @@ import org.apache.spark.sql.SparkSession
   * rows, which is the honest cost.
   */
 object Bench {
+
+  /** Session-global task-metrics tap: per-query shuffle-spill deltas.
+    * Task-end events are the only place executor spill is visible in
+    * local mode; the bench snapshots the counters around each query. */
+  private final class SpillTap extends org.apache.spark.scheduler.SparkListener {
+    val mem = new java.util.concurrent.atomic.AtomicLong
+    val disk = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        mem.addAndGet(m.memoryBytesSpilled)
+        disk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def heapPools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,6 +51,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val spillTap = new SpillTap
+    spark.sparkContext.addSparkListener(spillTap)
     // Warm-up so JVM/codegen startup isn't billed to the measured run:
     // every query executes once against the SMALLEST scale factor first.
     // Plan shapes are identical across SFs, so this primes Spark's
@@ -50,6 +81,7 @@ object Bench {
     // on short queries, so the median needs more samples there.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val fastReps = math.max(reps, 5)
+    val metrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       // Release prior queries' localCheckpoint blocks NOW instead of
@@ -59,6 +91,22 @@ object Bench {
       // benched 37-51 s vs 10.2 s isolated before this line).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // ContextCleaner drops dead broadcasts/shuffle files only when the
+      // driver GC collects their handles — a bench session that never
+      // full-GCs accumulates ~500 query executions' worth of
+      // TorrentBroadcast blocks in storage memory and shuffle files on
+      // disk, which is exactly the slow-creep pressure that inflated the
+      // r6 driver run uniformly. One explicit GC per query keeps each
+      // measurement starting from a clean session (costs ~10s over the
+      // whole bench; the reps it protects cost minutes).
+      System.gc()
+      // Per-query observability: GC time, shuffle spill, and peak heap,
+      // snapshotted around the reps — so an environmental episode (heap
+      // starvation, contention) is visible IN the artifact instead of
+      // indistinguishable from a plan regression.
+      val gc0 = gcMillis()
+      val spill0 = spillTap.mem.get(); val dspill0 = spillTap.disk.get()
+      heapPools.foreach(_.resetPeakUsage())
       // timeboxed so one wedged query costs its budget once, not the
       // whole bench; a timed-out first rep also skips the remaining reps
       var timedOut = false
@@ -84,6 +132,12 @@ object Bench {
       if (times.nonEmpty && times.sorted.apply(times.length / 2) < 1.0)
         times ++= (times.length until fastReps).flatMap(_ => rep())
       val sorted = times.sorted
+      val gcSec = (gcMillis() - gc0) / 1e3
+      val spillGb = (spillTap.mem.get() - spill0) / 1e9
+      val dspillGb = (spillTap.disk.get() - dspill0) / 1e9
+      val peakGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e9
+      metrics(name) = f"""{"gc_sec":$gcSec%.2f,"spill_gb":$spillGb%.2f,""" +
+        f""""disk_spill_gb":$dspillGb%.2f,"peak_heap_gb":$peakGb%.2f}"""
       name -> (if (sorted.isEmpty) None else Some(sorted(sorted.length / 2)))
     }
     val qs = results.map { case (k, v) =>
@@ -120,9 +174,13 @@ object Bench {
           System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
           ""","streaming":null"""
       }
+    val qm = metrics.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failures.length},"errors":$errs,"sf":"$sfDir"$streaming}"""
+      s""""failed":${failures.length},"errors":$errs,"sf":"$sfDir"$streaming,""" +
+      f""""jvm_max_heap_gb":$heapGb%.1f,"query_metrics":$qm}"""
     println(line)
     // Stdout-tail scraping truncated the timing object in r3/r4
     // (BENCH parsed:null) — persist the full line to a file too.

@@ -134,11 +134,20 @@ object JoinQueries extends QueryFamily {
              |SELECT c_custkey, rid, match_score FROM best WHERE rn = 1
              |ORDER BY c_custkey""".stripMargin)),
 
-    // Edit-distance fuzzy match: the verify stage after blocking — each
-    // customer recovers its directory record (zeros OCR'd to 'O's, every
-    // 9th record missing) as the minimum-Levenshtein candidate within
-    // the nation block. Distance varies with the name's zero count, so
-    // the assertion is per-row, not a constant.
+    // Edit-distance fuzzy match, BLOCKED: each customer recovers its
+    // directory record (zeros OCR'd to 'O's, every 9th record missing)
+    // as the minimum-Levenshtein candidate among BLOCK candidates — the
+    // scale-safe production shape, not the all-pairs one. Two
+    // corruption-INVARIANT keys (translate 'O'→'0' undoes the OCR noise
+    // exactly, so the true pair always shares both): (nation, restored
+    // 4-char name suffix) and the coarser (nation, restored last-3
+    // digits). Cost is Σ block² per key — never n²/25; the r5-r6
+    // nation-only all-pairs form (7.7 M Levenshteins at sf0.1, the
+    // bench's single most expensive line) lives on as the Stress-only
+    // cost baseline (tools/Stress.stressFuzzyUnblocked). Customers whose
+    // partner is missing degrade to the best block candidate, or are
+    // absent when nothing shares a block — the standard blocked-linkage
+    // contract (BlockingJoin scaladoc).
     ("q_fuzzy_match",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
@@ -148,9 +157,18 @@ object JoinQueries extends QueryFamily {
           .select((col("c_custkey") + 1000000L).as("rid"),
             regexp_replace(col("c_name"), "0", "O").as("r_name"),
             col("c_nationkey").as("r_nation"))
+        def restored(c: org.apache.spark.sql.Column) = translate(c, "O", "0")
+        def rdig(c: org.apache.spark.sql.Column) =
+          regexp_replace(restored(c), "[^0-9]", "")
+        val cand = BlockingJoin.candidates(l, r, "c_custkey", "rid",
+          blockKeys = Seq(
+            struct(l("c_nationkey"), substring(restored(l("c_name")), -4, 4)) ->
+              struct(r("r_nation"), substring(restored(r("r_name")), -4, 4)),
+            struct(l("c_nationkey"), substring(rdig(l("c_name")), -3, 3)) ->
+              struct(r("r_nation"), substring(rdig(r("r_name")), -3, 3))))
         val best = Window.partitionBy(col("c_custkey"))
           .orderBy(col("edit_dist"), col("rid"))
-        l.join(r, col("c_nationkey") === col("r_nation"))
+        cand
           .withColumn("edit_dist", levenshtein(col("c_name"), col("r_name")))
           .withColumn("_rn", row_number().over(best))
           .filter(col("_rn") === 1)
@@ -163,11 +181,21 @@ object JoinQueries extends QueryFamily {
              |    c_nationkey AS r_nation
              |  FROM customer WHERE c_custkey % 9 <> 0),
              |cand AS (
+             |  SELECT c_custkey, c_name, rid, r_name FROM l JOIN r
+             |    ON l.c_nationkey = r.r_nation
+             |   AND substring(translate(l.c_name, 'O', '0'), -4, 4)
+             |     = substring(translate(r.r_name, 'O', '0'), -4, 4)
+             |  UNION
+             |  SELECT c_custkey, c_name, rid, r_name FROM l JOIN r
+             |    ON l.c_nationkey = r.r_nation
+             |   AND substring(regexp_replace(translate(l.c_name, 'O', '0'), '[^0-9]', '', 'g'), -3, 3)
+             |     = substring(regexp_replace(translate(r.r_name, 'O', '0'), '[^0-9]', '', 'g'), -3, 3)),
+             |scored AS (
              |  SELECT c_custkey, rid, levenshtein(c_name, r_name) AS edit_dist
-             |  FROM l JOIN r ON c_nationkey = r_nation),
+             |  FROM cand),
              |best AS (
              |  SELECT *, row_number() OVER (PARTITION BY c_custkey
-             |    ORDER BY edit_dist, rid) AS rn FROM cand)
+             |    ORDER BY edit_dist, rid) AS rn FROM scored)
              |SELECT c_custkey, rid, CAST(edit_dist AS INT) AS edit_dist
              |FROM best WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
 

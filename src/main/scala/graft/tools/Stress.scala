@@ -76,6 +76,28 @@ object Stress {
       idCol = "vec_id", vecCol = "qv", k = 5, m = 4, dim = 64)
   }
 
+  /** The unblocked all-pairs Levenshtein verify that q_fuzzy_match
+    * shipped as through r6 (nation-only blocking → O(n²/25) edit
+    * distances): kept ONLY as the cost reference point next to the gate
+    * query's blocked form — the measured gap IS the argument for
+    * blocking. */
+  private def stressFuzzyUnblocked(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = graft.model.Tables.customer(s, d)
+    val l = cust.select("c_custkey", "c_name", "c_nationkey")
+    val r = cust.filter(pmod(col("c_custkey"), lit(9)) =!= 0)
+      .select((col("c_custkey") + 1000000L).as("rid"),
+        regexp_replace(col("c_name"), "0", "O").as("r_name"),
+        col("c_nationkey").as("r_nation"))
+    val best = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("edit_dist"), col("rid"))
+    l.join(r, col("c_nationkey") === col("r_nation"))
+      .withColumn("edit_dist", levenshtein(col("c_name"), col("r_name")))
+      .withColumn("_rn", row_number().over(best))
+      .filter(col("_rn") === 1)
+      .select("c_custkey", "rid", "edit_dist")
+  }
+
   /** The naive one-pass heavy-hitters plan (explode → groupBy over the
     * FULL vocabulary → filter) at the same threshold as q_heavy_hitters —
     * the baseline the Misra-Gries sketch+recount exists to beat: its
@@ -203,8 +225,9 @@ object Stress {
     // df-window — the measurement shows whether the window keeps the
     // term self-join bounded when the corpus (and its df profile) is 64×
     "q_sparse_topk", "q_bm25", "q_cusum", "q_profile_drift",
-    // all-candidate levenshtein verify (the unblocked-cost reference
-    // point next to q_record_linkage's blocked form)
+    // blocked levenshtein verify (r7: the gate query now blocks on the
+    // corruption-invariant keys; the unblocked all-pairs cost baseline
+    // moved to stress_fuzzy_unblocked below)
     "q_fuzzy_match")
 
   def main(args: Array[String]): Unit = {
@@ -230,7 +253,8 @@ object Stress {
         "stress_pq" -> (stressPq _),
         "stress_hh_naive" -> (stressHhNaive _),
         "stress_decon_big" -> (stressDeconBig _),
-        "stress_decon_big_bloom" -> (stressDeconBigBloom _))
+        "stress_decon_big_bloom" -> (stressDeconBigBloom _),
+        "stress_fuzzy_unblocked" -> (stressFuzzyUnblocked _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }
