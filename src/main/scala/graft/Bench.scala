@@ -168,7 +168,10 @@ object Bench {
         val f = Timebox.run(spark, "stream_funnel", Timebox.defaultSeconds) {
           graft.streaming.StreamBench.funnelThroughput(spark)
         }
-        f""","streaming":{"task_states_rows_per_sec":$t%.0f,"funnel_rows_per_sec":$f%.0f}"""
+        val a = Timebox.run(spark, "stream_attribution", Timebox.defaultSeconds) {
+          graft.streaming.StreamBench.attributionThroughput(spark)
+        }
+        f""","streaming":{"task_states_rows_per_sec":$t%.0f,"funnel_rows_per_sec":$f%.0f,"attribution_rows_per_sec":$a%.0f}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")

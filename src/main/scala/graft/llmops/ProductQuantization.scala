@@ -220,7 +220,8 @@ object ProductQuantization {
   }
 
   /** IVFADC — the production ANN composition (Jégou et al. 2011, minus
-    * residual encoding, a documented simplification): candidates are
+    * residual encoding — see [[ivfPqResidualTopK]] for the full
+    * construction): candidates are
     * coarse-quantized to [[Similarity.ivfAssignments]] cells AND
     * PQ-encoded in the same map pass, queries probe their `nProbe`
     * highest-cosine cells, and only the candidates assigned there are
@@ -257,6 +258,85 @@ object ProductQuantization {
     broadcast(q).join(encoded, Seq("cell_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("score", adcScore(m))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell_id", "cand_id", "score", "rank")
+  }
+
+  /** Broadcast-shaped centroid side for residual computation: (cell_id,
+    * `_c` double centroid). */
+  private def centroidVecs(centroids: DataFrame): DataFrame =
+    centroids.select(col("cell_id"),
+      VectorMath.precast(col("centroid")).as("_c"))
+
+  /** Adds `_r` = assigned vector − its cell centroid. One broadcast-hash
+    * join on cell_id (centroids are broadcast-sized by construction);
+    * the corpus side still never shuffles. */
+  private def withResidual(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroidVecs(centroids)), Seq("cell_id"))
+      .withColumn("_r", zip_with(col("_v"), col("_c"), (x, c) => x - c))
+
+  /** Residual codebooks for [[ivfPqResidualTopK]]: each sample is
+    * assigned to its max-cosine cell and its RESIDUAL (sample − cell
+    * centroid) is what the codebook slices quantize — the standard
+    * IVFADC construction (Jégou et al. 2011 §IV): residuals are smaller
+    * in magnitude than raw vectors, so the same ks codes spend their
+    * resolution on the part the coarse quantizer didn't explain.
+    *
+    * The sample set must be DISJOINT from the centroid set: a centroid's
+    * own residual is the zero vector, and an all-centroids sample set
+    * degenerates every codebook to zeros. Integer-exactness is
+    * preserved: int8 − int8 residuals are integer-valued doubles. */
+  def residualCodebooks(samples: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int, dim: Int): DataFrame = {
+    val assigned = withResidual(
+      Similarity.ivfAssignments(samples, idCol, vecCol, centroids, dim),
+      centroids)
+    subspaceCodebooks(assigned.select(col(idCol), col("_r")), idCol, "_r", m, dim)
+  }
+
+  /** IVFADC with residual encoding — the full standard construction
+    * ([[ivfPqTopK]] minus its documented simplification): candidates are
+    * coarse-quantized to cells and their RESIDUALS are PQ-encoded
+    * (codebooks from [[residualCodebooks]]); queries probe `nProbe`
+    * cells and score
+    *   dot(q, x) ≈ dot(q, c_cell) + Σ_s LUT_s[codes_s]
+    * where the LUT is the query's partial dots against the RESIDUAL
+    * codebooks. Because the inner product is linear, ONE LUT per query
+    * serves every probed cell — the per-cell LUT rebuild the L2 form of
+    * IVFADC needs does not arise here; only the exact scalar
+    * dot(q, c_cell) is added per probe, computed once per (query, cell)
+    * against the broadcast centroids. Same plan shape as [[ivfPqTopK]]:
+    * queries×probes broadcast, corpus assigned+encoded in one map pass
+    * and never shuffled, window top-k over the probed share. Exactness:
+    * int8 inputs keep every dot and residual integer-valued, so the
+    * whole pipeline hash-matches a DuckDB replay. */
+  def ivfPqResidualTopK(queries: DataFrame, candidates: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, m: Int, dim: Int): DataFrame = {
+    val assigned = withResidual(
+      Similarity.ivfAssignments(candidates, idCol, vecCol, centroids, dim),
+      centroids)
+    val encoded = graft.operators.FanOut(graft.operators.EvalBarrier(
+      pqEncode(assigned.select(col(idCol), col("cell_id"), col("_r")),
+        idCol, "_r", codebooks, m, dim, carryCols = Seq("cell_id"))
+        .select(col(idCol).as("cand_id"), col("cell_id"), col("codes")),
+      "codes"))
+    val qPrep = queries.select(col(idCol).as("query_id"),
+        VectorMath.precast(col(vecCol)).as("_qv"))
+      .withColumn("_qn", VectorMath.normAuto(col("_qv"), dim))
+    // LUT once per query (residual codebooks), probes after; the probed
+    // cell contributes its exact dot(q, centroid) term via the broadcast
+    // centroid join
+    val q = Similarity.probeCells(withLut(qPrep, codebooks, m, dim),
+        centroids, nProbe, dim)
+      .join(broadcast(centroidVecs(centroids)), Seq("cell_id"))
+      .withColumn("_qc", dotFold(col("_qv"), col("_c")))
+      .select("query_id", "_lut", "cell_id", "_qc")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    broadcast(q).join(encoded, Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("score", col("_qc") + adcScore(m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cell_id", "cand_id", "score", "rank")

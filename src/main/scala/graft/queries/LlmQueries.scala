@@ -1436,6 +1436,95 @@ object LlmQueries extends QueryFamily {
              |SELECT query_id, cell_id, cand_id, score, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVFADC with RESIDUAL encoding — the full Jégou construction: the
+    // PQ codes quantize (vector − cell centroid), codebooks are trained
+    // on sample residuals (vec_id 8..15, DISJOINT from the centroid set:
+    // a centroid's own residual is zero), and the score adds the exact
+    // dot(q, centroid) term back per probed cell. Inner-product
+    // linearity means ONE residual LUT per query serves every probe.
+    // Same integer-exactness argument as q_ivf_pq → hash-replayable.
+    ("q_ivf_pq_res",
+      (s: SparkSession, d: String) => {
+        val q = Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+          .select(col("vec_id"), col("qvec").cast("array<double>").as("qv"))
+        val centroids = q.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell_id"), col("qv").as("centroid"))
+        val books = ProductQuantization.residualCodebooks(
+          q.filter(col("vec_id") >= 8 && col("vec_id") < 16), "vec_id", "qv",
+          centroids, m = 4, dim = 64)
+        ProductQuantization.ivfPqResidualTopK(
+            queries = q.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+            candidates = q.filter(col("vec_id") >= 8),
+            centroids = centroids, codebooks = books,
+            idCol = "vec_id", vecCol = "qv", k = 3, nProbe = 2, m = 4, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |qz AS (
+             |  SELECT vec_id, list_transform(e, x -> floor(x / greatest(
+             |    list_max(list_transform(e, y -> abs(y))), 5e-324) * 127.0 + 0.5)) AS q
+             |  FROM v),
+             |n AS (SELECT vec_id, q,
+             |  sqrt(list_reduce(list_transform(q, x -> x*x), (a,b) -> a+b)) AS nrm FROM qz),
+             |c AS (SELECT vec_id AS cell_id, q AS cq, nrm AS cnrm FROM n WHERE vec_id < 8),
+             |assign AS (
+             |  SELECT vec_id AS cand_id, cell_id FROM (
+             |    SELECT v2.vec_id, c.cell_id, row_number() OVER (PARTITION BY v2.vec_id ORDER BY
+             |      list_reduce(list_transform(range(1, len(v2.q)+1), i -> v2.q[i]*c.cq[i]), (x,y) -> x+y)
+             |        / (v2.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+             |    FROM n v2, c WHERE v2.vec_id >= 8) WHERE rn = 1),
+             |res AS (
+             |  SELECT a.cand_id, a.cell_id,
+             |    list_transform(range(1, 65), i -> z.q[i] - c.cq[i]) AS r
+             |  FROM assign a JOIN qz z ON z.vec_id = a.cand_id
+             |  JOIN c ON c.cell_id = a.cell_id),
+             |subs AS (SELECT CAST(s AS INT) AS sub FROM range(4) t(s)),
+             |books AS (
+             |  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY cand_id) - 1 AS code,
+             |    list_slice(r, sub*16+1, sub*16+16) AS cv
+             |  FROM res, subs WHERE cand_id < 16),
+             |enc AS (
+             |  SELECT cand_id, cell_id, sub, code FROM (
+             |    SELECT rr.cand_id, rr.cell_id, b.sub, b.code,
+             |      row_number() OVER (PARTITION BY rr.cand_id, b.sub ORDER BY
+             |        list_reduce(list_transform(range(1, 17),
+             |          i -> (list_slice(rr.r, b.sub*16+1, b.sub*16+16)[i] - b.cv[i])
+             |             * (list_slice(rr.r, b.sub*16+1, b.sub*16+16)[i] - b.cv[i])),
+             |          (a, b2) -> a + b2) ASC,
+             |        b.code ASC) AS rn
+             |    FROM res rr JOIN books b ON true) WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS query_id, cell_id FROM (
+             |    SELECT v2.vec_id, c.cell_id, row_number() OVER (PARTITION BY v2.vec_id ORDER BY
+             |      list_reduce(list_transform(range(1, len(v2.q)+1), i -> v2.q[i]*c.cq[i]), (x,y) -> x+y)
+             |        / (v2.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+             |    FROM n v2, c WHERE v2.vec_id >= 8 AND v2.vec_id < 18) WHERE rn <= 2),
+             |lut AS (
+             |  SELECT qq.vec_id AS query_id, b.sub, b.code,
+             |    list_reduce(list_transform(range(1, 17),
+             |      i -> list_slice(qq.q, b.sub*16+1, b.sub*16+16)[i] * b.cv[i]),
+             |      (a, b2) -> a + b2) AS part
+             |  FROM qz qq JOIN books b ON true
+             |  WHERE qq.vec_id >= 8 AND qq.vec_id < 18),
+             |qc AS (
+             |  SELECT p.query_id, p.cell_id,
+             |    list_reduce(list_transform(range(1, len(z.q)+1), i -> z.q[i]*c.cq[i]), (x,y) -> x+y) AS qcdot
+             |  FROM probes p JOIN qz z ON z.vec_id = p.query_id
+             |  JOIN c ON c.cell_id = p.cell_id),
+             |scored AS (
+             |  SELECT p.query_id, e2.cell_id, e2.cand_id,
+             |    ANY_VALUE(g.qcdot) + SUM(l.part) AS score
+             |  FROM probes p
+             |  JOIN enc e2 ON e2.cell_id = p.cell_id AND e2.cand_id <> p.query_id
+             |  JOIN lut l ON l.query_id = p.query_id AND l.sub = e2.sub AND l.code = e2.code
+             |  JOIN qc g ON g.query_id = p.query_id AND g.cell_id = p.cell_id
+             |  GROUP BY p.query_id, e2.cell_id, e2.cand_id),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, cand_id ASC) AS rank FROM scored)
+             |SELECT query_id, cell_id, cand_id, score, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     // IVF approximate nearest-neighbor: coarse-quantize candidates to
     // max-cosine centroid cells (centroids = vec_id < 8, deterministic),
     // queries probe their top-2 cells, exact search within. The inverted-

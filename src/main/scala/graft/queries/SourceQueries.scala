@@ -199,6 +199,64 @@ object SourceQueries extends QueryFamily {
     ("q_media_ahash",
       (s: SparkSession, d: String) => hashWithNearCounts(
         Multimodal.audioHash(Multimodal.syntheticMedia(s, 64)), maxDist = 10),
-      None)
+      None),
+
+    // The Hamming-banded pair search itself, DuckDB-oracled: the banding
+    // is pure integer arithmetic (its media queries are golden-locked
+    // only because of the binary DECODE upstream), so feed it a
+    // deterministic 64-bit code table — bytes mixed from customer keys
+    // with small-prime multipliers, plus 2-bit-flip perturbed copies as
+    // planted near-dups — and hash-compare against an ALL-PAIRS popcount.
+    // The pigeonhole recall guarantee (no false negatives ≤ maxDist)
+    // is exactly what makes the banded result equal the quadratic truth.
+    ("q_phash_pairs",
+      (s: SparkSession, d: String) => {
+        // byte i of the code = (k·p_i + 17i) mod 256, top byte mod 128 so
+        // the code stays non-negative in both engines' BIGINT
+        val primes = Seq(131, 179, 53, 97, 241, 67, 23, 193)
+        def code(k: org.apache.spark.sql.Column) =
+          primes.zipWithIndex.map { case (p, i) =>
+            val mod = if (i == 7) 128 else 256
+            call_function("shiftleft",
+              pmod(k * p + i * 17, lit(mod)).cast("long"), lit(i * 8))
+          }.reduce(_ + _)
+        val base = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(37)) === 0)
+          .select(col("c_custkey").as("media_id"),
+            code(col("c_custkey")).as("phash"))
+        val pert = base.filter(pmod(col("media_id"), lit(5)) === 0)
+          .select((col("media_id") + 10000000L).as("media_id"),
+            col("phash")
+              .bitwiseXOR(call_function("shiftleft", lit(1L),
+                pmod(col("media_id"), lit(64))))
+              .bitwiseXOR(call_function("shiftleft", lit(1L),
+                pmod(col("media_id") * 7, lit(64)))).as("phash"))
+        Multimodal.phashNearDups(base.unionByName(pert), maxDist = 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 37 = 0),
+             |base AS (
+             |  SELECT k AS media_id,
+             |      ((k*131 +   0) % 256)
+             |    + (((k*179 +  17) % 256) << 8)
+             |    + (((k* 53 +  34) % 256) << 16)
+             |    + (((k* 97 +  51) % 256) << 24)
+             |    + (((k*241 +  68) % 256) << 32)
+             |    + (((k* 67 +  85) % 256) << 40)
+             |    + (((k* 23 + 102) % 256) << 48)
+             |    + (((k*193 + 119) % 128) << 56) AS phash
+             |  FROM ks),
+             |pert AS (
+             |  SELECT media_id + 10000000 AS media_id,
+             |    xor(xor(phash, CAST(1 AS BIGINT) << (media_id % 64)),
+             |        CAST(1 AS BIGINT) << ((media_id*7) % 64)) AS phash
+             |  FROM base WHERE media_id % 5 = 0),
+             |t AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+             |pairs AS (
+             |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |    bit_count(xor(a.phash, b.phash)) AS hamming
+             |  FROM t a JOIN t b ON a.media_id < b.media_id)
+             |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+             |FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin))
   )
 }

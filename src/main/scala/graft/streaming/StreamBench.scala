@@ -99,6 +99,43 @@ object StreamBench {
       funnelEventStream(spark, rowsPerSec, nKeys), FunnelStages),
       "funnel", seconds)
 
+  /** Two rate sources shaped as the attribution join's inputs: a heavy
+    * impression stream and a lighter conversion stream over the same
+    * bounded key space, event time = the rate source's real timestamp so
+    * the watermark advances naturally and join state stays
+    * O(keys × (lookback + delay)) for the whole run. */
+  def attributionStreams(spark: SparkSession, impPerSec: Long,
+      convPerSec: Long, nKeys: Int): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    def side(rate: Long, parts: Int, ts: String, id: String) =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", parts).load()
+        .select(
+          concat(lit("u"), pmod(col("value"), lit(nKeys))).as("user_id"),
+          col("timestamp").as(ts), col("value").as(id))
+    (side(impPerSec, 8, "imp_ts", "imp_id"),
+      side(convPerSec, 4, "conv_ts", "conv_id"))
+  }
+
+  /** Sustained rows/s of the watermarked stream-stream attribution join
+    * ([[StreamJoin.attributionJoin]]) — the third stateful operator with
+    * a real throughput requirement (event correlation at ingest rate).
+    * Input rows counted across both sides, same accounting as the other
+    * two measurements. */
+  def attributionThroughput(spark: SparkSession, seconds: Int = 30,
+      impPerSec: Long = 400000L, convPerSec: Long = 100000L,
+      nKeys: Int = 100000): Double = {
+    // default window is 2.5× the other operators': a stream-stream join
+    // micro-batch touches TWO state stores plus the range scan, so three
+    // post-warmup batches don't fit a 12 s × 3 deadline — measured 0
+    // samples at 12 s, 230 k rows/s at 30 s
+    val (imp, conv) = attributionStreams(spark, impPerSec, convPerSec, nKeys)
+    measure(StreamJoin.attributionJoin(imp, conv, "user_id",
+      "imp_ts", "conv_ts", lookback = "30 seconds", delay = "10 seconds"),
+      "attribution", seconds)
+  }
+
   /** Standalone entry: prints one JSON line with both throughputs. */
   def main(args: Array[String]): Unit = {
     val seconds = if (args.length > 0) args(0).toInt else 12
@@ -112,7 +149,8 @@ object StreamBench {
     StateBackends.rocksDb.foreach { case (k, v) => spark.conf.set(k, v) }
     val t = taskStatesThroughput(spark, seconds)
     val f = funnelThroughput(spark, seconds)
-    println(f"""{"task_states_rows_per_sec": $t%.0f, "funnel_rows_per_sec": $f%.0f}""")
+    val a = attributionThroughput(spark, seconds)
+    println(f"""{"task_states_rows_per_sec": $t%.0f, "funnel_rows_per_sec": $f%.0f, "attribution_rows_per_sec": $a%.0f}""")
     spark.stop()
   }
 }

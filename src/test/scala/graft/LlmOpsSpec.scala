@@ -1182,6 +1182,46 @@ class LlmOpsSpec extends SparkSpec {
       pruned.mkString(","))
   }
 
+  test("PQ: residual IVFADC recall and score fidelity >= non-residual at pruned probe") {
+    import graft.llmops.ProductQuantization
+    val centroids = pqVecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    val rawBooks = ProductQuantization.subspaceCodebooks(
+      pqVecs.filter(col("vec_id") < 8), "vec_id", "embedding", m = 4, dim = 16)
+    // residual codebooks from samples DISJOINT from the centroid set
+    // (a centroid's own residual is zero — see residualCodebooks doc)
+    val resBooks = ProductQuantization.residualCodebooks(
+      pqVecs.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+      "vec_id", "embedding", centroids, m = 4, dim = 16)
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val nonRes = run(ProductQuantization.ivfPqTopK(pqVecs, pqVecs, centroids,
+      rawBooks, "vec_id", "embedding", k = 3, nProbe = 2, m = 4, dim = 16))
+    val res = run(ProductQuantization.ivfPqResidualTopK(pqVecs, pqVecs, centroids,
+      resBooks, "vec_id", "embedding", k = 3, nProbe = 2, m = 4, dim = 16))
+    // exact inner-product top-3 (the quantity both indexes approximate)
+    val raw = pqVecs.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    val exact = raw.keys.flatMap { q =>
+      raw.keys.filter(_ != q).toSeq
+        .sortBy(c => (-dot(raw(q), raw(c)), c)).take(3).map(c => (q, c))
+    }.toSet
+    def recall(m: Map[(Long, Long), Double]) =
+      (m.keySet & exact).size.toDouble / exact.size
+    assert(recall(res) >= recall(nonRes),
+      s"residual recall ${recall(res)} < non-residual ${recall(nonRes)}")
+    // residual scores are STRICTLY more faithful to the true dot on this
+    // fixture: every candidate's residual lands exactly in the residual
+    // codebook (clone families), while raw-PQ must approximate the
+    // family-8/9 vectors that aren't in the raw codebook
+    def err(m: Map[(Long, Long), Double]) = m.map { case ((q, c), s) =>
+      math.abs(s - dot(raw(q), raw(c))) }.sum
+    assert(err(res) == 0.0, s"residual ADC not exact on clone fixture: ${err(res)}")
+    assert(err(nonRes) > 0.0, "fixture too easy — raw PQ also exact")
+  }
+
   test("PQ: one refine sweep reduces total quantization distortion") {
     import graft.llmops.ProductQuantization
     // integer codes → every distance/mean is exact, so the measured
