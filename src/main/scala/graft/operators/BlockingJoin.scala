@@ -55,21 +55,54 @@ object BlockingJoin {
       .drop("_pair_rn", "_block")
   }
 
-  /** Best match per left record: score every deduped candidate pair with
-    * `score` (any column expression over both sides' columns), keep the
+  /** Best match per left record: score every candidate pair with `score`
+    * (any column expression over both sides' columns), keep the
     * top-scoring right record per left id (ties broken by ascending
     * right id — deterministic). Returns all pair columns plus
     * `match_score`. Unblocked left records are absent (no candidate ⇒
-    * no row) — anti-join against the result for the unmatched report. */
+    * no row) — anti-join against the result for the unmatched report.
+    *
+    * The argmax deliberately SKIPS [[candidates]]' pair-dedup pass: a
+    * pair surfacing under several keys carries the identical
+    * (match_score, rightId) every time, so the per-left max is
+    * duplicate-invariant — same winner, same tie-break, no
+    * once-per-pair semantics to protect (that contract matters only for
+    * additive per-pair consumers, which is what [[candidates]] is for).
+    *
+    * Shape: the pair stream reduces through the bounded-heap
+    * [[graft.functions.TopK]] aggregation (ObjectHashAggregate — k=1
+    * heap per (left, partition) map-side, NO sort anywhere), carrying
+    * only (score, rightId); the winners (≤ |left| rows) then reattach
+    * both payloads by key and recompute the score once per winner. The
+    * window form this replaces shuffled and SORTED the full candidate
+    * table twice (pair-dedup window + rank window — ~9 M wide rows at
+    * sf0.1 for the linkage query), an allocation burst that made its
+    * bench cost a GC lottery (16→209 s across identical fresh-JVM
+    * runs); a `max_by(struct(payload), ...)` single-agg variant was
+    * tried and rejected — struct buffers drop it to SortAggregate,
+    * which re-sorts the pair table map-side.
+    *
+    * `rightId` must be integral and `score` deterministic (it is
+    * re-evaluated on the winner rows to keep its exact column type). */
   def bestMatch(left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
       blockKeys: Seq[(Column, Column)], score: Column): DataFrame = {
-    val scored = candidates(left, right, leftId, rightId, blockKeys)
+    require(blockKeys.nonEmpty, "at least one blocking key")
+    requireNoReserved(left, "left"); requireNoReserved(right, "right")
+    val scored = blockKeys.map { case (lk, rk) => left.join(right, lk === rk) }
+      .reduce(_ unionByName _)
       .withColumn("match_score", score)
-    val bestW = Window.partitionBy(col(leftId))
-      .orderBy(col("match_score").desc, col(rightId))
-    scored.withColumn("_rank", row_number().over(bestW))
-      .filter(col("_rank") === 1)
-      .drop("_rank")
+    val best = scored.groupBy(col(leftId))
+      .agg(graft.functions.TopK.topKAgg(1,
+        col("match_score").cast("double"), col(rightId).cast("long")).as("_top"))
+      .select(col(leftId),
+        element_at(col("_top"), 1).getField("id").as("_best_rid"))
+    val leftCols = left.columns.map(col)
+    val rightCols = right.columns.filter(_ != rightId).map(col)
+    best
+      .join(right, best("_best_rid") === right(rightId).cast("long"))
+      .join(left, Seq(leftId))
+      .withColumn("match_score", score)
+      .select(leftCols ++ (col(rightId) +: rightCols) :+ col("match_score"): _*)
   }
 }
