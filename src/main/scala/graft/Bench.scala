@@ -112,6 +112,13 @@ object Bench {
       var timedOut = false
       def rep(): Option[Double] = {
         if (timedOut) return None
+        // checkpoint-heavy queries (page_rank: 6 eager localCheckpoints)
+        // accumulate unevictable blocks across REPS as well — release
+        // between reps, not just between queries, or the 5th rep runs
+        // against 5 reps' worth of dead pinned blocks (measured as a
+        // 6.7 s GC episode on q_page_rank's 5-rep run)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         try {
           Timebox.run(spark, name, Timebox.defaultSeconds) {
@@ -131,6 +138,13 @@ object Bench {
       var times = (1 to reps).flatMap(_ => rep()).toVector
       if (times.nonEmpty && times.sorted.apply(times.length / 2) < 1.0)
         times ++= (times.length until fastReps).flatMap(_ => rep())
+      // HEAVY queries get two extra reps as well: with 3 reps, one cold
+      // first rep (broadcast/shuffle-file setup at sf0.1) sits adjacent
+      // to the median and skewed q_record_linkage 9.2 vs 15.9 s across
+      // otherwise-agreeing fresh-JVM runs; a median of 5 pins it to the
+      // warm plateau for the few queries where a rep costs real time
+      if (times.length == reps && times.sorted.apply(times.length / 2) >= 5.0)
+        times ++= (1 to 2).flatMap(_ => rep())
       val sorted = times.sorted
       val gcSec = (gcMillis() - gc0) / 1e3
       val spillGb = (spillTap.mem.get() - spill0) / 1e9
