@@ -228,7 +228,15 @@ object Stress {
     // blocked levenshtein verify (r7: the gate query now blocks on the
     // corruption-invariant keys; the unblocked all-pairs cost baseline
     // moved to stress_fuzzy_unblocked below)
-    "q_fuzzy_match")
+    "q_fuzzy_match",
+    // residual IVFADC (r7): assignment + residual + encode map pass over
+    // the replicated embedding table — the measurement shows the
+    // broadcast-probe shape holds when the corpus is 64×
+    "q_ivf_pq_res",
+    // Hamming-banded pair search over deterministic codes (r7): band
+    // buckets are corpus-density-sized; customer is a dimension table in
+    // this fixture so the curve should be flat
+    "q_phash_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"

@@ -643,4 +643,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("plan: bestMatch argmax hash-aggregates the pair stream — no pair sort") {
+    // the r7 GC-lottery fix pinned: the blocking-join pair table reduces
+    // through ObjectHashAggregate (bounded-heap TopK), map-side partial
+    // first. A max_by(struct(payload)) or window form would reintroduce
+    // a SortAggregate/Sort over ~9M wide rows — the exact regression
+    // this asserts against.
+    val p = plan(SparkEntry.queries("q_record_linkage")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // only the deterministic output orderBy may range-exchange
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("plan: residual IVFADC never shuffles the candidate corpus") {
+    // assignment + residual + PQ-encode are one map pass over broadcast
+    // centroids/codebooks and the probed join is broadcast-hash on
+    // cell_id, so the CORPUS side never exchanges. The hash exchanges
+    // that do appear are all bounded-size (codebook/centroid packing,
+    // m·ks rows) except the per-query top-k — and that one must carry
+    // the WindowGroupLimit partial so only ≤k rows per partition per
+    // query cross the wire.
+    val p = plan(SparkEntry.queries("q_ivf_pq_res")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(countShuffles(p) <= 4, p)
+  }
 }
