@@ -266,6 +266,65 @@ object CurationQueries extends QueryFamily {
              |  CAST(${Hll.alphaNumerator(8).toString} AS DOUBLE) / z_scaled AS raw_est
              |FROM agg, ns""".stripMargin)),
 
+    // Count-Min frequency estimates: depth×width counter grid over the
+    // event stream's user ids, point-queried for a bounded item set and
+    // reported NEXT TO the exact counts — the one-sided error contract
+    // (cm_count ≥ exact, overshoot = collision mass) is in the output
+    // itself. Register hash is the d-salted md5 device → bit-replayable.
+    ("q_cms_frequency",
+      (s: SparkSession, d: String) => {
+        import graft.functions.CountMin
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        val reg = CountMin.cmRegisters(ev, col("user_id"), depth = 4, width = 64)
+        val est = CountMin.cmEstimates(reg,
+          ev.filter(col("user_id") <= 20), "user_id", depth = 4, width = 64)
+        val exact = ev.filter(col("user_id") <= 20)
+          .groupBy(col("user_id").as("item"))
+          .agg(count(lit(1)).as("exact_count"))
+        est.join(exact, Seq("item")).orderBy("item")
+      },
+      Some("""WITH ds AS (SELECT CAST(x AS INT) AS d FROM range(4) t(x)),
+             |ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+             |reg AS (
+             |  SELECT ds.d,
+             |    CAST(concat('0x', substring(md5(CAST(ds.d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 64 AS w,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM ev, ds GROUP BY 1, 2),
+             |q AS (SELECT DISTINCT user_id AS item FROM ev WHERE user_id <= 20),
+             |b AS (
+             |  SELECT q.item, ds.d,
+             |    CAST(concat('0x', substring(md5(CAST(ds.d AS VARCHAR) || ':' || CAST(q.item AS VARCHAR)),1,15)) AS BIGINT) % 64 AS w
+             |  FROM q, ds),
+             |est AS (
+             |  SELECT b.item, MIN(COALESCE(reg.cnt, 0)) AS cm_count
+             |  FROM b LEFT JOIN reg ON reg.d = b.d AND reg.w = b.w
+             |  GROUP BY b.item),
+             |ex AS (SELECT user_id AS item, CAST(COUNT(*) AS BIGINT) AS exact_count
+             |  FROM ev WHERE user_id <= 20 GROUP BY 1)
+             |SELECT est.item, est.cm_count, ex.exact_count
+             |FROM est JOIN ex USING (item) ORDER BY item""".stripMargin)),
+
+    // Incremental Count-Min: per-source register sketches persisted,
+    // then merged register-wise by SUM (counters are additive — HLL
+    // merges by max) — the cross-batch frequency path. The oracle
+    // replays the DIRECT global sketch: merge-of-sums must equal
+    // count-over-all, hash-checked on real data (the q_hll_incremental
+    // device for the additive sketch family).
+    ("q_cms_incremental",
+      (s: SparkSession, d: String) => {
+        import graft.functions.CountMin
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        val parts = CountMin.cmRegistersBy(ev, col("event_type"),
+          col("user_id"), depth = 4, width = 64)
+        CountMin.cmMerge(parts.select("d", "w", "cnt")).orderBy("d", "w")
+      },
+      Some("""WITH ds AS (SELECT CAST(x AS INT) AS d FROM range(4) t(x)),
+             |ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL)
+             |SELECT ds.d,
+             |  CAST(concat('0x', substring(md5(CAST(ds.d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 64 AS w,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM ev, ds GROUP BY 1, 2 ORDER BY d, w""".stripMargin)),
+
     // Pareto frontier (2-D skyline) of length vs vocabulary richness —
     // the non-dominated exemplar set for data-selection tradeoffs. All
     // integer: per-x max + representative doc, then one ordered pass

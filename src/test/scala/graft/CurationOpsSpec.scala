@@ -118,6 +118,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(fit == ((1L, 10L, Some(2.5), Some(1.0))))
   }
 
+  test("CountMin: estimates dominate exact counts; merged batches equal the direct sketch") {
+    import graft.functions.CountMin
+    // skewed multiset across two batches: item frequencies 1..12, width
+    // 8 << 12 distinct items forces collisions — the one-sided error is
+    // exercised, not dodged
+    val rows = for { i <- 1 to 12; _ <- 1 to i } yield (s"item$i", if (i % 2 == 0) "a" else "b")
+    val df = rows.toDF("x", "b")
+    val reg = CountMin.cmRegisters(df, col("x"), depth = 4, width = 8)
+    val exact = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val est = CountMin.cmEstimates(reg, df, "x", depth = 4, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // one-sided: never under, and the min-over-rows bound is tight
+    // enough that at least one item reads exactly
+    exact.foreach { case (k, v) => assert(est(k) >= v, s"$k: ${est(k)} < $v") }
+    assert(exact.exists { case (k, v) => est(k) == v })
+    // a never-seen item still answers (collision mass or 0), never fails
+    val ghost = CountMin.cmEstimates(reg, Seq("ghost").toDF("x"), "x", 4, 8)
+      .collect().head.getLong(1)
+    assert(ghost >= 0L)
+    // mergeability: register-wise SUM of per-batch sketches == the
+    // directly-built global sketch, bit-for-bit
+    val parts = CountMin.cmRegistersBy(df, col("b"), col("x"), depth = 4, width = 8)
+    val merged = CountMin.cmMerge(parts.select("d", "w", "cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = reg.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct)
+  }
+
   test("HLL registers: merged per-source sketches equal the global sketch bit-for-bit") {
     import graft.functions.Hll
     val p = 8
