@@ -28,6 +28,13 @@ object Bench {
     }
   }
 
+  /** Locale-pinned decimal formatting: the f-interpolator uses the JVM
+    * default locale, which on a comma-decimal locale emits `0,12` —
+    * invalid JSON in the artifact. Every number in the JSON line goes
+    * through here (or Double.toString, which is locale-independent). */
+  private def num(x: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(x))
+
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -150,8 +157,8 @@ object Bench {
       val spillGb = (spillTap.mem.get() - spill0) / 1e9
       val dspillGb = (spillTap.disk.get() - dspill0) / 1e9
       val peakGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e9
-      metrics(name) = f"""{"gc_sec":$gcSec%.2f,"spill_gb":$spillGb%.2f,""" +
-        f""""disk_spill_gb":$dspillGb%.2f,"peak_heap_gb":$peakGb%.2f}"""
+      metrics(name) = s"""{"gc_sec":${num(gcSec, 2)},"spill_gb":${num(spillGb, 2)},""" +
+        s""""disk_spill_gb":${num(dspillGb, 2)},"peak_heap_gb":${num(peakGb, 2)}}"""
       name -> (if (sorted.isEmpty) None else Some(sorted(sorted.length / 2)))
     }
     val qs = results.map { case (k, v) =>
@@ -185,7 +192,7 @@ object Bench {
         val a = Timebox.run(spark, "stream_attribution", Timebox.defaultSeconds) {
           graft.streaming.StreamBench.attributionThroughput(spark)
         }
-        f""","streaming":{"task_states_rows_per_sec":$t%.0f,"funnel_rows_per_sec":$f%.0f,"attribution_rows_per_sec":$a%.0f}"""
+        s""","streaming":{"task_states_rows_per_sec":${num(t, 0)},"funnel_rows_per_sec":${num(f, 0)},"attribution_rows_per_sec":${num(a, 0)}}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
@@ -197,12 +204,18 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failures.length},"errors":$errs,"sf":"$sfDir"$streaming,""" +
-      f""""jvm_max_heap_gb":$heapGb%.1f,"query_metrics":$qm}"""
-    println(line)
+      s""""jvm_max_heap_gb":${num(heapGb, 1)},"query_metrics":$qm}"""
     // Stdout-tail scraping truncated the timing object in r3/r4
     // (BENCH parsed:null) — persist the full line to a file too.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    spark.stop()
+    // Print the JSON line LAST, after the session is down: r7's driver
+    // artifact came back parsed:null because a RocksDB checkpoint-abort
+    // stack from streaming shutdown interleaved with the line on stdout.
+    // stop() failures must not void the artifact either — swallow them.
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
+    println(line)
   }
 }

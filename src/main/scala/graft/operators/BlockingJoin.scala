@@ -82,8 +82,21 @@ object BlockingJoin {
     * tried and rejected — struct buffers drop it to SortAggregate,
     * which re-sorts the pair table map-side.
     *
-    * `rightId` must be integral and `score` deterministic (it is
-    * re-evaluated on the winner rows to keep its exact column type). */
+    * Caller contract (the bounded-heap rewrite narrows semantics vs the
+    * window form it replaced — violations diverge SILENTLY):
+    *  - `rightId` integral; `score` deterministic (re-evaluated on the
+    *    winner rows to keep its exact column type).
+    *  - `score` must be NON-NULL on every candidate pair: the heap ranks
+    *    through a non-nullable Double encoder, so a NULL score is a
+    *    runtime error here where the old window form ranked it last.
+    *    Wrap nullable scores in `coalesce(score, lit(Double.MinValue))`.
+    *  - `score` must be EXACT under cast to double: ranking runs on
+    *    `score.cast("double")`, so two scores distinguishable in their
+    *    native type but equal as doubles (e.g. decimals beyond 2^53) can
+    *    pick a different winner than exact ordering would.
+    *  - `leftId` must be UNIQUE in `left`: duplicate left rows share one
+    *    heap, then the winner re-join fans out one output row per
+    *    duplicate (the window form emitted one per partition-row). */
   def bestMatch(left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
       blockKeys: Seq[(Column, Column)], score: Column): DataFrame = {

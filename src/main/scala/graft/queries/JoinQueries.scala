@@ -77,18 +77,33 @@ object JoinQueries extends QueryFamily {
 
     // Record linkage via multi-key blocking: customers matched against a
     // reformatted directory (names restyled, every 7th record missing) on
-    // two blocking keys — nation, and the last 3 digits of the
-    // normalized name — scored by field agreement, best match per left.
-    // A pair surfacing under both keys must score ONCE (the oracle's
-    // UNION-distinct pins the dedup), and partnerless lefts degrade to
-    // the best same-nation candidate instead of vanishing.
+    // two blocking keys — (nation, last 2 digits of the normalized name)
+    // and the last 3 digits alone — scored by field agreement, best match
+    // per left. Both keys are corruption-INVARIANT (the restyle touches
+    // only the alpha prefix, so digits and nation survive), so the true
+    // pair always co-blocks under BOTH; the union still matters for the
+    // degrade path (partnerless lefts keep whichever arm yields the
+    // better stand-in). The r7 form blocked the first arm on nation
+    // ALONE: 25 blocks ⇒ Σ(n/25)² candidates — quadratic in corpus
+    // (~9 M pairs at sf0.1, the bench's biggest line). Compounding the
+    // nation arm with 2 name digits multiplies block count by 100 at
+    // identical recall, dropping candidates from O(n²/25) to
+    // O(n²/2500 + n²/1000) — the same re-block q_fuzzy_match ran in r7
+    // (measured 15× there). Sizing rule (the knob a deployment turns as
+    // the corpus grows): pick suffix length L with 10^L ≈ n/targetBlock
+    // so Σ block² ≈ n·targetBlock stays O(n) — L=3 here (15 k rows,
+    // ~15-row blocks); tools/Stress.stressLinkageScaled measures the
+    // same pipeline at a 64× corpus under the rule's L=5/L=4 keys.
+    // Pair-dedup note: bestMatch scores a pair
+    // once per surfacing arm, but (score, rid) is identical each time,
+    // so the per-left argmax is duplicate-invariant (its scaladoc
+    // contract); the oracle's UNION-distinct collapses the same dup.
     ("q_record_linkage",
       (s: SparkSession, d: String) => {
         def digits(c: org.apache.spark.sql.Column) = regexp_replace(c, "[^0-9]", "")
         // normalized digits are PRECOMPUTED on the 15k-row inputs: the
-        // score runs on every candidate pair (~9M at sf0.1 under the
-        // nation key), and a regexp evaluated per PAIR instead of per
-        // ROW was the dominant CPU in the pair loop
+        // score runs on every candidate pair, and a regexp evaluated per
+        // PAIR instead of per ROW was the dominant CPU in the pair loop
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             col("c_acctbal"), digits(col("c_name")).as("_l_dig"))
@@ -100,7 +115,8 @@ object JoinQueries extends QueryFamily {
           .withColumn("_r_dig", digits(col("r_name")))
         BlockingJoin.bestMatch(cust, dir, leftId = "c_custkey", rightId = "rid",
             blockKeys = Seq(
-              cust("c_nationkey") -> dir("r_nation"),
+              struct(cust("c_nationkey"), substring(cust("_l_dig"), -2, 2)) ->
+                struct(dir("r_nation"), substring(dir("_r_dig"), -2, 2)),
               substring(cust("_l_dig"), -3, 3) ->
                 substring(dir("_r_dig"), -3, 3)),
             score =
@@ -120,7 +136,10 @@ object JoinQueries extends QueryFamily {
              |cand AS (
              |  SELECT l.c_custkey, l.c_name, l.c_nationkey, l.c_acctbal,
              |         r.rid, r.r_name, r.r_nation, r.r_acct
-             |  FROM l JOIN r ON l.c_nationkey = r.r_nation
+             |  FROM l JOIN r
+             |    ON l.c_nationkey = r.r_nation
+             |   AND substring(regexp_replace(l.c_name, '[^0-9]', '', 'g'), -2, 2)
+             |     = substring(regexp_replace(r.r_name, '[^0-9]', '', 'g'), -2, 2)
              |  UNION
              |  SELECT l.c_custkey, l.c_name, l.c_nationkey, l.c_acctbal,
              |         r.rid, r.r_name, r.r_nation, r.r_acct

@@ -224,13 +224,21 @@ object SourceQueries extends QueryFamily {
           .filter(pmod(col("c_custkey"), lit(37)) === 0)
           .select(col("c_custkey").as("media_id"),
             code(col("c_custkey")).as("phash"))
+        // flip bits (media_id % 63) and (1 + (media_id·7) % 63): both are
+        // ≤ 62 (so the sign bit — kept 0 by the top-byte mod 128 — stays
+        // untouched in both engines, and DuckDB's 1::BIGINT << s never
+        // overflows), and they can never coincide (m ≡ 1+7m (mod 63) has
+        // no solution: 6m ≡ 62 with gcd(6,63)=3 ∤ 62), so the perturbed
+        // copy is always exactly a 2-bit flip. The r7 form used % 64:
+        // shift 63 overflowed DuckDB's BIGINT, and media_id ≡ 0 (mod 32)
+        // made the two flips cancel into an exact duplicate.
         val pert = base.filter(pmod(col("media_id"), lit(5)) === 0)
           .select((col("media_id") + 10000000L).as("media_id"),
             col("phash")
               .bitwiseXOR(call_function("shiftleft", lit(1L),
-                pmod(col("media_id"), lit(64))))
+                pmod(col("media_id"), lit(63))))
               .bitwiseXOR(call_function("shiftleft", lit(1L),
-                pmod(col("media_id") * 7, lit(64)))).as("phash"))
+                lit(1) + pmod(col("media_id") * 7, lit(63)))).as("phash"))
         Multimodal.phashNearDups(base.unionByName(pert), maxDist = 6)
           .orderBy("id_a", "id_b")
       },
@@ -248,8 +256,8 @@ object SourceQueries extends QueryFamily {
              |  FROM ks),
              |pert AS (
              |  SELECT media_id + 10000000 AS media_id,
-             |    xor(xor(phash, CAST(1 AS BIGINT) << (media_id % 64)),
-             |        CAST(1 AS BIGINT) << ((media_id*7) % 64)) AS phash
+             |    xor(xor(phash, CAST(1 AS BIGINT) << (media_id % 63)),
+             |        CAST(1 AS BIGINT) << (1 + (media_id*7) % 63)) AS phash
              |  FROM base WHERE media_id % 5 = 0),
              |t AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
              |pairs AS (

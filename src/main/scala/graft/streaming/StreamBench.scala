@@ -149,7 +149,10 @@ object StreamBench {
     StateBackends.rocksDb.foreach { case (k, v) => spark.conf.set(k, v) }
     val t = taskStatesThroughput(spark, seconds)
     val f = funnelThroughput(spark, seconds)
-    val a = attributionThroughput(spark, seconds)
+    // the stream-stream join needs ≥30 s to yield post-warmup samples
+    // (see attributionThroughput's 2.5× window note) — the no-args
+    // default of 12 s would print a meaningless 0-sample rate
+    val a = attributionThroughput(spark, math.max(seconds, 30))
     println(f"""{"task_states_rows_per_sec": $t%.0f, "funnel_rows_per_sec": $f%.0f, "attribution_rows_per_sec": $a%.0f}""")
     spark.stop()
   }

@@ -98,6 +98,50 @@ object Stress {
       .select("c_custkey", "rid", "edit_dist")
   }
 
+  /** q_record_linkage at a genuinely 64×-LARGER linkage corpus (the
+    * shared stress fixture keeps customer dimension-sized, so the gate
+    * query's own 64× row never scaled the thing the blocking must
+    * survive). Customer is replicated 64× inline with a prime stride so
+    * the re-keyed names' digit suffixes stay uniform, and the blocking
+    * granularity follows the documented sizing rule (suffix length L
+    * with 10^L ≈ n/targetBlock): at 960 k rows that is L=5 (plus the
+    * (nation, L=4) composite arm) where the sf0.1 gate uses L=3 —
+    * candidates stay Σ block² ≈ n·targetBlock = O(n), which is the
+    * property this row measures. The r7 nation-alone arm at this corpus
+    * would be Σ(n/25)² ≈ 3.7e10 pairs — unrunnable, which is the point. */
+  private def stressLinkageScaled(s: SparkSession, d: String): DataFrame = {
+    val reps = 64
+    val stride = 10000019L // prime ≫ |customer| ⇒ no key collisions, and
+                           // rep·stride mod 10^5 spreads, keeping digit
+                           // blocks balanced (a 10^8 stride would stack
+                           // every replica into the same suffix block)
+    val cust0 = graft.model.Tables.customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .crossJoin(broadcast(s.range(reps).toDF("rep")))
+      .select((col("c_custkey") + col("rep") * stride).as("c_custkey"),
+        col("c_nationkey"), col("c_acctbal"))
+      .withColumn("c_name", format_string("Customer#%010d", col("c_custkey")))
+    def digits(c: org.apache.spark.sql.Column) = regexp_replace(c, "[^0-9]", "")
+    val l = cust0.withColumn("_l_dig", digits(col("c_name")))
+    val r = cust0.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+      .select((col("c_custkey") + 100000000000L).as("rid"),
+        regexp_replace(upper(col("c_name")), "CUSTOMER#", "CUST-").as("r_name"),
+        col("c_nationkey").as("r_nation"), col("c_acctbal").as("r_acct"))
+      .withColumn("_r_dig", digits(col("r_name")))
+    graft.operators.BlockingJoin.bestMatch(l, r,
+        leftId = "c_custkey", rightId = "rid",
+        blockKeys = Seq(
+          struct(l("c_nationkey"), substring(l("_l_dig"), -4, 4)) ->
+            struct(r("r_nation"), substring(r("_r_dig"), -4, 4)),
+          substring(l("_l_dig"), -5, 5) ->
+            substring(r("_r_dig"), -5, 5)),
+        score =
+          when(col("_l_dig") === col("_r_dig"), 10).otherwise(0)
+            + when(col("c_nationkey") === col("r_nation"), 2).otherwise(0)
+            + when(col("c_acctbal") === col("r_acct"), 3).otherwise(0))
+      .select("c_custkey", "rid", "match_score")
+  }
+
   /** The naive one-pass heavy-hitters plan (explode → groupBy over the
     * FULL vocabulary → filter) at the same threshold as q_heavy_hitters —
     * the baseline the Misra-Gries sketch+recount exists to beat: its
@@ -262,7 +306,8 @@ object Stress {
         "stress_hh_naive" -> (stressHhNaive _),
         "stress_decon_big" -> (stressDeconBig _),
         "stress_decon_big_bloom" -> (stressDeconBigBloom _),
-        "stress_fuzzy_unblocked" -> (stressFuzzyUnblocked _))
+        "stress_fuzzy_unblocked" -> (stressFuzzyUnblocked _),
+        "stress_linkage_scaled" -> (stressLinkageScaled _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }
