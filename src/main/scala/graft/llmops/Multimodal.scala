@@ -168,8 +168,16 @@ object Multimodal {
 
   /** Shared aHash bit-packing: 64-bit code with bit i set iff vals[i]
     * exceeds the vector mean — pure column arithmetic over any 64-value
-    * feature raster (image luma, audio envelope). */
-  private def bitsAboveMean(df: DataFrame): DataFrame = {
+    * feature raster (image luma, audio envelope). Input: (media_id,
+    * vals array of 64 doubles). Public so the packing math is
+    * DuckDB-oracleable over synthetic rasters (q_ahash_bits) — the media
+    * queries built on it stay golden only because of the binary DECODE
+    * upstream. Exactness note: the mean is Σ/64 (a power-of-two divide,
+    * so integer-valued inputs compare bit-identically across engines),
+    * and bit 63's shiftleft(1L, 63) lands on Long.MinValue — adding a
+    * negative to the non-negative accumulator, which never overflows
+    * (and matches two's-complement packing exactly). */
+  def bitsAboveMean(df: DataFrame): DataFrame = {
     val mean = aggregate(col("vals"), lit(0.0d), (a, x) => a + x) /
       size(col("vals"))
     df.withColumn("_mean", mean)
@@ -185,10 +193,35 @@ object Multimodal {
     StructField("media_id", LongType),
     StructField("env", ArrayType(FloatType))))
 
+  /** The envelope bucket math, decode-free: mean |amplitude| per bucket
+    * with boundaries at b·len/nWindows, so a clip length that isn't a
+    * multiple of nWindows distributes its remainder across buckets
+    * instead of silently dropping up to nWindows-1 tail samples
+    * (proportionally large for short clips). Every sample lands in
+    * exactly one bucket. Public (and pure) so the math is
+    * DuckDB-oracleable over synthetic sample arrays (q_envelope_windows)
+    * — [[audioEnvelope]]'s golden lock then covers only the WAV decode.
+    * Exactness: per-bucket sums accumulate in double (order-insensitive
+    * for integer-valued samples < 2^53), the divide is one IEEE double
+    * op, and the float downcast is one IEEE rounding — all replayable. */
+  def envelopeOf(s: Array[Float], nWindows: Int): Array[Float] = {
+    val env = new Array[Float](nWindows)
+    var b = 0
+    while (b < nWindows) {
+      var acc = 0.0; var n = 0
+      var i = (b.toLong * s.length / nWindows).toInt
+      val end = ((b + 1).toLong * s.length / nWindows).toInt
+      while (i < end) { acc += math.abs(s(i)); n += 1; i += 1 }
+      env(b) = if (n == 0) 0f else (acc / n).toFloat
+      b += 1
+    }
+    env
+  }
+
   /** Mean-|amplitude| envelope (nWindows equal buckets) per audio row —
     * the one decode pass behind [[audioHash]]. Undecodable rows are
     * dropped (flatMap; quarantine via [[extractFeatures]]' meta_ok first
-    * if lineage matters). */
+    * if lineage matters). Bucket semantics live in [[envelopeOf]]. */
   def audioEnvelope(media: DataFrame, nWindows: Int): DataFrame = {
     implicit val enc = Encoders.row(envelopeSchema)
     media.filter(col("kind") === "audio")
@@ -196,23 +229,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           Codecs.Wav.decode(r.getAs[Array[Byte]]("payload")).map { a =>
-            val s = Codecs.Wav.normalized(a)
-            val env = new Array[Float](nWindows)
-            // Bucket boundaries at b*len/nWindows so a clip length that
-            // isn't a multiple of nWindows distributes its remainder
-            // across buckets instead of silently dropping up to
-            // nWindows-1 tail samples (proportionally large for short
-            // clips). Every sample lands in exactly one bucket.
-            var b = 0
-            while (b < nWindows) {
-              var acc = 0.0; var n = 0
-              var i = (b.toLong * s.length / nWindows).toInt
-              val end = ((b + 1).toLong * s.length / nWindows).toInt
-              while (i < end) { acc += math.abs(s(i)); n += 1; i += 1 }
-              env(b) = if (n == 0) 0f else (acc / n).toFloat
-              b += 1
-            }
-            Row(r.getAs[Long]("media_id"), env)
+            Row(r.getAs[Long]("media_id"),
+              envelopeOf(Codecs.Wav.normalized(a), nWindows))
           }
         }
       }

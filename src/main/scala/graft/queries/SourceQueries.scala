@@ -265,6 +265,82 @@ object SourceQueries extends QueryFamily {
              |    bit_count(xor(a.phash, b.phash)) AS hamming
              |  FROM t a JOIN t b ON a.media_id < b.media_id)
              |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-             |FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin))
+             |FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
+
+    // The aHash bit-packing itself, DuckDB-oracled (the q_phash_pairs
+    // pattern, next slice): q_media_phash/q_media_ahash stay golden only
+    // because of the binary DECODE upstream, so feed the REAL packing
+    // kernel (Multimodal.bitsAboveMean — the exact code path both media
+    // hashes share) deterministic synthetic 64-value rasters and
+    // hash-compare. Exactness is engineered, not hoped: raster values
+    // are integer-valued doubles, the mean is Σ/64 (power-of-two divide
+    // ⇒ bit-exact in both engines), and bit 63 — which DuckDB cannot
+    // reach via 1::BIGINT << 63 — is spelled as two's-complement
+    // Long.MinValue summed in HUGEINT then cast back (the kernel's own
+    // shiftleft(1L, 63) is the same value by construction).
+    ("q_ahash_bits",
+      (s: SparkSession, d: String) => {
+        val rasters = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(41)) === 0)
+          .select(col("c_custkey").as("media_id"),
+            transform(sequence(lit(0), lit(63)),
+              i => pmod(col("c_custkey") * (i + 3), lit(97)).cast("double"))
+              .as("vals"))
+        Multimodal.bitsAboveMean(rasters).orderBy("media_id")
+      },
+      Some("""WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 41 = 0),
+             |v AS (
+             |  SELECT k, i, CAST((k*(i+3)) % 97 AS DOUBLE) AS val
+             |  FROM ks, generate_series(0, 63) AS g(i)),
+             |m AS (SELECT k, sum(val)/64 AS mean FROM v GROUP BY k),
+             |b AS (
+             |  SELECT v.k,
+             |    CAST(sum(CASE WHEN val > mean THEN
+             |      CASE WHEN i = 63 THEN -9223372036854775807 - 1
+             |           ELSE CAST(1 AS BIGINT) << i END
+             |      ELSE 0 END) AS BIGINT) AS phash
+             |  FROM v JOIN m ON v.k = m.k GROUP BY v.k)
+             |SELECT k AS media_id, phash FROM b ORDER BY media_id""".stripMargin)),
+
+    // The audio-envelope bucket math, DuckDB-oracled (same slice): the
+    // REAL kernel (Multimodal.envelopeOf — the exact function
+    // audioEnvelope runs after WAV decode) over deterministic synthetic
+    // sample arrays whose lengths are deliberately NOT multiples of the
+    // window count, so the remainder-distribution boundaries
+    // (b·len/n ≤ i < (b+1)·len/n) are what the oracle replays. Samples
+    // are integer-valued floats (|v| ≤ 100): per-bucket double sums are
+    // order-insensitive-exact, the divide is one IEEE op, and the float
+    // downcast is one IEEE rounding — identical in both engines.
+    ("q_envelope_windows",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val n = 8
+        val samples = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(59)) === 0)
+          .select(col("c_custkey").as("media_id"),
+            transform(sequence(lit(0), lit(95) + pmod(col("c_custkey"), lit(37))),
+              i => (pmod(col("c_custkey") * (i + 7), lit(201)) - 100)
+                .cast("float")).as("samples"))
+          .as[(Long, Array[Float])]
+        samples.map { case (id, arr) =>
+          (id, Multimodal.envelopeOf(arr, n)) }
+          .toDF("media_id", "env")
+          .select(col("media_id"), posexplode(col("env")).as(Seq("win", "env_val")))
+          .orderBy("media_id", "win")
+      },
+      Some("""WITH ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 59 = 0),
+             |p AS (SELECT k, 96 + (k % 37) AS len FROM ks),
+             |smp AS (
+             |  SELECT k, len, i, CAST((k*(i+7)) % 201 - 100 AS DOUBLE) AS v
+             |  FROM p, generate_series(0, 132) AS g(i) WHERE i < len),
+             |w AS (SELECT k, len, b FROM p, generate_series(0, 7) AS gb(b)),
+             |env AS (
+             |  SELECT w.k, w.b,
+             |    CAST(sum(abs(v)) / count(*) AS FLOAT) AS env_val
+             |  FROM w JOIN smp ON w.k = smp.k
+             |    AND smp.i >= (w.b * w.len) // 8 AND smp.i < ((w.b + 1) * w.len) // 8
+             |  GROUP BY w.k, w.b)
+             |SELECT k AS media_id, CAST(b AS INT) AS win, env_val
+             |FROM env ORDER BY media_id, win""".stripMargin))
   )
 }

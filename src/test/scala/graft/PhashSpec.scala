@@ -85,4 +85,37 @@ class PhashSpec extends SparkSpec {
       assert(got == want, s"maxDist=$maxDist: missed ${(want -- got).take(5)}")
     }
   }
+
+  test("envelopeOf: every sample in exactly one bucket, remainder spread") {
+    // len=13, n=8: boundaries b·13/8 = 0,1,3,4,6,8,9,11,13 — five 2-sample
+    // buckets and three 1-sample buckets, no bucket empty, no tail drop
+    val s = Array.tabulate(13)(i => (i + 1).toFloat * (if (i % 2 == 0) 1 else -1))
+    val env = Multimodal.envelopeOf(s, 8)
+    assert(env.length == 8)
+    val bounds = (0 to 8).map(b => b * 13 / 8)
+    val want = (0 until 8).map { b =>
+      val xs = (bounds(b) until bounds(b + 1)).map(i => math.abs(s(i)))
+      (xs.sum / xs.length).toFloat
+    }
+    assert(env.toSeq == want)
+    // bucket sample-count totals must partition the clip exactly
+    assert(bounds.sliding(2).map(p => p(1) - p(0)).sum == 13)
+    // more windows than samples: the empty buckets are 0, not NaN
+    val sparse = Multimodal.envelopeOf(Array(4f, -6f), 8)
+    assert(sparse.count(_ == 0f) == 6 && sparse.forall(!_.isNaN))
+    assert(math.abs(sparse.sum - 10f) < 1e-6)
+  }
+
+  test("bitsAboveMean packs bit 63 and matches a direct reimplementation") {
+    // raster engineered so vals(63) > mean (bit 63 = Long.MinValue in the
+    // packed code — the sign bit the kernel must still pack correctly)
+    val vals = Array.tabulate(64)(i => if (i >= 32) 100.0 else 0.0)
+    val df = Seq((1L, vals.toSeq)).toDF("media_id", "vals")
+    val got = Multimodal.bitsAboveMean(df).as[(Long, Long)].collect().head._2
+    val mean = vals.sum / 64
+    val want = (0 until 64).filter(i => vals(i) > mean)
+      .foldLeft(0L)((acc, i) => acc + (1L << i))
+    assert(got == want)
+    assert(got < 0, "bit 63 set ⇒ negative two's-complement code")
+  }
 }

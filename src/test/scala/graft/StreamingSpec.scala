@@ -175,6 +175,69 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("attribution join survives a restart: buffered state matches, no duplicates") {
+    // The stream-stream join's crash-recovery contract: an impression
+    // buffered in join state BEFORE a stop must still attribute a
+    // conversion that arrives AFTER the restart, a match emitted before
+    // the stop must not re-emit, and the final output must equal the
+    // batch join over the union of all events (streamed ≡ batch across
+    // the forced restart — the TaskStateMachine drill, join edition).
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_attr_ckpt").toFile
+    val ckpt = new java.io.File(tmp, "checkpoint").getAbsolutePath
+    val out = new java.io.File(tmp, "out").getAbsolutePath
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val impIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val convIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    def join(imp: org.apache.spark.sql.DataFrame,
+        conv: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamJoin.attributionJoin(imp, conv, "user_id",
+        "imp_ts", "conv_ts", lookback = "10 minutes", delay = "5 minutes")
+    def start() = join(
+        impIn.toDF().toDF("user_id", "imp_ts", "imp_id"),
+        convIn.toDF().toDF("user_id", "conv_ts", "conv_id"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val allImps = Seq(("u1", ts(0), 1L), ("u2", ts(0), 2L))
+    val preConvs = Seq(("u2", ts(60), 100L)) // matches u2 pre-restart
+    val postConvs = Seq(
+      ("u1", ts(120), 101L), // matches u1's PRE-restart buffered impression
+      ("u2", ts(90), 102L),  // second in-window conv for u2 — also matches
+      ("u3", ts(120), 103L)) // no impression — must never surface
+
+    val q1 = start()
+    try {
+      impIn.addData(allImps: _*)
+      convIn.addData(preConvs: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      convIn.addData(postConvs: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = sp.read.parquet(out)
+      .select("user_id", "imp_id", "conv_id")
+      .as[(String, Long, Long)].collect().toList
+    assert(got.distinct.size == got.size,
+      s"restart re-emitted pre-stop matches: $got")
+    // batch ground truth: the same operator over the union of all events
+    // (withWatermark is a no-op on batch, so the join semantics shared)
+    val want = join(allImps.toDF("user_id", "imp_ts", "imp_id"),
+        (preConvs ++ postConvs).toDF("user_id", "conv_ts", "conv_id"))
+      .select("user_id", "imp_id", "conv_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(want.map(_._3) == Set(100L, 101L, 102L), s"fixture drifted: $want")
+    assert(got.toSet == want,
+      s"streamed=${got.toSet} batch=$want diff=${(want diff got.toSet)}")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
   test("minute summary: streaming availableNow equals the batch aggregation") {
     // Batch/streaming parity over the LIVE fixture: the same
     // Monitor.minuteSummary transform, run (a) as the batch oracle query
