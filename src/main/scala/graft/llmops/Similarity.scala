@@ -701,4 +701,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "qcosine", "rank")
   }
+
+  /** Reciprocal-rank fusion of retrieval arms (Cormack/Clarke/Büttcher's
+    * RRF — the standard way hybrid search combines a lexical arm like
+    * [[SparseSim.bm25Retrieve]] with a dense arm like [[bruteForceTopK]]
+    * without calibrating their incomparable score scales: only RANKS
+    * cross arms). Each arm contributes ⌊10^12 / (kRrf + rank)⌋ per
+    * (query, doc); fused score is the sum.
+    *
+    * Integer micro-quantization (the [[SparseSim]] BM25 device): the
+    * contribution is a long, so the cross-arm sum is order-free and the
+    * fused ranking replays exactly in any SQL engine — true-double RRF
+    * differs from this by < 10^-12 relative, which can only reorder
+    * exact ties. Ties break on ascending doc id, a strict total order.
+    *
+    * Scale shape: each arm is already bounded at its own top-k per
+    * query, so fusion touches ≤ Σ arm-k rows per query — the groupBy
+    * and the per-query rank window run on arm-bounded input, never on a
+    * corpus-sized relation. Arms are unioned, not joined: N arms cost
+    * one union + one aggregation regardless of N.
+    *
+    * Input contract: every arm is (queryCol, idCol, rankCol) with rank
+    * ≥ 1 and one row per (query, id); `arms` names must be distinct
+    * (they become output columns `rank_<name>`, null where the arm
+    * didn't surface the doc).
+    *
+    * Output: (queryCol, idCol, score_scaled, rank_<name>..., fused_rank
+    * ≤ topK). */
+  def rrfFuse(arms: Seq[(String, DataFrame)], queryCol: String,
+      idCol: String, rankCol: String, kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(arms.nonEmpty, "at least one retrieval arm")
+    require(arms.map(_._1).distinct.length == arms.length,
+      s"arm names must be distinct: ${arms.map(_._1).mkString(", ")}")
+    val tagged = arms.map { case (name, df) =>
+      df.select(col(queryCol), col(idCol), col(rankCol).cast("int").as("_rank"),
+        lit(name).as("_arm"))
+    }.reduce(_ unionByName _)
+    val contrib = floor(lit(1e12) / (lit(kRrf) + col("_rank"))).cast("long")
+    val perArmRanks = arms.map { case (name, _) =>
+      min(when(col("_arm") === name, col("_rank"))).as(s"rank_$name")
+    }
+    val fused = tagged
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum(contrib).as("score_scaled"), perArmRanks: _*)
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col("score_scaled").desc, col(idCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+  }
 }

@@ -325,6 +325,193 @@ object CurationQueries extends QueryFamily {
              |  CAST(COUNT(*) AS BIGINT) AS cnt
              |FROM ev, ds GROUP BY 1, 2 ORDER BY d, w""".stripMargin)),
 
+    // KMV theta sketch, register state: the k smallest distinct 60-bit
+    // md5 hashes per segment — bit-replayed register-for-register (the
+    // q_hll_distinct device for the SET-OPERATION sketch; HLL can union
+    // but structurally cannot intersect). One shuffle, ≤ k longs of
+    // partial state per (group, partition).
+    ("q_kmv_registers",
+      (s: SparkSession, d: String) => {
+        import graft.functions.ThetaSketch
+        val k = 128
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            ThetaSketch.kmvInput(col("user_id")).as("hv"))
+          .groupBy("event_type")
+          .agg(ThetaSketch.kmvAgg(k, col("hv")).as("sk"))
+          .select(col("event_type"), posexplode(col("sk")).as(Seq("reg", "hv")))
+          .orderBy("event_type", "reg")
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT event_type,
+             |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+             |  FROM events WHERE user_id IS NOT NULL),
+             |r AS (
+             |  SELECT event_type, hv,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+             |  FROM h)
+             |SELECT event_type, CAST(rn - 1 AS INT) AS reg, hv
+             |FROM r WHERE rn <= 128 ORDER BY event_type, reg""".stripMargin)),
+
+    // KMV distinct estimate next to the exact count (the error is IN the
+    // output): exact size below k, else the bottom-k estimator
+    // (k-1)·2^60/theta. Numerator emitted as one Scala-printed double so
+    // both engines divide the identical IEEE value (the alphaNumerator
+    // device).
+    ("q_kmv_distinct",
+      (s: SparkSession, d: String) => {
+        import graft.functions.ThetaSketch
+        val k = 128
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            ThetaSketch.kmvInput(col("user_id")).as("hv"), col("user_id"))
+          .groupBy("event_type")
+          .agg(ThetaSketch.kmvAgg(k, col("hv")).as("sk"),
+            countDistinct(col("user_id")).as("exact_distinct"))
+          .select(col("event_type"),
+            size(col("sk")).as("n_kept"),
+            ThetaSketch.theta(col("sk"), k).as("theta"),
+            ThetaSketch.estimate(col("sk"), k).as("est_distinct"),
+            col("exact_distinct"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT DISTINCT event_type,
+             |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+             |  FROM events WHERE user_id IS NOT NULL),
+             |r AS (
+             |  SELECT event_type, hv,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+             |  FROM h),
+             |sk AS (SELECT event_type, hv, rn FROM r WHERE rn <= 128),
+             |th AS (
+             |  SELECT event_type, CAST(COUNT(*) AS INT) AS n_kept,
+             |    CASE WHEN COUNT(*) < 128 THEN 1152921504606846976
+             |         ELSE max(CASE WHEN rn = 128 THEN hv END) END AS theta
+             |  FROM sk GROUP BY event_type),
+             |ex AS (
+             |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+             |SELECT th.event_type, n_kept, theta,
+             |  CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+             |       ELSE CAST(${(127.0 * graft.functions.ThetaSketch.ThetaSpan).toString} AS DOUBLE)
+             |            / CAST(theta AS DOUBLE) END AS est_distinct,
+             |  exact_distinct
+             |FROM th JOIN ex ON th.event_type = ex.event_type
+             |ORDER BY th.event_type""".stripMargin)),
+
+    // KMV mergeability: per-(segment, batch) sketches persisted, then
+    // UNIONED per segment — must equal the direct global sketch register
+    // for register (merge-of-k-mins ≡ k-mins-of-all; the
+    // q_hll_incremental / q_cms_incremental device for the bottom-k
+    // family). The oracle doesn't simulate batches at all: it computes
+    // the global sketch — THAT's the assertion.
+    ("q_kmv_union",
+      (s: SparkSession, d: String) => {
+        import graft.functions.ThetaSketch
+        val k = 128
+        val perBatch = Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_type"), pmod(col("event_id"), lit(5)).as("batch"),
+            ThetaSketch.kmvInput(col("user_id")).as("hv"))
+          .groupBy("event_type", "batch")
+          .agg(ThetaSketch.kmvAgg(k, col("hv")).as("sk"))
+        perBatch.groupBy("event_type")
+          .agg(ThetaSketch.unionSketchesAgg(k, col("sk")).as("sk"))
+          .select(col("event_type"), posexplode(col("sk")).as(Seq("reg", "hv")))
+          .orderBy("event_type", "reg")
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT event_type,
+             |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+             |  FROM events WHERE user_id IS NOT NULL),
+             |r AS (
+             |  SELECT event_type, hv,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+             |  FROM h)
+             |SELECT event_type, CAST(rn - 1 AS INT) AS reg, hv
+             |FROM r WHERE rn <= 128 ORDER BY event_type, reg""".stripMargin)),
+
+    // Audience overlap: pairwise INTERSECTION estimates between segments
+    // from their KMV sketches — the question the registry's exact
+    // counters can't answer without a corpus self-join per pair. Set ops
+    // run on sketch ROWS (≤ k longs each): 1000 segments = 1000 sketch
+    // rows joined pairwise, the corpus is scanned exactly once. Exact
+    // overlap alongside for the error contract.
+    ("q_audience_overlap",
+      (s: SparkSession, d: String) => {
+        import graft.functions.ThetaSketch
+        val k = 128
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        // eager checkpoint: the sketch table (one k-long array per
+        // segment) is referenced on BOTH sides of the pair join — without
+        // it each side re-runs the corpus aggregation, i.e. two corpus
+        // scans for a table of |segments| rows. The exact arm below adds
+        // its own corpus scans, but that arm exists only for the error
+        // contract; a production overlap query is sketch-only.
+        val sk = ev
+          .select(col("event_type"), ThetaSketch.kmvInput(col("user_id")).as("hv"))
+          .groupBy("event_type")
+          .agg(ThetaSketch.kmvAgg(k, col("hv")).as("sk"))
+          .localCheckpoint()
+        val pairs = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+          .join(broadcast(
+            sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))),
+            col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            ThetaSketch.intersectCount(col("sk_a"), col("sk_b"), k).as("n_common"),
+            ThetaSketch.intersectEstimate(col("sk_a"), col("sk_b"), k)
+              .as("est_overlap"))
+        val du = ev.select("event_type", "user_id").distinct()
+        val exact = du.as("x")
+          .join(du.as("y"), col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("type_a"),
+            col("y.event_type").as("type_b"))
+          .agg(count(lit(1)).as("exact_overlap"))
+        pairs.join(exact, Seq("type_a", "type_b"), "left")
+          .na.fill(0L, Seq("exact_overlap"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT event_type,
+             |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+             |  FROM events WHERE user_id IS NOT NULL),
+             |r AS (
+             |  SELECT event_type, hv,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+             |  FROM h),
+             |sk AS (SELECT event_type, hv, rn FROM r WHERE rn <= 128),
+             |th AS (
+             |  SELECT event_type,
+             |    CASE WHEN COUNT(*) < 128 THEN 1152921504606846976
+             |         ELSE max(CASE WHEN rn = 128 THEN hv END) END AS theta
+             |  FROM sk GROUP BY event_type),
+             |pairs AS (
+             |  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+             |    least(ta.theta, tb.theta) AS tmin
+             |  FROM th ta JOIN th tb ON ta.event_type < tb.event_type),
+             |com AS (
+             |  SELECT p.type_a, p.type_b, p.tmin, COUNT(sb.hv) AS n_common
+             |  FROM pairs p
+             |  LEFT JOIN sk sa ON sa.event_type = p.type_a AND sa.hv < p.tmin
+             |  LEFT JOIN sk sb ON sb.event_type = p.type_b AND sb.hv = sa.hv
+             |  GROUP BY 1, 2, 3),
+             |du AS (SELECT DISTINCT event_type, user_id FROM events
+             |  WHERE user_id IS NOT NULL),
+             |ex AS (
+             |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+             |    CAST(COUNT(*) AS BIGINT) AS exact_overlap
+             |  FROM du x JOIN du y ON x.user_id = y.user_id
+             |    AND x.event_type < y.event_type
+             |  GROUP BY 1, 2)
+             |SELECT c.type_a, c.type_b, CAST(c.n_common AS INT) AS n_common,
+             |  CAST(c.n_common AS DOUBLE) * 1152921504606846976.0
+             |    / CAST(c.tmin AS DOUBLE) AS est_overlap,
+             |  COALESCE(ex.exact_overlap, 0) AS exact_overlap
+             |FROM com c LEFT JOIN ex
+             |  ON c.type_a = ex.type_a AND c.type_b = ex.type_b
+             |ORDER BY c.type_a, c.type_b""".stripMargin)),
+
     // Pareto frontier (2-D skyline) of length vs vocabulary richness —
     // the non-dominated exemplar set for data-selection tradeoffs. All
     // integer: per-x max + representative doc, then one ordered pass

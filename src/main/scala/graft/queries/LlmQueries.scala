@@ -2240,6 +2240,96 @@ object LlmQueries extends QueryFamily {
            |ORDER BY qid, rank""".stripMargin
       }),
 
+    // Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical arm
+    // and the dense-cosine arm (each already bounded to its own top-20
+    // per query) fused on RANK alone — the standard hybrid-search
+    // combiner for incomparable score scales. Contributions are
+    // micro-quantized to longs (⌊10^12/(60+rank)⌋) so the fused score is
+    // an order-free integer sum that replays exactly; fusion input is
+    // arm-bounded, so the per-query window never sees a corpus-sized
+    // relation. doc_id and vec_id share the entity id space in this
+    // fixture (every document has an embedding — the real hybrid-index
+    // shape).
+    ("q_hybrid_rrf",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val lex = SparseSim.bm25Retrieve(
+            docs.filter(col("doc_id") < 10), "doc_id", "text",
+            docs.filter(col("doc_id") >= 10), "doc_id", "text",
+            k = 20, maxDf = 50L, ngram = 2)
+          .select(col("qid"), col("id"), col("rank"))
+        val emb = Tables.embeddings(s, d)
+        val dense = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+            idCol = "vec_id", vecCol = "embedding", k = 20, dim = 64)
+          .select(col("query_id").as("qid"), col("cand_id").as("id"), col("rank"))
+        Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+            queryCol = "qid", idCol = "id", rankCol = "rank",
+            kRrf = 60, topK = 10)
+          .orderBy("qid", "fused_rank")
+      },
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        val (k1p1, oneMb) = ((k1 + 1.0).toString, (1.0 - b).toString)
+        s"""WITH post AS (
+           |  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+           |    SELECT doc_id AS id, unnest(list_transform(
+           |      range(1, greatest(len(string_split(text, ' ')), 1)),
+           |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
+           |    FROM documents WHERE doc_id >= 10) t
+           |  GROUP BY id, term),
+           |lens AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS len FROM post GROUP BY id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(len) AS BIGINT) AS total_tokens FROM lens),
+           |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+           |w AS (SELECT term, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w
+           |  FROM d WHERE df <= 50),
+           |q AS (SELECT DISTINCT qid, term FROM (
+           |    SELECT doc_id AS qid, unnest(list_transform(
+           |      range(1, greatest(len(string_split(text, ' ')), 1)),
+           |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
+           |    FROM documents WHERE doc_id < 10) t),
+           |cand AS (
+           |  SELECT q.qid, p.id, CAST(round(CAST(w.w AS DOUBLE) *
+           |      ((CAST(p.tf AS DOUBLE) * $k1p1) /
+           |       (CAST(p.tf AS DOUBLE) + $k1 * ($oneMb + $b *
+           |        (CAST(l.len * s.n_docs AS DOUBLE)
+           |         / CAST(s.total_tokens AS DOUBLE)))))) AS BIGINT) AS ts
+           |  FROM post p JOIN w USING (term) JOIN q USING (term)
+           |    JOIN lens l ON p.id = l.id, stats s),
+           |bsc AS (SELECT qid, id, CAST(SUM(ts) AS BIGINT) AS bscore FROM cand
+           |  GROUP BY qid, id),
+           |lr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+           |  ORDER BY bscore DESC, id) AS INT) AS rank FROM bsc
+           |  QUALIFY rank <= 20),
+           |v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, e,
+           |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+           |  FROM v),
+           |dpairs AS (
+           |  SELECT qv.vec_id AS qid, c.vec_id AS id,
+           |    list_reduce(list_transform(range(1, len(qv.e)+1), i -> qv.e[i]*c.e[i]), (x,y) -> x+y)
+           |      / (qv.nrm * c.nrm) AS cosine
+           |  FROM n qv JOIN n c ON c.vec_id >= 10
+           |  WHERE qv.vec_id < 10),
+           |dr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+           |  ORDER BY cosine DESC, id ASC) AS INT) AS rank FROM dpairs
+           |  QUALIFY rank <= 20),
+           |fused AS (
+           |  SELECT COALESCE(l.qid, dn.qid) AS qid, COALESCE(l.id, dn.id) AS id,
+           |    CAST(COALESCE(CAST(FLOOR(1000000000000.0 / (60 + l.rank)) AS BIGINT), 0)
+           |       + COALESCE(CAST(FLOOR(1000000000000.0 / (60 + dn.rank)) AS BIGINT), 0)
+           |      AS BIGINT) AS score_scaled,
+           |    l.rank AS rank_lex, dn.rank AS rank_dense
+           |  FROM lr l FULL OUTER JOIN dr dn ON l.qid = dn.qid AND l.id = dn.id),
+           |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+           |  ORDER BY score_scaled DESC, id ASC) AS INT) AS fused_rank FROM fused)
+           |SELECT qid, id, score_scaled, rank_lex, rank_dense, fused_rank
+           |FROM rr WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
+      }),
+
     // Corpus vocabulary: token frequencies, deterministic top-50
     // (freq desc, token asc). Explode → partial-agg count → global top-k;
     // the map-side partial aggregation means the shuffle carries one row

@@ -252,4 +252,102 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.26, s"estimate $est too far from $n")
     assert(v1 == 0, "20k values into 256 buckets leave no register empty")
   }
+
+  test("KMV: registers are the sorted k-min distinct hashes, invariant to partitioning and dups") {
+    import graft.functions.ThetaSketch
+    val k = 64
+    val n = 5000
+    // every value twice — the sketch must dedup, and the result must be
+    // exactly the k smallest of the n DISTINCT hashes
+    val df = spark.range(2 * n).select((col("id") % n).as("v"))
+      .select(ThetaSketch.kmvInput(col("v")).as("hv"))
+    def sketch(d: org.apache.spark.sql.DataFrame) =
+      d.agg(ThetaSketch.kmvAgg(k, col("hv"))).as[Seq[Long]].head()
+    val s1 = sketch(df.repartition(1))
+    val s8 = sketch(df.repartition(8))
+    assert(s1 == s8, "sketch must not depend on partitioning")
+    val want = df.distinct().as[Long].collect().sorted.take(k).toSeq
+    assert(s1 == want, "registers must be the exact k smallest distinct hashes")
+    assert(s1 == s1.sorted && s1.distinct.length == s1.length)
+  }
+
+  test("KMV: union of per-batch sketches equals the direct sketch; estimates track truth") {
+    import graft.functions.ThetaSketch
+    val k = 128
+    val n = 30000
+    val df = spark.range(n).select(col("id").as("v"),
+      (col("id") % 7).as("batch"),
+      ThetaSketch.kmvInput(col("id")).as("hv"))
+    val direct = df.agg(ThetaSketch.kmvAgg(k, col("hv"))).as[Seq[Long]].head()
+    val merged = df.groupBy("batch")
+      .agg(ThetaSketch.kmvAgg(k, col("hv")).as("sk"))
+      .agg(ThetaSketch.unionSketchesAgg(k, col("sk"))).as[Seq[Long]].head()
+    assert(merged == direct, "merge-of-k-mins must equal k-mins-of-all")
+    val est = df.agg(ThetaSketch.estimate(
+      ThetaSketch.kmvAgg(k, col("hv")), k)).as[Double].head()
+    // bottom-k relative stddev ≈ 1/sqrt(k-2) ≈ 8.9% at k=128; 4σ bound
+    assert(math.abs(est - n) / n < 0.36, s"estimate $est too far from $n")
+  }
+
+  test("KMV: intersection is EXACT when sketches are un-full; estimate tracks a planted overlap") {
+    import graft.functions.ThetaSketch
+    import org.apache.spark.sql.functions.lit
+    val k = 256
+    // A = [0, 60), B = [40, 100): both under k ⇒ theta = 2^60 ⇒ the
+    // estimator degenerates to the exact |A∩B| = 20
+    val a = spark.range(0, 60).agg(
+      ThetaSketch.kmvAgg(k, ThetaSketch.kmvInput(col("id"))).as("sa"))
+    val b = spark.range(40, 100).agg(
+      ThetaSketch.kmvAgg(k, ThetaSketch.kmvInput(col("id"))).as("sb"))
+    val exact = a.crossJoin(b).select(
+      ThetaSketch.intersectCount(col("sa"), col("sb"), k).as("c"),
+      ThetaSketch.intersectEstimate(col("sa"), col("sb"), k).as("e"))
+      .as[(Int, Double)].head()
+    assert(exact == ((20, 20.0)), s"un-full sketches must be exact: $exact")
+    // full sketches: A = [0, 30k), B = [20k, 50k), true overlap 10k
+    val bigA = spark.range(0, 30000).agg(
+      ThetaSketch.kmvAgg(k, ThetaSketch.kmvInput(col("id"))).as("sa"))
+    val bigB = spark.range(20000, 50000).agg(
+      ThetaSketch.kmvAgg(k, ThetaSketch.kmvInput(col("id"))).as("sb"))
+    val est = bigA.crossJoin(bigB).select(ThetaSketch.intersectEstimate(
+      col("sa"), col("sb"), k)).as[Double].head()
+    // sampled-overlap stddev ≈ sqrt(c)·2^60/thetaMin with c ≈ k·|A∩B|/|A∪B|
+    // ≈ 51 samples → ~14% relative; 4σ bound
+    assert(math.abs(est - 10000) / 10000 < 0.6, s"overlap estimate $est vs 10000")
+    // sanity: disjoint full sets estimate ~0 (no common hashes below theta)
+    val disjB = spark.range(100000, 130000).agg(
+      ThetaSketch.kmvAgg(k, ThetaSketch.kmvInput(col("id"))).as("sb"))
+    val zero = bigA.crossJoin(disjB).select(ThetaSketch.intersectEstimate(
+      col("sa"), col("sb"), k)).as[Double].head()
+    assert(zero == 0.0, s"disjoint sets must estimate 0, got $zero")
+  }
+
+  test("rrfFuse: integer contributions, per-arm ranks, deterministic tie-break") {
+    import graft.llmops.Similarity
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q", "id", "rank")
+    val dense = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("q", "id", "rank")
+    val got = Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+        "q", "id", "rank", kRrf = 60, topK = 10)
+      .orderBy("fused_rank")
+      .select("id", "score_scaled", "rank_lex", "rank_dense", "fused_rank")
+      .collect()
+    def c(r: Int) = (1e12 / (60 + r)).toLong
+    // 11 appears in both arms → highest fused score
+    assert(got.map(_.getLong(0)).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(got.head.getLong(1) == c(2) + c(1))
+    assert(got.head.getInt(2) == 2 && got.head.getInt(3) == 1)
+    // doc 10 (lex rank 1 only) vs doc 13 (dense rank 2 only): c(1) > c(2)
+    assert(got(1).getLong(1) == c(1) && got(2).getLong(1) == c(2))
+    assert(got(1).isNullAt(3) && got(2).isNullAt(2),
+      "absent arm must surface as null rank")
+    // exact tie: same single-arm rank in each arm → ascending id wins
+    val t1 = Seq((1L, 5L, 1)).toDF("q", "id", "rank")
+    val t2 = Seq((1L, 3L, 1)).toDF("q", "id", "rank")
+    val tie = Similarity.rrfFuse(Seq("a" -> t1, "b" -> t2),
+        "q", "id", "rank").orderBy("fused_rank")
+      .select("id").as[Long].collect().toSeq
+    assert(tie == Seq(3L, 5L), "equal scores must break on ascending id")
+  }
 }

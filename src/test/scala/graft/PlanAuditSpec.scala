@@ -658,6 +658,40 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("plan: KMV sketch build is ONE shuffle with a map-side partial") {
+    // The bottom-k aggregation must combine map-side (≤ k longs per
+    // (group, partition) cross the wire) through an ObjectHashAggregate
+    // — a SortAggregate would re-sort the raw hash stream, and a missing
+    // partial_ would shuffle every raw row.
+    val p = plan(SparkEntry.queries("q_kmv_registers")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // build exchange + the deterministic output sort, nothing else
+    assert(countShuffles(p) <= 2, p)
+  }
+
+  test("plan: audience overlap joins SKETCH rows, the corpus aggregates once") {
+    // the pair join must be a broadcast over the segment-sized sketch
+    // table (never a corpus-side exchange), and the eager checkpoint must
+    // leave exactly one sketch-build aggregation in the plan — the
+    // two-sided self-join otherwise re-scans the corpus per side.
+    val p = plan(SparkEntry.queries("q_audience_overlap")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("partial_(hv"), // the sketch agg is checkpointed OUT
+      s"sketch build must not re-run inside the pair join plan: $p")
+  }
+
+  test("plan: RRF fusion input is arm-bounded — group-limits below every rank window") {
+    // each arm's top-k must reach the fused window as a WindowGroupLimit
+    // partial (≤ k rows per partition per query cross the wire), and the
+    // fusion must union arms, never join the corpus
+    val p = plan(SparkEntry.queries("q_hybrid_rrf")(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("plan: residual IVFADC never shuffles the candidate corpus") {
     // assignment + residual + PQ-encode are one map pass over broadcast
     // centroids/codebooks and the probed join is broadcast-hash on
