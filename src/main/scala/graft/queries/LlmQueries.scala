@@ -2330,6 +2330,69 @@ object LlmQueries extends QueryFamily {
            |FROM rr WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
       }),
 
+    // Sequence packing, concat-and-chunk (GPT-style pretraining): each
+    // shard's token stream concatenated in doc_id order and cut every
+    // 512 tokens; docs may SPLIT across example boundaries, padding is
+    // zero by construction. One window cumsum — a single shuffle on the
+    // shard key, exact integer replay.
+    ("q_token_pack",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+            TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+        graft.llmops.Packing.packChunked(docs, "doc_id", "n_tok", "shard",
+            capacity = 512)
+          .orderBy("shard", "doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+             |    ORDER BY doc_id) AS BIGINT) AS e
+             |  FROM t WHERE n_tokens >= 1)
+             |SELECT shard, doc_id, n_tokens,
+             |  CAST(e - n_tokens AS BIGINT) AS start_tok,
+             |  CAST((e - n_tokens) // 512 AS BIGINT) AS first_bin,
+             |  CAST((e - 1) // 512 AS BIGINT) AS last_bin,
+             |  CAST((e - n_tokens) % 512 AS BIGINT) AS offset
+             |FROM c ORDER BY shard, doc_id""".stripMargin)),
+
+    // Sequence packing, greedy next-fit with ATOMIC documents (SFT-style
+    // — an example must not cut an instruction): bin id depends on the
+    // previous OUTPUT, so like the rate-clamp recurrence it runs as a
+    // secondary-sorted O(1)-state scan, and like it the oracle is a
+    // recursive CTE. fill_after of each bin's last doc exposes the
+    // padding the chunked form avoids.
+    ("q_pack_greedy",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+            TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+        graft.llmops.Packing.packGreedy(docs, "doc_id", "n_tok", "shard",
+            capacity = 512)
+          .orderBy("shard", "id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT CAST(doc_id % 8 AS VARCHAR) AS shard, doc_id AS id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(row_number() OVER (PARTITION BY doc_id % 8
+             |      ORDER BY doc_id) AS BIGINT) AS rn
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+             |r(shard, id, n_tokens, rn, bin, fill_after) AS (
+             |  SELECT shard, id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.shard, t.id, t.n_tokens, t.rn,
+             |    CASE WHEN r.fill_after + t.n_tokens > 512
+             |         THEN r.bin + 1 ELSE r.bin END,
+             |    CASE WHEN r.fill_after + t.n_tokens > 512
+             |         THEN t.n_tokens ELSE r.fill_after + t.n_tokens END
+             |  FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+             |SELECT shard, id, n_tokens, bin, fill_after
+             |FROM r ORDER BY shard, id""".stripMargin)),
+
     // Corpus vocabulary: token frequencies, deterministic top-50
     // (freq desc, token asc). Explode → partial-agg count → global top-k;
     // the map-side partial aggregation means the shuffle carries one row

@@ -1806,4 +1806,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(l1.map(x => (x._2, x._3)).toSeq == Seq((1, 10L), (2, 11L))) // id tiebreak
     assert(l1.forall(_._4 == 0.0)) // identical vectors: exactly 0 from an exact centroid
   }
+
+  test("packChunked: spans cover the stream exactly; split docs cross bins") {
+    import graft.llmops.Packing
+    // shard A stream: 3+5+4+6 = 18 tokens at capacity 8 → doc 3 (4 tok,
+    // start 8) fills bin 1 exactly; doc 4 (6 tok, start 12) SPLITS 1→2
+    val docs = Seq((1L, "a", 3L), (2L, "a", 5L), (3L, "a", 4L), (4L, "a", 6L),
+      (5L, "b", 9L), // oversized: spans ⌈9/8⌉ = 2 bins from offset 0
+      (6L, "b", 0L)) // zero-token row must be dropped, not packed
+      .toDF("id", "shard", "n")
+    val got = Packing.packChunked(docs, "id", "n", "shard", capacity = 8)
+      .orderBy("shard", "id")
+      .select("id", "start_tok", "first_bin", "last_bin", "offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 0L), (2L, 3L, 0L, 0L, 3L),
+      (3L, 8L, 1L, 1L, 0L), (4L, 12L, 1L, 2L, 4L),
+      (5L, 0L, 0L, 1L, 0L)), got.toString)
+    // spans within a shard are contiguous: each start = previous end
+    val a = got.take(4)
+    assert(a.sliding(2).forall { case Seq(p, c) =>
+      c._2 == p._2 + (if (p._1 == 1) 3 else if (p._1 == 2) 5 else 4) })
+  }
+
+  test("packGreedy: next-fit recurrence, oversized isolation, shard reset") {
+    import graft.llmops.Packing
+    // capacity 10: [6, 5] can't share (6+5 > 10) though best-fit with the
+    // later 4 could — next-fit must give exactly 6|5,4|9 and the
+    // oversized 12 a bin of its own with fill_after = 12 visible
+    val docs = Seq((1L, "a", 6L), (2L, "a", 5L), (3L, "a", 4L), (4L, "a", 9L),
+      (5L, "a", 12L), (6L, "b", 2L)) // shard b restarts at bin 0
+      .toDF("id", "shard", "n")
+    val got = Packing.packGreedy(docs, "id", "n", "shard", capacity = 10)
+      .orderBy("shard", "id")
+      .select("id", "bin", "fill_after")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 6L), (2L, 1L, 5L), (3L, 1L, 9L), (4L, 2L, 9L),
+      (5L, 3L, 12L), (6L, 0L, 2L)), got.toString)
+    // atomicity: no doc's tokens exceed its single bin except the
+    // oversized one, which is alone (fill_after == its own n)
+    assert(got.filter(_._3 > 10).forall(_._1 == 5L))
+  }
 }
