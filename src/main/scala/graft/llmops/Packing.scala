@@ -70,7 +70,10 @@ object Packing {
   /** Greedy next-fit with atomic documents: (shard, id, n_tokens, bin,
     * fill_after). `bin` is 0-based per shard; `fill_after` is the bin's
     * token count after this doc (== padding diagnostic: capacity −
-    * fill_after of each bin's LAST doc is the bin's padding). */
+    * fill_after of each bin's LAST doc is the bin's padding).
+    * `shardCol` must be non-null (a null shard key has no well-defined
+    * scan boundary — hash nulls to a sentinel shard upstream, as the
+    * window form [[packChunked]] would put them in one null group). */
   def packGreedy(docs: DataFrame, idCol: String, nTokCol: String,
       shardCol: String, capacity: Int): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")

@@ -277,6 +277,14 @@ object Stress {
     // the replicated embedding table — the measurement shows the
     // broadcast-probe shape holds when the corpus is 64×
     "q_ivf_pq_res",
+    // round-8 additions: KMV build + batch union (events is 64× in the
+    // fixture — the sketch shuffle must stay ≤ k longs per group per
+    // partition), segment-overlap pair math over sketch rows, hybrid RRF
+    // (arm-bounded fusion over the 64× corpus arms), and both packing
+    // disciplines over the 64× document table (window cumsum vs
+    // secondary-sort recurrence)
+    "q_kmv_union", "q_audience_overlap", "q_hybrid_rrf",
+    "q_token_pack", "q_pack_greedy",
     // Hamming-banded pair search over deterministic codes (r7): band
     // buckets are corpus-density-sized; customer is a dimension table in
     // this fixture so the curve should be flat
@@ -318,6 +326,13 @@ object Stress {
       // unevictable blocks otherwise inflate later queries)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // and collect the dead broadcast/checkpoint handles NOW (the Bench
+      // defense, r7): without it the r8 top-10 batch measured its LAST
+      // query (stress_knn_grid) at 193.9 s where an isolated fresh-JVM
+      // run of the same binary measured 95.7 s — nine heavy queries'
+      // worth of uncollected session state, not a plan difference
+      spark.catalog.clearCache()
+      System.gc()
       try {
         // 2 timed reps: rep1 includes scan-cache warmup, rep2 is the
         // steady-state number; report the min. foreachPartition drives the

@@ -320,6 +320,13 @@ class CurationOpsSpec extends SparkSpec {
     val zero = bigA.crossJoin(disjB).select(ThetaSketch.intersectEstimate(
       col("sa"), col("sb"), k)).as[Double].head()
     assert(zero == 0.0, s"disjoint sets must estimate 0, got $zero")
+    // pairwise COLUMN union must equal the aggregated union of the same
+    // two sets (one row each → merge-of-k-mins associativity again)
+    val colUnion = bigA.crossJoin(bigB).select(ThetaSketch.unionSketches(
+      col("sa"), col("sb"), k)).as[Seq[Long]].head()
+    val aggUnion = spark.range(0, 50000).agg(ThetaSketch.kmvAgg(k,
+      ThetaSketch.kmvInput(col("id")))).as[Seq[Long]].head()
+    assert(colUnion == aggUnion, "column-form union must equal direct sketch")
   }
 
   test("rrfFuse: integer contributions, per-arm ranks, deterministic tie-break") {
