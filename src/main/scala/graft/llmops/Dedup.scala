@@ -410,6 +410,83 @@ object Dedup {
       .select("id_a", "id_b", "sz_a", "sz_b", "inter", "containment")
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering — the PPJoin
+    * candidate scheme (Xiao et al., WWW'08): identical answers to the
+    * all-pairs n-gram Jaccard baseline, but candidate generation indexes
+    * only each document's few RAREST shingles. Where [[minhashNearDups]] trades
+    * recall for speed probabilistically and [[containmentNearDups]]
+    * trades boilerplate-only pairs explicitly, this family is lossless —
+    * the right tool when a dedup decision must be exact (e.g. legal
+    * takedown sweeps) and the threshold is high.
+    *
+    * Completeness (why no pair ≥ τ is lost): J(A,B) ≥ τ with sizes
+    * a ≤ b forces the overlap O = |A∩B| to satisfy O(1+τ) ≥ τ(a+b) ≥
+    * τ(O+b) (using a ≥ O), so O ≥ τ·b ≥ τ·|X| for BOTH sides, i.e.
+    * O ≥ ⌈τ|X|⌉. Order all shingles by ascending (corpus df, shingle) —
+    * any globally consistent total order works — and let prefix(X) be
+    * X's first |X| − ⌈τ|X|⌉ + 1 shingles in that order. The SMALLEST
+    * common shingle has ≥ O−1 common shingles ranked after it, so its
+    * rank in X is ≤ |X| − O + 1 ≤ |X| − ⌈τ|X|⌉ + 1: it lies in both
+    * prefixes, and the prefix-index self-join emits the pair. The
+    * ascending-df order is the efficiency half: prefixes concentrate on
+    * the corpus's rarest shingles, so prefix-index buckets stay small
+    * exactly where full-index buckets ([[containmentNearDups]] without
+    * the maxDf cut) would explode.
+    *
+    * Candidates additionally pass the length filter min(a,b) ≥ τ·max(a,b)
+    * (J ≥ τ forces O ≤ min and O ≥ τ·max), sound for the same reason.
+    *
+    * Scale shape: one shingle-keyed df count, one id-keyed groupBy that
+    * sorts each doc's (df, shingle) array MAP-SIDE and slices the prefix
+    * (per-doc state bounded by doc length, same bound [[shingleSets]]
+    * carries), one prefix-keyed self-join, then the standard array-verify
+    * joins. No all-pairs stage; candidate volume is Σ_s p(s)² over
+    * PREFIX occurrences p(s) ≤ df(s), and τ is the knob: higher τ →
+    * shorter prefixes → smaller index and fewer candidates (measured
+    * index/candidate ratios vs the full inverted index: STRESS.md r8). */
+  def prefixFilteredJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val eligible = df.filter(size(split(col(textCol), " ")) >= n)
+    val inst = withToks(eligible, textCol)
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(shingleArray(col("_toks"), n))).as("shingle"))
+    val dfc = inst.groupBy("shingle").agg(count(lit(1)).as("_dfc"))
+    // per-doc ascending (df, shingle) order, sorted and sliced map-side
+    // after one id-keyed groupBy; prefix keeps the rarest
+    // sz − ⌈τ·sz⌉ + 1 shingles
+    val prefixLen = (col("_sz") - ceil(lit(threshold) * col("_sz")) + 1).cast("int")
+    val prefix = inst.join(dfc, Seq("shingle"))
+      .groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("_dfc"), col("shingle")))).as("_ord"))
+      .select(col("_id"), size(col("_ord")).cast("long").as("_sz"), col("_ord"))
+      .select(col("_id"), col("_sz"),
+        explode(transform(slice(col("_ord"), lit(1), prefixLen),
+          s => s.getField("shingle"))).as("shingle"))
+    val candA = prefix.select(col("shingle"),
+      col("_id").as("id_a"), col("_sz").as("_la"))
+    val candB = prefix.select(col("shingle"),
+      col("_id").as("id_b"), col("_sz").as("_lb"))
+    val cand = candA.join(candB, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("_la"), col("_lb")).cast("double") >=
+          lit(threshold) * greatest(col("_la"), col("_lb")).cast("double"))
+      .select("id_a", "id_b").distinct()
+    val sets = shingleSets(eligible, idCol, textCol, n)
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("_sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("inter"),
+        size(col("_sa")).cast("long").as("sz_a"),
+        size(col("_sb")).cast("long").as("sz_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
     * → verify ≥ threshold.
     *

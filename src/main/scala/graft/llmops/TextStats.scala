@@ -369,6 +369,76 @@ object TextStats {
       .drop("_r", "_copies")
   }
 
+  /** Weighted sample without replacement — sequential Poisson / πps
+    * sampling (Ohlsson 1998): k rows per stratum with inclusion
+    * probability approximately proportional to an integer weight (token
+    * count, quality score…) — the curation primitive between
+    * [[qualityPercentileGate]]'s hard top-X% cut and uniform
+    * [[balancedSample]]-style thinning: every document keeps a chance,
+    * high-weight documents keep a proportionally larger one.
+    *
+    * Priority = ⌊u / w⌋ with u the row's 60-bit md5 uniform and w ≥ 1
+    * its weight; the k smallest priorities per stratum win (ties by id).
+    * All-integer (`div`, never a double quotient — a double loses low
+    * bits above 2⁵³ and the two engines could round a near-tie apart),
+    * content-keyed, reproducible across engines/reprocessing/layout —
+    * the same doctrine as [[splitBucket]], never sample(). Rows with
+    * w < 1 are excluded (they'd win every draw on ⌊u/w⌋ semantics).
+    *
+    * Scale shape: the priority is map-side arithmetic; per-stratum
+    * selection is one rank-filtered window, which Spark executes with a
+    * partial per-partition top-k (WindowGroupLimit) BEFORE the stratum
+    * shuffle — state O(k · strata) per task, never a stratum's full row
+    * set. Selection is also mergeable (min-k of priorities), so shard
+    * samples union+re-rank into a corpus sample without resampling.
+    *
+    * Output: input row + `priority` + `rn` (1-based rank within the
+    * stratum). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("_priority"), col(idCol))
+    df.filter(col(weightCol).cast("long") >= 1L)
+      .withColumn("_u", u)
+      .withColumn("_w", col(weightCol).cast("long"))
+      .withColumn("_priority", expr("_u div _w"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("_u", "_w")
+      .withColumnRenamed("_priority", "priority")
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment: shard(id) =
+    * argmax over s ∈ [0, numShards) of md5(id ‖ ':' ‖ s) — the
+    * re-sharding-stable alternative to [[trainingShards]]' mod layout.
+    * Growing numShards by one moves a document ONLY if the new shard's
+    * hash beats all previous winners, so exactly ~n/(S+1) documents move
+    * and every one of them moves TO the new shard — the minimal possible
+    * movement (mod-hashing reassigns ~(1−1/(S+1)) of the corpus). That
+    * is the property an incremental 100 TB corpus needs: adding capacity
+    * re-writes one shard's worth of data, not the world.
+    *
+    * Pure map-side arithmetic: the candidate (hash, shard) structs are
+    * built by a codegen'd `transform` over a constant sequence and
+    * reduced by `array_max` (struct ordering = lexicographic, so ties —
+    * impossible at 60 bits in practice — break to the higher shard
+    * deterministically). No shuffle, no row multiplication, no UDF;
+    * cost is O(numShards) hashes per row, the standard HRW trade (a
+    * two-level hierarchy reduces it to O(√S) if shard counts ever reach
+    * the thousands). */
+  def rendezvousShard(id: Column, numShards: Int): Column = {
+    require(numShards >= 1, "numShards must be positive")
+    array_max(transform(sequence(lit(0), lit(numShards - 1)),
+      s => struct(
+        conv(substring(md5(concat(id.cast("string"), lit(":"),
+          s.cast("string"))), 1, 15), 16, 10).cast("long").as("h"),
+        s.cast("long").as("shard"))))
+      .getField("shard")
+  }
+
   /** Deterministic training-shard layout: the "write the corpus back out
     * as N shuffled shards" step at the end of a curation pipeline. Each
     * row gets (shard, pos): shard = md5(seed‖id) mod numShards — a

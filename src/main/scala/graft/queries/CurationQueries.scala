@@ -161,6 +161,35 @@ object CurationQueries extends QueryFamily {
              |FROM customer JOIN g ON c_mktsegment = g.s AND c_nationkey = g.n
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Randomized response (Warner): the overdrawn flag is flipped per-row
+    // with P = 1/4 by the md5 coin, released, then the true per-segment
+    // count re-estimated from the noisy release — t̂ = (1000r − 250n)/500,
+    // integer numerator, one int→double division. n_true joins back in
+    // ONLY as the audit column showing the estimator lands near truth;
+    // the released frame itself never carries the true flag.
+    ("q_randomized_response",
+      (s: SparkSession, d: String) => {
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment"), (col("c_acctbal") < 0).as("overdrawn"))
+        val released = Privacy.randomizedResponse(cust, "c_custkey", "overdrawn")
+        val est = Privacy.rrEstimate(released, Seq("c_mktsegment"))
+        val truth = cust.groupBy("c_mktsegment")
+          .agg(sum(when(col("overdrawn"), 1L).otherwise(0L)).as("n_true"))
+        est.join(truth, Seq("c_mktsegment")).orderBy("c_mktsegment")
+      },
+      Some("""WITH f AS (
+             |  SELECT c_mktsegment, (c_acctbal < 0) AS flag,
+             |    CASE WHEN CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),1,15)) AS BIGINT) % 1000 < 750
+             |         THEN (c_acctbal < 0) ELSE NOT (c_acctbal < 0) END AS reported
+             |  FROM customer)
+             |SELECT c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN reported THEN 1 ELSE 0 END) AS BIGINT) AS n_reported,
+             |  CAST(1000 * sum(CASE WHEN reported THEN 1 ELSE 0 END)
+             |       - 250 * count(*) AS DOUBLE) / 500.0 AS est_true,
+             |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Corpus-composition drift: source×lang contingency with exact
     // expected counts and lift (the log-free PMI discipline from
     // collocationLift applied to metadata). Marginal windows run over

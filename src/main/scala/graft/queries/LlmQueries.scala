@@ -751,6 +751,37 @@ object LlmQueries extends QueryFamily {
              |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // EXACT Jaccard ≥ 0.3 self-join over the FULL corpus via prefix
+    // filtering (PPJoin candidates: index only each doc's rarest
+    // sz−⌈τ·sz⌉+1 shingles in global ascending-df order — lossless by
+    // the prefix-filter lemma, see Dedup.prefixFilteredJaccard). The
+    // oracle is the NAIVE all-pairs Jaccard join: hash equality IS the
+    // completeness proof, with no doc_id window (q_ngram_jaccard's
+    // baseline must bound its corpus; this one doesn't).
+    ("q_ppjoin_jaccard",
+      (s: SparkSession, d: String) => {
+        Dedup.prefixFilteredJaccard(Tables.documents(s, d), "doc_id", "text",
+            n = 3, threshold = 0.3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+             |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+             |FROM inter i
+             |JOIN sizes sa ON sa.doc_id = i.id_a
+             |JOIN sizes sb ON sb.doc_id = i.id_b
+             |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Asymmetric containment near-dup: |A∩B|/min(|A|,|B|) over df-pruned
     // inverted-index candidates (df 2..10, co-occurring in ≥2 buckets) —
     // catches excerpt/quote inclusion that Jaccard ≥ t and minhash
@@ -2040,6 +2071,64 @@ object LlmQueries extends QueryFamily {
              |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents)
              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
+    // Weighted πps sample (sequential Poisson): 15 docs per language with
+    // inclusion probability ∝ n_chars — priority = ⌊md5-uniform / weight⌋,
+    // all-integer and content-keyed, so the draw replays exactly in any
+    // engine (never sample()). The q_stratified_sample of the
+    // quality-weighted world.
+    ("q_weighted_sample",
+      (s: SparkSession, d: String) => {
+        TextStats.weightedSample(
+            Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+            "doc_id", "n_chars", "lang", k = 15)
+          .select("lang", "doc_id", "n_chars", "priority", "rn")
+          .orderBy("lang", "rn")
+      },
+      Some("""WITH p AS (
+             |  SELECT lang, doc_id, n_chars,
+             |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+             |      // CAST(n_chars AS BIGINT) AS priority
+             |  FROM documents WHERE CAST(n_chars AS BIGINT) >= 1),
+             |r AS (
+             |  SELECT lang, doc_id, n_chars, priority,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS INT) AS rn
+             |  FROM p)
+             |SELECT lang, doc_id, n_chars, priority, rn
+             |FROM r WHERE rn <= 15 ORDER BY lang, rn""".stripMargin)),
+
+    // Rendezvous (HRW) sharding with a re-shard movement audit: shard =
+    // argmax_s md5(id:s) at S=8 vs S=9. The audit columns ARE the HRW
+    // minimal-movement theorem, oracle-checked: n_moved ≈ n/9 per shard
+    // and n_moved_elsewhere ≡ 0 (a document re-shards ONLY to the new
+    // shard — growing a 100 TB corpus's shard count rewrites one shard's
+    // worth of data, where mod-hashing rewrites ~8/9 of everything).
+    ("q_rendezvous_shards",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          TextStats.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          TextStats.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        docs.groupBy("shard8").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+              .as("n_moved"),
+            sum(when(col("shard9") =!= col("shard8") && col("shard9") =!= 8, 1L)
+              .otherwise(0L)).as("n_moved_elsewhere"))
+          .orderBy("shard8")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, s,
+             |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)),1,15)) AS BIGINT) AS hv
+             |  FROM documents, range(9) t(s)),
+             |a AS (
+             |  SELECT doc_id,
+             |    arg_max(s, hv) FILTER (s < 8) AS shard8,
+             |    arg_max(s, hv) AS shard9
+             |  FROM h GROUP BY doc_id)
+             |SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             |  CAST(sum(CASE WHEN shard9 <> shard8 AND shard9 <> 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere
+             |FROM a GROUP BY shard8 ORDER BY shard8""".stripMargin)),
 
     // Exact interpolated length quantiles per language (corpus report).
     // Spark `percentile` and DuckDB `quantile_cont` both compute the

@@ -706,4 +706,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(countShuffles(p) <= 4, p)
   }
+
+  test("plan: weighted sample pushes a partial per-partition top-k below the stratum shuffle") {
+    // the rank-filter window must execute as WindowGroupLimit (state
+    // O(k·strata) per task, never a stratum's full row set), and the
+    // priority arithmetic is map-side — one hash exchange for the window,
+    // plus the deterministic output sort
+    val p = plan(SparkEntry.queries("q_weighted_sample")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("plan: rendezvous shard assignment is map-only — zero exchanges before the audit agg") {
+    import graft.llmops.TextStats
+    val df = Tables.documents(spark, sf).select(col("doc_id"),
+      TextStats.rendezvousShard(col("doc_id"), 8).as("shard"))
+    val p = plan(df)
+    assert(countShuffles(p) == 0, p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("plan: prefix-filtered Jaccard joins on the prefix-shingle key, never all-pairs") {
+    val p = plan(SparkEntry.queries("q_ppjoin_jaccard")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
