@@ -288,7 +288,15 @@ object Stress {
     // Hamming-banded pair search over deterministic codes (r7): band
     // buckets are corpus-density-sized; customer is a dimension table in
     // this fixture so the curve should be flat
-    "q_phash_pairs")
+    "q_phash_pairs",
+    // round-8 second batch: prefix-filtered EXACT Jaccard (candidates are
+    // Σ p(s)² over prefix occurrences — the fixture's per-replica token
+    // remap preserves within-replica near-dup structure, so true pairs
+    // grow 64× linear while cross-replica shingle Jaccard sits ~0.12,
+    // far below τ=0.3), weighted πps sampling (map-side priority + a
+    // WindowGroupLimit top-k — expected ~scan-bound), rendezvous audit
+    // (2×9 md5 per row, zero shuffles before the 8-row agg)
+    "q_ppjoin_jaccard", "q_weighted_sample", "q_rendezvous_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"
