@@ -85,4 +85,25 @@ object CountMin {
       .join(broadcast(registers), Seq("d", "w"), "left")
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_count"))
+
+  /** Equi-join SIZE estimate from two register tables built with the
+    * same (depth, width): |A ⋈_k B| ≈ min over sketch rows d of
+    * Σ_w a[d][w]·b[d][w] (the AMS/CMS inner-product estimator, Cormode &
+    * Muthukrishnan 2005 §4.2). The planning signal a 100 TB pipeline
+    * wants BEFORE committing to a join: true size = Σ_k f_A(k)·f_B(k)
+    * is exactly the sketch inner product minus hash-collision
+    * cross-terms, so the estimate is ONE-SIDED (≥ truth, overshoot
+    * ≤ ε·N_A·N_B with the usual width=⌈e/ε⌉ guarantee) — a safe
+    * upper bound for "will this join explode".
+    *
+    * Cost: the sketches are depth·width rows each; the estimate is a
+    * register-keyed join of two broadcast-sized tables — O(1) in the
+    * corpus after the one-shuffle register builds, vs actually running
+    * the join. Integer-exact (register products summed as longs), so
+    * the estimate bit-replays in any engine. */
+  def cmJoinSizeEstimate(regA: DataFrame, regB: DataFrame): DataFrame =
+    regA.select(col("d"), col("w"), col("cnt").as("_ca"))
+      .join(regB.select(col("d"), col("w"), col("cnt").as("_cb")), Seq("d", "w"))
+      .groupBy("d").agg(sum(col("_ca") * col("_cb")).as("_dot"))
+      .agg(min("_dot").as("est_join_size"))
 }

@@ -1,0 +1,115 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Majority-vote label propagation (Raghavan et al. 2007) — the
+  * community-detection baseline beside the family's other global
+  * signals: [[ConnectedComponents]] finds REACHABILITY classes,
+  * [[PageRank]] ranks within them, label propagation splits a connected
+  * component into DENSELY-linked groups (domain clusters in a link
+  * graph, co-purchase cliques, near-dup "families" coarser than the
+  * pair threshold). Each round every vertex adopts its neighbors' most
+  * frequent label.
+  *
+  * Classic LPA tie-breaks randomly and updates asynchronously — useless
+  * for a verified pipeline. This form is SYNCHRONOUS (round r reads
+  * only round r−1's labels) with the deterministic tie-break
+  * (count DESC, label ASC), so a run hash-replays anywhere, at the
+  * known cost that determinism always buys in LPA: bipartite regions
+  * can oscillate rather than converge, which is why the operator takes
+  * a fixed `rounds` budget instead of iterating to a fixed point (the
+  * standard remedy; callers wanting convergence detection can compare
+  * two successive calls).
+  *
+  * Scale shape: the symmetrized edge list is materialized ONCE
+  * (eager localCheckpoint — the PageRank lesson: rebuilding the edge
+  * join per round measured 3.6× on that operator), then each round is
+  * one join of the vertex-sized label table to the edges, one
+  * (dst, label) count with map-side partials, and one per-vertex argmax
+  * window whose input is bounded by the vertex's DISTINCT neighbor
+  * labels (≤ degree). Labels re-checkpoint per round, so lineage stays
+  * O(1) and a 100-round run doesn't replan a 100-join tree. Every
+  * vertex has ≥1 neighbor by construction (vertices come from edges),
+  * so no vertex is ever message-less.
+  */
+object Communities {
+
+  /** Symmetrized, de-duplicated, self-loop-free directed edge list —
+    * the canonical form [[labelPropagation]] and [[modularity]] share,
+    * so a labeling is always scored on exactly the graph that voted. */
+  private def symmetrize(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** @param edges undirected edge list — symmetrized and de-duplicated
+    *               internally, self-loops dropped.
+    * @return (node, label) after `rounds` synchronous votes; labels are
+    *         initial vertex ids, so equal label = same community. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val sym = symmetrize(edges, srcCol, dstCol).localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    val argmax = Window.partitionBy("node")
+      .orderBy(col("_c").desc, col("label"))
+    (1 to rounds).foreach { _ =>
+      labels = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_rn", row_number().over(argmax))
+        .filter(col("_rn") === 1)
+        .select("node", "label")
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Newman modularity of a labeling over the same symmetrized graph the
+    * propagation voted on: Q = Σ_c [e_c/2m − (deg_c/2m)²] — the standard
+    * "is this clustering better than chance" audit (Q > 0 means
+    * communities are denser inside than a degree-preserving random
+    * rewiring; LPA famously returns the trivial one-community labeling
+    * when the graph HAS no community structure, and Q ≈ 0 is how a
+    * pipeline detects that, rather than trusting the label count).
+    *
+    * Exactness: with 2m the directed-symmetric edge count, e_c the
+    * directed within-community edge count, and deg_c the per-community
+    * degree sum, Q = (2m·Σe_c − Σdeg_c²) / (2m)² — an integer numerator
+    * over an integer denominator, ONE double division, so the score
+    * hash-replays. Long bounds: both products are ≤ (2m)², exact below
+    * 2m ≈ 3·10⁹ directed edges; beyond that lift the two sums to
+    * DECIMAL(38,0) (the [[graft.operators.Anomaly]] second-moment
+    * device).
+    *
+    * Scale shape: two label joins onto the edge list (vertex-sized
+    * broadcast or shuffle, AQE's call), one global count pair, one
+    * community-keyed degree aggregation — no per-pair or per-community²
+    * stage anywhere.
+    *
+    * Output: one row (two_m, e_in, sum_deg_sq, modularity). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val sym = symmetrize(edges, srcCol, dstCol)
+    val l = labels.select(col(nodeCol).as("node"), col(labelCol).as("label"))
+    val e = sym
+      .join(l.select(col("node").as("src"), col("label").as("_la")), Seq("src"))
+      .join(l.select(col("node").as("dst"), col("label").as("_lb")), Seq("dst"))
+    val totals = e.agg(
+      count(lit(1)).as("two_m"),
+      sum(when(col("_la") === col("_lb"), 1L).otherwise(0L)).as("e_in"))
+    val degSq = e.groupBy("_la").agg(count(lit(1)).as("_deg_c"))
+      .agg(sum(col("_deg_c") * col("_deg_c")).as("sum_deg_sq"))
+    totals.crossJoin(degSq)
+      .withColumn("modularity",
+        (col("two_m") * col("e_in") - col("sum_deg_sq")).cast("double")
+          / (col("two_m").cast("double") * col("two_m").cast("double")))
+  }
+}

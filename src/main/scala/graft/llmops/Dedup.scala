@@ -442,8 +442,13 @@ object Dedup {
     * carries), one prefix-keyed self-join, then the standard array-verify
     * joins. No all-pairs stage; candidate volume is Σ_s p(s)² over
     * PREFIX occurrences p(s) ≤ df(s), and τ is the knob: higher τ →
-    * shorter prefixes → smaller index and fewer candidates (measured
-    * index/candidate ratios vs the full inverted index: STRESS.md r8). */
+    * shorter prefixes (and a harder min ≥ τ·max length filter) → fewer
+    * candidates. Measured at the 64× fixture, τ=0.3: prefix index 71%
+    * of the full inverted index, candidates 11.5% of the full index's
+    * pair volume (49.4 M → 49 k verified — the fixture plants a
+    * near-threshold J≈0.05–0.12 cloud that is candidate-eligible but
+    * never verifies, the honest worst case for low τ); at τ=0.6 the
+    * cloud never becomes candidates at all (STRESS.md r8, both rows). */
   def prefixFilteredJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,

@@ -28,6 +28,64 @@ import org.apache.spark.sql.functions._
   * the corpus is scanned twice, shuffled never. */
 object Anomaly {
 
+  /** Robust per-key outlier flags via the median/MAD rule — the
+    * heavy-tail-safe complement of [[zScoreOutliers]]: one extreme value
+    * inflates the mean AND σ (masking itself and flagging good rows),
+    * while the median and the median-absolute-deviation both have 50%
+    * breakdown, so the flag is |x − med| > threshold·1.4826·MAD
+    * (1.4826 = the normal-consistency constant making MAD ≈ σ on clean
+    * data; both factors multiply as plain double literals, identically
+    * parsed in any engine). The curation use is length/score gating:
+    * a z-gate on document lengths is blown open by a handful of
+    * megadocs, a MAD gate is not.
+    *
+    * Determinism: medians are exact R-7 interpolated percentiles (the
+    * q_length_quantiles contract — Spark `percentile` ≡ DuckDB
+    * `quantile_cont` bit-for-bit), deviations are single double ops, so
+    * every flag hash-replays. MAD = 0 (>50% of a key at one value)
+    * flags any deviation — the rule's standard degenerate behavior,
+    * documented rather than special-cased.
+    *
+    * Scale shape: two keyed percentile aggregations with the keys-sized
+    * results broadcast back over the stream; `percentile` buffers one
+    * KEY's values per task (exact-quantile cost — bounded by the
+    * largest group, the same contract as q_length_quantiles; swap in
+    * [[graft.llmops.TextStats.binnedQuantiles]]'s fixed-state medians
+    * when groups outgrow tasks). */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, s"need a positive threshold, got $threshold")
+    val med = df.groupBy(keyCol)
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
+    val dev = df.join(broadcast(med), Seq(keyCol))
+      .withColumn("abs_dev", abs(col(valueCol).cast("double") - col("med")))
+    val mad = dev.groupBy(keyCol)
+      .agg(expr("percentile(abs_dev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .withColumn("is_outlier",
+        col("abs_dev") > lit(threshold) * lit(1.4826) * col("mad"))
+  }
+
+  /** Per-key winsorization: clamp a value column to its key's
+    * [pLo, pHi] exact percentile bounds — the standard tail-taming
+    * transform before a mean/σ-based stage (a winsorized mean is what
+    * makes downstream z-gates usable on heavy-tailed metrics without
+    * dropping rows the way a trim does). Bounds are the same exact
+    * interpolated percentiles as [[madOutliers]]'s medians; the clamp is
+    * pure least/greatest selection, so every output value is either an
+    * input value or a bound — hash-replayable by construction. One
+    * percentile aggregation + a broadcast of the keys-sized bounds. */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 ≤ pLo < pHi ≤ 1, got $pLo/$pHi")
+    val bounds = df.groupBy(keyCol).agg(
+      expr(s"percentile($valueCol, ${pLo}D)").as("lo"),
+      expr(s"percentile($valueCol, ${pHi}D)").as("hi"))
+    df.join(broadcast(bounds), Seq(keyCol))
+      .withColumn("clamped",
+        least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
+  }
+
   def zScoreOutliers(df: DataFrame, keyCol: String, valueCol: String,
       threshold: Double, quantum: Double = 1e6): DataFrame = {
     require(threshold > 0 && quantum > 0,

@@ -333,6 +333,46 @@ object CurationQueries extends QueryFamily {
              |SELECT est.item, est.cm_count, ex.exact_count
              |FROM est JOIN ex USING (item) ORDER BY item""".stripMargin)),
 
+    // CMS join-size estimation (the AMS/CMS inner-product estimator):
+    // |clicks ⋈ views on user_id| bounded from two broadcast-sized
+    // register tables BEFORE running the join — the "will this join
+    // explode" planning signal at 100 TB, O(depth·width) after the
+    // one-shuffle sketch builds. One-sided (est ≥ truth); the exact size
+    // sits next to it in the output, so the contract is hash-checked.
+    ("q_cms_join_size",
+      (s: SparkSession, d: String) => {
+        import graft.functions.CountMin
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        val clicks = ev.filter(col("event_type") === "click").select("user_id")
+        val views = ev.filter(col("event_type") === "view").select("user_id")
+        val est = CountMin.cmJoinSizeEstimate(
+          CountMin.cmRegisters(clicks, col("user_id"), depth = 4, width = 256),
+          CountMin.cmRegisters(views, col("user_id"), depth = 4, width = 256))
+        val exact = clicks.join(views, "user_id")
+          .agg(count(lit(1)).as("true_join_size"))
+        est.crossJoin(exact)
+      },
+      Some("""WITH ds AS (SELECT CAST(x AS INT) AS d FROM range(4) t(x)),
+             |a AS (
+             |  SELECT ds.d,
+             |    CAST(concat('0x', substring(md5(CAST(ds.d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 256 AS w,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events, ds WHERE user_id IS NOT NULL AND event_type = 'click'
+             |  GROUP BY 1, 2),
+             |b AS (
+             |  SELECT ds.d,
+             |    CAST(concat('0x', substring(md5(CAST(ds.d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 256 AS w,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events, ds WHERE user_id IS NOT NULL AND event_type = 'view'
+             |  GROUP BY 1, 2),
+             |dot AS (SELECT a.d, SUM(a.cnt * b.cnt) AS dd
+             |  FROM a JOIN b ON a.d = b.d AND a.w = b.w GROUP BY 1),
+             |est AS (SELECT CAST(min(dd) AS BIGINT) AS est_join_size FROM dot),
+             |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_join_size
+             |  FROM (SELECT user_id FROM events WHERE event_type = 'click' AND user_id IS NOT NULL) c
+             |  JOIN (SELECT user_id FROM events WHERE event_type = 'view' AND user_id IS NOT NULL) v USING (user_id))
+             |SELECT est_join_size, true_join_size FROM est, ex""".stripMargin)),
+
     // Incremental Count-Min: per-source register sketches persisted,
     // then merged register-wise by SUM (counters are additive — HLL
     // merges by max) — the cross-batch frequency path. The oracle

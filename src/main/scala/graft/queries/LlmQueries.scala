@@ -2149,6 +2149,52 @@ object LlmQueries extends QueryFamily {
              |  quantile_cont(n_chars, 0.99) AS p99
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Robust per-language length outliers: |len − median| > 3·1.4826·MAD.
+    // The heavy-tail-safe gate beside q_zscore_outliers — a handful of
+    // megadocs inflate mean AND σ (masking themselves), while median and
+    // MAD both have 50% breakdown. Medians are the exact interpolated
+    // percentiles of the q_length_quantiles contract, so every flag
+    // hash-replays.
+    ("q_mad_outliers",
+      (s: SparkSession, d: String) => {
+        graft.operators.Anomaly.madOutliers(
+            Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+            keyCol = "lang", valueCol = "n_chars", threshold = 3.0)
+          .select("lang", "doc_id", "n_chars", "med", "mad", "abs_dev", "is_outlier")
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+             |  FROM documents GROUP BY lang),
+             |d AS (
+             |  SELECT doc_id, d0.lang, n_chars, med,
+             |    abs(CAST(n_chars AS DOUBLE) - med) AS abs_dev
+             |  FROM documents d0 JOIN m USING (lang)),
+             |a AS (SELECT lang, quantile_cont(abs_dev, 0.5) AS mad FROM d GROUP BY lang)
+             |SELECT d.lang, doc_id, n_chars, med, a.mad, abs_dev,
+             |  (abs_dev > 3.0 * 1.4826 * a.mad) AS is_outlier
+             |FROM d JOIN a USING (lang) ORDER BY doc_id""".stripMargin)),
+
+    // Per-language winsorization: doc lengths clamped to the language's
+    // exact [p05, p95] — the tail-taming transform before any mean/σ
+    // stage. Every output is an input value or a percentile bound
+    // (least/greatest selection), so the clamp hash-replays.
+    ("q_winsorize",
+      (s: SparkSession, d: String) => {
+        graft.operators.Anomaly.winsorize(
+            Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+            keyCol = "lang", valueCol = "n_chars", pLo = 0.05, pHi = 0.95)
+          .select("lang", "doc_id", "n_chars", "lo", "hi", "clamped")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+             |    quantile_cont(n_chars, 0.95) AS hi
+             |  FROM documents GROUP BY lang)
+             |SELECT d.lang, doc_id, n_chars, lo, hi,
+             |  least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS clamped
+             |FROM documents d JOIN b USING (lang) ORDER BY doc_id""".stripMargin)),
+
     // Binned-CDF quantiles — the scale path beside q_length_quantiles'
     // exact percentile (which buffers + sorts every group): one map-side
     // binning pass, a (groups·bins)-sized aggregate, interpolation
@@ -2541,6 +2587,38 @@ object LlmQueries extends QueryFamily {
       Some("""SELECT token, CAST(count(*) AS BIGINT) AS freq
              |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin)),
+
+    // Vocabulary coverage: the fraction of token OCCURRENCES per language
+    // covered by the global top-50 vocabulary — the tokenizer/OOV-rate
+    // report that decides whether a vocab is big enough for a corpus
+    // slice. Integer occurrence counts, one int→double division; the
+    // vocab is the q_vocab_topk deterministic top-k, broadcast.
+    ("q_vocab_coverage",
+      (s: SparkSession, d: String) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(TextStats.tokens(col("text"))).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token").asc).limit(50)
+          .select(col("token"), lit(1L).as("_in"))
+        toks.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("_in"), lit(0L))).as("n_covered"))
+          .withColumn("coverage",
+            col("n_covered").cast("double") / col("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+             |v AS (
+             |  SELECT token FROM (
+             |    SELECT token, count(*) AS freq FROM t GROUP BY token
+             |    ORDER BY freq DESC, token ASC LIMIT 50))
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |  CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS coverage
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Relative quality gate: keep the top 75% per language by length —
     // the percentile form of a quality filter (absolute thresholds rot

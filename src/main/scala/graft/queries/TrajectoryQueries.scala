@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.trajectory.{TrajectoryOps, BehaviorGenerator, Extrinsics}
-import graft.graph.{Knn, ConnectedComponents, ConnectivityCache, PageRank, Triangles}
+import graft.graph.{Communities, Knn, ConnectedComponents, ConnectivityCache, PageRank, Triangles}
 
 /** Trajectory + graph family (SURVEY.md §2.5 W7/W8, §2.10 generator/CC). */
 object TrajectoryQueries extends QueryFamily {
@@ -227,6 +227,88 @@ object TrajectoryQueries extends QueryFamily {
              |r3 AS (SELECT r.node, r.base + (85 * coalesce(s3.in_sum, 0)) // 100 AS rank
              |  FROM r2 r LEFT JOIN s3 ON r.node = s3.dst)
              |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin)),
+
+    // Majority-vote label propagation (3 synchronous rounds,
+    // deterministic count-DESC/label-ASC tie-break) on the same
+    // bipartite purchase graph as q_page_rank — community detection
+    // beside CC's reachability and PageRank's centrality. Every round's
+    // vote replays exactly in the oracle's unrolled CTEs.
+    ("q_label_prop",
+      (s: SparkSession, d: String) => {
+        val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+        Communities.labelPropagation(pairs, "a", "b", rounds = 3)
+          .orderBy("node")
+      },
+      Some("""WITH p AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+             |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+             |v1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+             |       FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+             |l1 AS (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |  FROM v1) WHERE rn = 1),
+             |v2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+             |       FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+             |l2 AS (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |  FROM v2) WHERE rn = 1),
+             |v3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+             |       FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+             |l3 AS (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |  FROM v3) WHERE rn = 1)
+             |SELECT node, label FROM l3 ORDER BY node""".stripMargin)),
+
+    // Newman modularity of the q_label_prop labeling — the "is this
+    // clustering better than chance" audit (Q ≈ 0 detects LPA's trivial
+    // one-community collapse). Integer numerator over integer
+    // denominator, one double division — hash-exact.
+    ("q_modularity",
+      (s: SparkSession, d: String) => {
+        val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+        val labels = Communities.labelPropagation(pairs, "a", "b", rounds = 3)
+        Communities.modularity(pairs, "a", "b", labels, "node", "label")
+      },
+      Some("""WITH p AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+             |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+             |v1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+             |       FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+             |l1 AS (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |  FROM v1) WHERE rn = 1),
+             |v2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+             |       FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+             |l2 AS (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |  FROM v2) WHERE rn = 1),
+             |v3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+             |       FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+             |l3 AS (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |  FROM v3) WHERE rn = 1),
+             |el AS (SELECT la.label AS _la, lb.label AS _lb
+             |  FROM e JOIN l3 la ON la.node = e.src JOIN l3 lb ON lb.node = e.dst),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS two_m,
+             |  CAST(sum(CASE WHEN _la = _lb THEN 1 ELSE 0 END) AS BIGINT) AS e_in FROM el),
+             |g AS (SELECT CAST(sum(c * c) AS BIGINT) AS sum_deg_sq FROM (
+             |  SELECT _la, CAST(count(*) AS BIGINT) AS c FROM el GROUP BY 1))
+             |SELECT two_m, e_in, sum_deg_sq,
+             |  CAST(two_m * e_in - sum_deg_sq AS DOUBLE)
+             |    / (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE)) AS modularity
+             |FROM t, g""".stripMargin)),
 
     // Per-node triangle counts with degree-ordered orientation — the
     // clustering/link-farm signal beside CC and PageRank. Graph: parts

@@ -36,7 +36,7 @@ object ProfilePpjoin {
     // full-index pair volume Σ df·(df−1)/2 — what a prefix-less inverted
     // index (containment-style without the maxDf cut) would generate
     val fullPairs = inst.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * (col("df") - 1) / 2)).head().getLong(0)
+      .agg(sum(col("df") * (col("df") - 1))).head().getLong(0) / 2
     println(s"[ppjoin] full index pair volume = $fullPairs")
 
     // the operator's own prefix index (same construction as the operator:

@@ -357,4 +357,19 @@ class CurationOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(tie == Seq(3L, 5L), "equal scores must break on ascending id")
   }
+
+  test("CMS join-size estimate: exact with a collision-free sketch, one-sided when squeezed") {
+    import graft.functions.CountMin
+    // A: keys 1,1,1,2,2,3   B: keys 1,2,2,4 → true join size 3·1+2·2+0+0 = 7
+    val a = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("k")
+    def est(width: Int): Long = CountMin.cmJoinSizeEstimate(
+        CountMin.cmRegisters(a, col("k"), depth = 4, width = width),
+        CountMin.cmRegisters(b, col("k"), depth = 4, width = width))
+      .as[Long].head()
+    // width 4096 over 4 keys: P(any collision in all 4 rows) ≈ 0 → exact
+    assert(est(4096) == 7L)
+    // width 2 forces collisions: the estimate stays an UPPER bound
+    assert(est(2) >= 7L)
+  }
 }

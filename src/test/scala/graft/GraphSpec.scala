@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
 import graft.graph.ConnectedComponents
 
 class GraphSpec extends SparkSpec {
@@ -93,5 +94,60 @@ class GraphSpec extends SparkSpec {
     // bidirected graphs leak at most the integer-division dust: total
     // mass stays within 1e-9 of scale across all rounds
     assert(math.abs(sr.values.sum - 1000000000000L) < 1000L)
+  }
+
+  test("label propagation: two cliques with one bridge resolve to two communities") {
+    import graft.graph.Communities
+    // K4 ∪ K4 joined by a single bridge (4–5): the bridge endpoints each
+    // see 3 in-clique votes vs 1 cross votes, so the cliques keep
+    // separate labels — the density split CC cannot make (CC = one
+    // component here).
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val edges = (k4a ++ k4b :+ (4L, 5L)).toDF("src", "dst")
+    val out = Communities.labelPropagation(edges, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == (1L to 8L).toSet)
+    val ca = Set(1L, 2L, 3L, 4L).map(out)
+    val cb = Set(5L, 6L, 7L, 8L).map(out)
+    assert(ca.size == 1 && cb.size == 1 && ca != cb, out.toString)
+    // determinism: a rerun yields the identical labeling
+    val out2 = Communities.labelPropagation(edges, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out2 == out)
+  }
+
+  test("modularity: the bridge split scores 286/676 exactly; the trivial labeling scores 0") {
+    import graft.graph.Communities
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val edges = (k4a ++ k4b :+ (4L, 5L)).toDF("src", "dst")
+    val labels = Communities.labelPropagation(edges, "src", "dst", rounds = 4)
+    // 2m = 26 directed edges, e_in = 24 (only the 2 bridge edges cross),
+    // deg_c = 13 per community → Q = (26·24 − 2·13²)/26² = 286/676
+    val m = Communities.modularity(edges, "src", "dst", labels, "node", "label")
+      .select("two_m", "e_in", "sum_deg_sq", "modularity")
+      .as[(Long, Long, Long, Double)].head()
+    assert(m == ((26L, 24L, 338L, 286.0 / 676.0)), m.toString)
+    // one-community labeling: e_in = 2m and Σdeg² = (2m)² → Q ≡ 0, the
+    // signal that a labeling found NO structure
+    val trivial = labels.select(col("node"), lit(0L).as("label"))
+    val q0 = Communities.modularity(edges, "src", "dst", trivial, "node", "label")
+      .select("modularity").as[Double].head()
+    assert(q0 == 0.0)
+  }
+
+  test("label propagation: self-loops dropped, single edge keeps min-label tie-break") {
+    import graft.graph.Communities
+    val edges = Seq((1L, 1L), (1L, 2L)).toDF("src", "dst")
+    // round 1: node 1 sees only {2}, node 2 only {1} → they swap; the
+    // self-loop must NOT let node 1 vote for itself
+    val r1 = Communities.labelPropagation(edges, "src", "dst", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L))
+    // round 2: swap again — the documented bipartite oscillation
+    val r2 = Communities.labelPropagation(edges, "src", "dst", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L))
   }
 }

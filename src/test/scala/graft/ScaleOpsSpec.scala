@@ -75,4 +75,44 @@ class ScaleOpsSpec extends SparkSpec {
     // integer-moment construction: identical z maps, bit for bit
     assert(flags(df.repartition(13)) == f)
   }
+
+  test("MAD outliers: a megadoc masks itself from the z-gate but not the MAD gate") {
+    import graft.operators.Anomaly
+    // 8 docs of ~1000 chars + one 500k megadoc: a single point's z is
+    // bounded by √(n−1) = √8 ≈ 2.83 < 3 — the spike inflates mean and σ
+    // enough to MASK ITSELF from the z-gate; the median/MAD gate (50%
+    // breakdown) flags it regardless.
+    val vals = (1 to 8).map(i => (i.toLong, "k", 990L + i)) :+ (9L, "k", 500000L)
+    val df = vals.toDF("id", "k", "v")
+    val z = Anomaly.zScoreOutliers(df, "k", "v", threshold = 3.0)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(!z(9L), "the megadoc must mask itself from the z-gate for this test to bite")
+    val m = Anomaly.madOutliers(df, "k", "v", threshold = 3.0)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(m(9L))
+    assert((1L to 8L).forall(i => !m(i)))
+  }
+
+  test("MAD outliers: zero MAD flags any deviating row (documented degenerate rule)") {
+    import graft.operators.Anomaly
+    val df = (Seq.fill(5)(10L) :+ 11L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "k", v) }.toDF("id", "k", "v")
+    val m = Anomaly.madOutliers(df, "k", "v")
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(m(5L) && (0L to 4L).forall(i => !m(i)))
+  }
+
+  test("winsorize: clamps to exact bounds, interior rows untouched") {
+    import graft.operators.Anomaly
+    val df = (1 to 100).map(i => (i.toLong, "k", i.toLong)).toDF("id", "k", "v")
+    val out = Anomaly.winsorize(df, "k", "v", pLo = 0.05, pHi = 0.95)
+      .select("id", "lo", "hi", "clamped").as[(Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // R-7 interpolated p05/p95 of 1..100 = 5.95 / 95.05
+    assert(out(1L)._2 == 5.95 && out(1L)._3 == 95.05)
+    assert(out(1L)._4 == 5.95 && out(100L)._4 == 95.05)
+    assert(out(50L)._4 == 50.0)
+    // clamped range is exactly [lo, hi]
+    assert(out.values.forall(r => r._4 >= r._2 && r._4 <= r._3))
+  }
 }
