@@ -3,6 +3,7 @@ package graft.llmops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Evaluation / drift metrics for data-quality classifiers and corpus
   * versions — the measurement half of a curation pipeline. Every filter
@@ -176,5 +177,60 @@ object Eval {
           / (col("n_keys") * col("n_rows")).cast("double")).as("gini"),
         (col("_top1").cast("double") / col("n_rows").cast("double")).as("top1_share"),
         (col("_top10").cast("double") / col("n_rows").cast("double")).as("top10_share")): _*)
+  }
+
+  /** Chi-square homogeneity drift per group: did the CATEGORY mix of
+    * slice A move away from slice B? The categorical complement to
+    * [[ksByGroup]] (which tests a numeric distribution) — the standard
+    * production drift check for discrete features (event types, language
+    * codes, source domains) between a reference and a current window.
+    *
+    * For a 2×C table with per-category counts (aⱼ, bⱼ), row totals
+    * A = Σaⱼ, B = Σbⱼ:
+    *   χ² = Σⱼ (aⱼ·B − bⱼ·A)² / (A·B·(aⱼ+bⱼ))
+    * (the two expected-count cell terms of category j collapse to this
+    * single ratio). Cross-engine determinism: every factor is an exact
+    * 64-bit count, so each per-category term is one fixed tree of IEEE
+    * multiply/divide — bit-identical in Spark and DuckDB — and the SUM
+    * of those doubles is made order-independent by casting each term to
+    * DECIMAL(38,12) first (exact decimal addition; the [[Det.moneySum]]
+    * convention). Cramér's V = sqrt(χ²/N) for the 2-row table (sqrt is
+    * IEEE-exact). Categories with aⱼ+bⱼ = 0 cannot occur (they simply
+    * don't group); a group where A = 0 or B = 0 yields NULL χ² (drift
+    * against an empty slice is undefined, not zero).
+    *
+    * One shuffle on (group, category); everything downstream is
+    * category-vocabulary-sized per group.
+    */
+  def chi2ByGroup(df: DataFrame, groupCols: Seq[String], category: Column,
+      inA: Column, inB: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val cells = df
+      .select(keys ++ Seq(category.as("_cat"),
+        when(inA, 1L).otherwise(0L).as("_ia"),
+        when(inB, 1L).otherwise(0L).as("_ib")): _*)
+      .filter(col("_cat").isNotNull && (col("_ia") + col("_ib")) > 0L)
+      .groupBy(keys :+ col("_cat"): _*)
+      .agg(sum("_ia").as("_a"), sum("_ib").as("_b"))
+    val gw = Window.partitionBy(keys: _*)
+    val withTot = cells
+      .withColumn("_ta", sum("_a").over(gw))
+      .withColumn("_tb", sum("_b").over(gw))
+    val num = col("_a").cast("double") * col("_tb").cast("double") -
+      col("_b").cast("double") * col("_ta").cast("double")
+    val den = col("_ta").cast("double") * col("_tb").cast("double") *
+      (col("_a") + col("_b")).cast("double")
+    val term = when(col("_ta") === 0L || col("_tb") === 0L,
+        lit(null).cast(DecimalType(38, 12)))
+      .otherwise((num * num / den).cast(DecimalType(38, 12)))
+    withTot
+      .withColumn("_term", term)
+      .groupBy(keys: _*)
+      .agg(max("_ta").as("n_a"), max("_tb").as("n_b"),
+        count(lit(1)).as("n_cats"),
+        sum("_term").cast("double").as("chi2"))
+      .select(keys ++ Seq(col("n_a"), col("n_b"), col("n_cats"), col("chi2"),
+        sqrt(col("chi2") / (col("n_a") + col("n_b")).cast("double"))
+          .as("cramers_v")): _*)
   }
 }

@@ -161,6 +161,27 @@ object TextStats {
   def topBigramFraction(text: Column): Column =
     topRunFraction(sortedBigrams(tokens(text)))
 
+  /** Σ c·(c−1) over the element multiplicities of a SORTED array — the
+    * repeated-ordered-pair count behind the Gini–Simpson diversity index
+    * (1 − Σc(c−1)/(n(n−1))), the integer-exact lexical-diversity signal
+    * (entropy needs log(), a libm call that does not hash-verify across
+    * engines; Simpson is rational in the counts). Same fold shape as
+    * [[topRunFraction]]: a run of length c contributes Σₖ2(k−1) = c(c−1),
+    * accumulated map-side over the sorted array — no explode, no shuffle,
+    * so per-document diversity costs one projection at any corpus size.
+    * Input must be SORTED and a plain attribute (three references). */
+  def repeatPairsOfSorted(sorted: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("pairs"))
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          (acc.getField("pairs") + lit(2L) * (run - 1L)).as("pairs"))
+      },
+      acc => acc.getField("pairs"))
+  }
+
   // ---- Collocation mining (corpus-level bigram lift) ---------------------
 
   /** Corpus collocations by LIFT — the log-free PMI form:

@@ -154,6 +154,54 @@ object EvalQueries extends QueryFamily {
              |  CAST(gnum AS DOUBLE) / CAST(n_keys * n_rows AS DOUBLE) AS gini,
              |  CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
              |  CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // Chi-square homogeneity drift per day: did the EVENT-TYPE mix shift
+    // between the morning (hour < 12) and afternoon slices? The
+    // categorical complement to q_ks_drift's numeric two-sample test.
+    // Per-category terms are fixed IEEE expression trees over exact
+    // counts, decimal-summed (order-free), one sqrt for Cramér's V.
+    ("q_chi2_drift",
+      (s: SparkSession, d: String) => {
+        Eval.chi2ByGroup(
+            Tables.events(s, d)
+              .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+            Seq("day"), col("event_type"),
+            hour(col("ts")) < 12, hour(col("ts")) >= 12)
+          .orderBy("day")
+      },
+      Some("""WITH e AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS cat,
+             |    CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END AS ia,
+             |    CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS ib
+             |  FROM events),
+             |c AS (
+             |  SELECT day, cat, CAST(SUM(ia) AS BIGINT) AS a,
+             |    CAST(SUM(ib) AS BIGINT) AS b
+             |  FROM e WHERE cat IS NOT NULL AND ia + ib > 0 GROUP BY day, cat),
+             |t AS (
+             |  SELECT *, CAST(SUM(a) OVER (PARTITION BY day) AS BIGINT) AS ta,
+             |    CAST(SUM(b) OVER (PARTITION BY day) AS BIGINT) AS tb
+             |  FROM c),
+             |m AS (
+             |  SELECT day, ta, tb,
+             |    CASE WHEN ta = 0 OR tb = 0 THEN NULL
+             |         ELSE CAST(
+             |      (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+             |        - CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))
+             |      * (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+             |        - CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))
+             |      / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+             |        * CAST(a + b AS DOUBLE)) AS DECIMAL(38,12)) END AS term
+             |  FROM t),
+             |agg AS (
+             |  SELECT day, CAST(MAX(ta) AS BIGINT) AS n_a,
+             |    CAST(MAX(tb) AS BIGINT) AS n_b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_cats,
+             |    CAST(SUM(term) AS DOUBLE) AS chi2
+             |  FROM m GROUP BY day)
+             |SELECT day, n_a, n_b, n_cats, chi2,
+             |  sqrt(chi2 / CAST(n_a + n_b AS DOUBLE)) AS cramers_v
+             |FROM agg ORDER BY day""".stripMargin))
   )
 }

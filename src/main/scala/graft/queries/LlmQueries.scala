@@ -1910,6 +1910,49 @@ object LlmQueries extends QueryFamily {
              |FROM dup d LEFT JOIN top t USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Lexical diversity per document: type-token ratio + Gini–Simpson
+    // index (1 − Σc(c−1)/(n(n−1))) — the integer-exact diversity signal
+    // (Shannon entropy needs log(), which does not hash-verify across
+    // engines; Simpson is rational in the counts, one division). Spark
+    // computes the repeated-pair count with a map-side fold over the
+    // sorted token array — no explode, no shuffle, per-row cost at any
+    // corpus size — while the oracle takes the explode+groupBy route to
+    // the same exact integers.
+    ("q_token_diversity",
+      (s: SparkSession, d: String) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), array_sort(TextStats.tokens(col("text"))).as("_t"))
+        toks
+          .select(col("doc_id"),
+            size(col("_t")).cast("long").as("n_tokens"),
+            size(array_distinct(col("_t"))).cast("long").as("n_types"),
+            TextStats.repeatPairsOfSorted(col("_t")).as("_pairs"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+            when(col("n_tokens") >= 2L,
+                lit(1.0) - col("_pairs").cast("double")
+                  / (col("n_tokens").cast("double") * (col("n_tokens") - 1L).cast("double")))
+              .otherwise(lit(null).cast("double")).as("gini_simpson"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |c AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM t GROUP BY doc_id, tok),
+             |a AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |    CAST(COUNT(*) AS BIGINT) AS n_types,
+             |    CAST(SUM(c * (c - 1)) AS BIGINT) AS pairs
+             |  FROM c GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_types,
+             |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+             |  CASE WHEN n_tokens >= 2
+             |       THEN 1.0 - CAST(pairs AS DOUBLE)
+             |            / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+             |       ELSE NULL END AS gini_simpson
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split: md5-bucket assignment that is
     // stable across runs, engines, partitionings, and reprocessing —
     // never sample(). 80/10/10.

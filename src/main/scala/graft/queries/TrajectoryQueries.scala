@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.trajectory.{TrajectoryOps, BehaviorGenerator, Extrinsics}
-import graft.graph.{Communities, Knn, ConnectedComponents, ConnectivityCache, PageRank, Triangles}
+import graft.graph.{Communities, Knn, ConnectedComponents, ConnectivityCache, PageRank, ShortestPaths, Triangles}
 
 /** Trajectory + graph family (SURVEY.md §2.5 W7/W8, §2.10 generator/CC). */
 object TrajectoryQueries extends QueryFamily {
@@ -309,6 +309,45 @@ object TrajectoryQueries extends QueryFamily {
              |  CAST(two_m * e_in - sum_deg_sq AS DOUBLE)
              |    / (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE)) AS modularity
              |FROM t, g""".stripMargin)),
+
+    // Bounded multi-source BFS over the same kNN graph as
+    // q_connected_components: hop distance from a seed set (vec_id < 3)
+    // within ≤ 8 hops — the reachability-DEPTH signal (seed-distance
+    // quality weighting) beside CC's island membership. The oracle
+    // replays the identical capped semantics with a hop-limited
+    // recursive CTE; Spark runs the frontier form that exits early once
+    // no distance improves.
+    ("q_bfs_hops",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+        val knn = Knn.bruteForce(emb, idCol = "vec_id", vecCol = "embedding",
+            k = 3, dim = 64)
+          .select(col("src_id").as("src"), col("dst_id").as("dst"))
+        val edges = knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+        val sources = emb.filter(col("vec_id") < 3).select(col("vec_id").as("node"))
+        ShortestPaths.bounded(edges, sources, maxHops = 8)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE vec_id < 40),
+             |pairs AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst,
+             |    sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+             |      i -> (a.v[i]-b.v[i])*(a.v[i]-b.v[i])), (x,y) -> x+y)) AS dist
+             |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+             |knn AS (
+             |  SELECT src, dst FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+             |    FROM pairs) WHERE rn <= 3),
+             |edges AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+             |sp(node, d, hops) AS (
+             |  SELECT vec_id, CAST(0 AS BIGINT), 0 FROM pts WHERE vec_id < 3
+             |  UNION
+             |  SELECT e.dst, sp.d + 1, sp.hops + 1
+             |  FROM sp JOIN edges e ON e.src = sp.node WHERE sp.hops < 8)
+             |SELECT node, CAST(min(d) AS BIGINT) AS dist
+             |FROM sp GROUP BY node ORDER BY node""".stripMargin)),
 
     // Per-node triangle counts with degree-ordered orientation — the
     // clustering/link-farm signal beside CC and PageRank. Graph: parts

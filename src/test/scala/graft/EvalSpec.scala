@@ -127,4 +127,32 @@ class EvalSpec extends SparkSpec {
     assert(Eval.keySkew(df, Seq("g"), "k")
       .select("n_rows").as[Long].head() == 2L)
   }
+
+  private def chi2Rows(cells: Seq[(String, Long, Long)]) =
+    cells.flatMap { case (cat, a, b) =>
+      Seq.fill(a.toInt)(("g", cat, "A")) ++ Seq.fill(b.toInt)(("g", cat, "B"))
+    }.toDF("g", "cat", "slice")
+
+  private def chi2(cells: Seq[(String, Long, Long)]) =
+    Eval.chi2ByGroup(chi2Rows(cells), Seq("g"), col("cat"),
+        col("slice") === "A", col("slice") === "B")
+      .select("n_a", "n_b", "n_cats", "chi2", "cramers_v")
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+
+  test("chi2 drift: textbook 2x2 value, zero on identical mixes") {
+    // cells (a,b): X=(10,30), Y=(20,40) → χ² = N(ad−bc)²/(r₁r₂c₁c₂)
+    //   = 100·(10·40 − 20·30)² / (30·70·40·60) = 0.793650…
+    val (na, nb, k, c2, v) = chi2(Seq(("X", 10L, 30L), ("Y", 20L, 40L)))
+    assert((na, nb, k) == (30L, 70L, 2L))
+    assert(math.abs(c2.get - 100.0 * 200.0 * 200.0 / (30.0 * 70.0 * 40.0 * 60.0)) < 1e-9)
+    assert(math.abs(v.get - math.sqrt(c2.get / 100.0)) < 1e-12)
+    // proportional slices → every cell term is exactly 0
+    val same = chi2(Seq(("X", 10L, 20L), ("Y", 30L, 60L)))
+    assert(same._4 == Some(0.0) && same._5 == Some(0.0))
+  }
+
+  test("chi2 drift: empty slice yields NULL, not zero") {
+    val (na, nb, _, c2, v) = chi2(Seq(("X", 10L, 0L), ("Y", 20L, 0L)))
+    assert(na == 30L && nb == 0L && c2.isEmpty && v.isEmpty)
+  }
 }

@@ -150,4 +150,42 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r2 == Map(1L -> 1L, 2L -> 2L))
   }
+
+  private def sp(edges: Seq[(Long, Long)], sources: Seq[Long], maxHops: Int,
+      weights: Map[(Long, Long), Long] = Map.empty) = {
+    import graft.graph.ShortestPaths
+    val e = edges.map { case (a, b) => (a, b, weights.getOrElse((a, b), 1L)) }
+      .toDF("src", "dst", "w")
+    val srcDf = sources.toDF("node")
+    ShortestPaths.bounded(e, srcDf, maxHops,
+        weightCol = if (weights.isEmpty) None else Some("w"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("bounded BFS: hop distances, unreachable absent, hop cap binds") {
+    // directed path 1→2→3→4 with a shortcut 1→3, plus unreachable 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+    assert(sp(edges, Seq(1L), maxHops = 8) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // cap at 1 hop: node 4 (dist 2) not yet discovered
+    assert(sp(edges, Seq(1L), maxHops = 1) == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // maxHops = 0: just the seed set at distance 0
+    assert(sp(edges, Seq(1L), maxHops = 0) == Map(1L -> 0L))
+  }
+
+  test("bounded BFS: multi-source min and duplicate seeds collapse") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 3L))
+    assert(sp(edges, Seq(1L, 5L, 5L), maxHops = 4) ==
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bounded shortest path: cheap 2-hop beats expensive direct edge") {
+    // 1→3 costs 10 direct, but 1→2→3 costs 2; a later round must IMPROVE
+    // node 3's provisional distance, not keep first-discovery
+    val edges = Seq((1L, 3L), (1L, 2L), (2L, 3L))
+    val w = Map((1L, 3L) -> 10L, (1L, 2L) -> 1L, (2L, 3L) -> 1L)
+    assert(sp(edges, Seq(1L), maxHops = 4, w) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // with only 1 hop allowed the expensive direct edge is the best path
+    assert(sp(edges, Seq(1L), maxHops = 1, w) == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+  }
 }

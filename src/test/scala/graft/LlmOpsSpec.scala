@@ -128,7 +128,12 @@ class LlmOpsSpec extends SparkSpec {
     // the candidate table is localCheckpoint'ed (executor blocks, GC-
     // reclaimed), never .persist'ed — the CacheManager must stay empty
     // so a long-lived session can run the dedup in a loop without the
-    // r1 bench-tail leak (VERDICT r1 item 2 / r2 item 2)
+    // r1 bench-tail leak (VERDICT r1 item 2 / r2 item 2). The session is
+    // shared across suites and some operators legitimately RETURN a
+    // persisted table the caller owns (ConnectedComponents.labelPropagation
+    // hands back its cached labels), so scope the assertion to THIS
+    // operator by clearing first — suite order must not decide the test.
+    spark.sharedState.cacheManager.clearCache()
     Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5).count()
     assert(spark.sharedState.cacheManager.isEmpty)
@@ -1846,5 +1851,32 @@ class LlmOpsSpec extends SparkSpec {
     // atomicity: no doc's tokens exceed its single bin except the
     // oversized one, which is alone (fill_after == its own n)
     assert(got.filter(_._3 > 10).forall(_._1 == 5L))
+  }
+
+  test("repeatPairsOfSorted: Σc(c−1) over multiplicities, fold ≡ explode form") {
+    val docs = Seq(
+      (1L, "a b c"),        // all distinct → 0
+      (2L, "a a b"),        // one pair of a's → 2·1 = 2
+      (3L, "x x x x"),      // 4·3 = 12
+      (4L, "a"),            // single token → 0
+      (5L, "b a b a b"))    // b:3, a:2 → 6 + 2 = 8
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"),
+        TextStats.repeatPairsOfSorted(array_sort(TextStats.tokens(col("text"))))
+          .as("p"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 2L), (3L, 12L), (4L, 0L), (5L, 8L)), got.toString)
+    // cross-check the fold against the explode+groupBy route (the oracle's
+    // form) on every fixture doc at sf0.001
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fold = real.select(col("doc_id"),
+      TextStats.repeatPairsOfSorted(array_sort(TextStats.tokens(col("text")))).as("p"))
+    val exploded = real
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c") * (col("c") - 1L)).as("q"))
+    assert(fold.join(exploded, Seq("doc_id"))
+      .filter(col("p") =!= col("q")).isEmpty)
   }
 }
