@@ -112,4 +112,43 @@ object Communities {
         (col("two_m") * col("e_in") - col("sum_deg_sq")).cast("double")
           / (col("two_m").cast("double") * col("two_m").cast("double")))
   }
+
+  /** Rounds-bounded k-core peel: repeatedly drop vertices whose degree
+    * in the CURRENT graph is < k, for `rounds` synchronous rounds — the
+    * density floor beside [[labelPropagation]]'s communities (a link-farm
+    * / boilerplate-hub detector on web graphs: the k-core keeps only
+    * nodes embedded in mutually dense neighborhoods, however high their
+    * raw degree to already-peeled fringe). The declared round budget is
+    * the same horizon contract as [[ShortestPaths.bounded]]: the true
+    * k-core is this peel's fixpoint, and on a 100 TB graph the caller
+    * declares how many peel waves the job buys (each round removes a
+    * full "shell"; most web-scale graphs settle the bulk of the peel in
+    * a handful of rounds). Two successive calls with rounds r and r+1
+    * returning identical output certify the fixpoint was reached.
+    *
+    * Scale shape per round: one degree count over the live edge set
+    * (map-side combined) and two semi-joins to keep edges with both
+    * endpoints alive — the edge set only shrinks. Each round's edges
+    * are re-localCheckpoint'ed so lineage stays O(1).
+    *
+    * @return (node, degree) for vertices alive after `rounds` peels,
+    *         with their degree in the surviving subgraph. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    var cur = symmetrize(edges, srcCol, dstCol).localCheckpoint(true)
+    var r = 0
+    while (r < rounds && !cur.isEmpty) {
+      r += 1
+      val alive = cur.groupBy("src").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k).select("src")
+      cur = cur
+        .join(alive, Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+    }
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -233,4 +233,52 @@ object Eval {
         sqrt(col("chi2") / (col("n_a") + col("n_b")).cast("double"))
           .as("cramers_v")): _*)
   }
+
+  /** Spearman rank correlation per group — do two quality signals RANK
+    * the corpus the same way? The monotonic-agreement complement to
+    * [[aucByGroup]] (which needs a boolean label): before a new scorer
+    * replaces an old one in a curation chain, ρ against the incumbent
+    * says how much of the ordering actually changes.
+    *
+    * Exactness: ties get textbook average ranks, carried as DOUBLED
+    * ranks 2·minrank + tiecount − 1 so they stay integers; the five
+    * per-group sums (Σr, Σr², Σrᵣry) are exact longs (safe to ~10⁶ rows
+    * per group: Σr² ≤ 4n³). The Pearson-on-ranks combination
+    *   ρ = (nΣxy − ΣxΣy) / √((nΣx² − Σx²)(nΣy² − Σy²))
+    * runs in double as one fixed IEEE tree over those exact longs —
+    * bit-identical across engines (the [[chi2ByGroup]] convention). A
+    * constant column (zero rank variance) yields NULL, not 0 — "no
+    * ordering to agree with" is not "disagrees".
+    *
+    * Cost: two sort-windows per group (one per signal — the rank step),
+    * then one hash aggregation; nothing downstream exceeds group count.
+    */
+  def spearmanByGroup(df: DataFrame, groupCols: Seq[String],
+      x: Column, y: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = df.select(keys ++ Seq(x.as("_x"), y.as("_y")): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val wx = Window.partitionBy(keys: _*).orderBy(col("_x"))
+    val wy = Window.partitionBy(keys: _*).orderBy(col("_y"))
+    val cx = Window.partitionBy(keys :+ col("_x"): _*)
+    val cy = Window.partitionBy(keys :+ col("_y"): _*)
+    val ranked = v
+      .withColumn("_rx",
+        lit(2L) * rank().over(wx).cast("long") + count(lit(1)).over(cx) - 1L)
+      .withColumn("_ry",
+        lit(2L) * rank().over(wy).cast("long") + count(lit(1)).over(cy) - 1L)
+    val agg = ranked.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum("_rx").as("_sx"), sum("_ry").as("_sy"),
+        sum(col("_rx") * col("_ry")).as("_sxy"),
+        sum(col("_rx") * col("_rx")).as("_sxx"),
+        sum(col("_ry") * col("_ry")).as("_syy"))
+    def d(c: String) = col(c).cast("double")
+    val varX = d("n") * d("_sxx") - d("_sx") * d("_sx")
+    val varY = d("n") * d("_syy") - d("_sy") * d("_sy")
+    agg.select(keys ++ Seq(col("n"),
+      when(varX === 0.0 || varY === 0.0, lit(null).cast("double"))
+        .otherwise((d("n") * d("_sxy") - d("_sx") * d("_sy"))
+          / sqrt(varX * varY)).as("rho")): _*)
+  }
 }

@@ -202,6 +202,52 @@ object EvalQueries extends QueryFamily {
              |  FROM m GROUP BY day)
              |SELECT day, n_a, n_b, n_cats, chi2,
              |  sqrt(chi2 / CAST(n_a + n_b AS DOUBLE)) AS cramers_v
-             |FROM agg ORDER BY day""".stripMargin))
+             |FROM agg ORDER BY day""".stripMargin)),
+
+    // Spearman rank correlation per language: does raw character length
+    // rank documents the same way whitespace token count does? (The
+    // check run before one cheap quality proxy substitutes for another.)
+    // Tie-average ranks carried as exact doubled-rank longs; one fixed
+    // IEEE tree at the end — hash-exact.
+    ("q_spearman",
+      (s: SparkSession, d: String) => {
+        Eval.spearmanByGroup(
+            Tables.documents(s, d)
+              .withColumn("n_tokens",
+                size(TextStats.tokens(col("text"))).cast("long")),
+            Seq("lang"), col("n_chars"), col("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH v AS (
+             |  SELECT lang, n_chars AS x,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+             |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+             |    AND text IS NOT NULL),
+             |r AS (
+             |  SELECT lang,
+             |    CAST(2 * rank() OVER (PARTITION BY lang ORDER BY x)
+             |      + count(*) OVER (PARTITION BY lang, x) - 1 AS BIGINT) AS rx,
+             |    CAST(2 * rank() OVER (PARTITION BY lang ORDER BY y)
+             |      + count(*) OVER (PARTITION BY lang, y) - 1 AS BIGINT) AS ry
+             |  FROM v),
+             |a AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+             |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+             |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+             |  FROM r GROUP BY lang)
+             |SELECT lang, n,
+             |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+             |         OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0 THEN NULL
+             |       ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rho
+             |FROM a ORDER BY lang""".stripMargin))
   )
 }

@@ -349,6 +349,41 @@ object TrajectoryQueries extends QueryFamily {
              |SELECT node, CAST(min(d) AS BIGINT) AS dist
              |FROM sp GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Rounds-bounded k-core peel (k=48, 2 peel waves) on the bipartite
+    // purchase graph shared with q_page_rank/q_label_prop — the density
+    // floor beside label-prop's communities: a node survives only if
+    // ≥48 of its neighbors ALSO survive, the link-farm/hub-fringe
+    // separator. Parameters chosen so the fixture cascades across BOTH
+    // waves (193 → 148 survivors at sf0.01): wave 2 peels nodes whose
+    // degree only fell below k because wave 1 removed their fringe —
+    // the recursive part of the definition, not just a degree filter.
+    // The oracle unrolls the identical rounds as (degree → keep →
+    // edge-filter) CTE triples.
+    ("q_kcore",
+      (s: SparkSession, d: String) => {
+        val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+        Communities.kCorePeel(pairs, "a", "b", k = 48, rounds = 2)
+          .orderBy("node")
+      },
+      Some("""WITH p AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e0 AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+             |d1 AS (SELECT src, count(*) AS c FROM e0 GROUP BY src),
+             |n1 AS (SELECT src FROM d1 WHERE c >= 48),
+             |e1 AS (SELECT e.src, e.dst FROM e0 e
+             |  JOIN n1 a ON e.src = a.src JOIN n1 b ON e.dst = b.src),
+             |d2 AS (SELECT src, count(*) AS c FROM e1 GROUP BY src),
+             |n2 AS (SELECT src FROM d2 WHERE c >= 48),
+             |e2 AS (SELECT e.src, e.dst FROM e1 e
+             |  JOIN n2 a ON e.src = a.src JOIN n2 b ON e.dst = b.src)
+             |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+             |FROM e2 GROUP BY src ORDER BY node""".stripMargin)),
+
     // Per-node triangle counts with degree-ordered orientation — the
     // clustering/link-farm signal beside CC and PageRank. Graph: parts
     // adjacent by line number within an order (sparse co-purchase

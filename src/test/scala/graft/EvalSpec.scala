@@ -155,4 +155,24 @@ class EvalSpec extends SparkSpec {
     val (na, nb, _, c2, v) = chi2(Seq(("X", 10L, 0L), ("Y", 20L, 0L)))
     assert(na == 30L && nb == 0L && c2.isEmpty && v.isEmpty)
   }
+
+  private def rho(xs: Seq[Long], ys: Seq[Long]): Option[Double] = {
+    val df = xs.zip(ys).map { case (a, b) => ("g", a, b) }.toDF("g", "x", "y")
+    Eval.spearmanByGroup(df, Seq("g"), col("x"), col("y"))
+      .select("rho").as[Option[Double]].head()
+  }
+
+  test("spearman: monotone=1, inverse=-1, tie case matches hand arithmetic") {
+    // any monotone map is ρ = 1 regardless of spacing
+    assert(rho(Seq(1L, 2L, 3L, 4L), Seq(1L, 4L, 9L, 16L)) == Some(1.0))
+    assert(rho(Seq(1L, 2L, 3L, 4L), Seq(8L, 6L, 4L, 2L)) == Some(-1.0))
+    // x = [1,2,2,3] (avg ranks 1, 2.5, 2.5, 4), y = [1,3,2,4]:
+    // Pearson on ranks = 4.5/√(4.5·5) = √0.9
+    val got = rho(Seq(1L, 2L, 2L, 3L), Seq(1L, 3L, 2L, 4L)).get
+    assert(math.abs(got - math.sqrt(0.9)) < 1e-12, got.toString)
+  }
+
+  test("spearman: constant column is NULL (no ordering), not zero") {
+    assert(rho(Seq(1L, 2L, 3L), Seq(7L, 7L, 7L)).isEmpty)
+  }
 }

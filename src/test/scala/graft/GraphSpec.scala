@@ -179,6 +179,25 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("kCorePeel: peel cascades shell by shell up to the declared rounds") {
+    import graft.graph.Communities
+    // a 5-clique (every node degree 4) + node 6 hanging off {1,2,3,7}
+    // + pendant 7: peeling at k=4 removes 7 (deg 1) in wave 1, which
+    // drops 6 to deg 3 so wave 2 removes it, leaving the clique
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (clique ++ Seq((6L, 1L), (6L, 2L), (6L, 3L), (6L, 7L)))
+      .toDF("src", "dst")
+    def run(rounds: Int) = Communities.kCorePeel(edges, "src", "dst", k = 4, rounds)
+      .as[(Long, Long)].collect().toMap
+    // one wave: 7 is gone, 6 survives but its recomputed degree is 3 —
+    // the declared-horizon contract (r and r+1 agreeing certifies fixpoint)
+    assert(run(1) == Map(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 4L, 5L -> 4L, 6L -> 3L))
+    assert(run(2) == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    assert(run(3) == run(2)) // fixpoint reached
+    // k above the clique degree: everything peels, result is empty
+    assert(Communities.kCorePeel(edges, "src", "dst", k = 5, rounds = 3).isEmpty)
+  }
+
   test("bounded shortest path: cheap 2-hop beats expensive direct edge") {
     // 1→3 costs 10 direct, but 1→2→3 costs 2; a later round must IMPROVE
     // node 3's provisional distance, not keep first-discovery
