@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -140,6 +140,150 @@ object RepetitionKernel {
   }
 }
 
+/** Textbook Jaro–Winkler similarity — the edit-distance-free string
+  * comparator record linkage was built on (Winkler's census matcher):
+  * tolerant of transpositions and OCR-style swaps where Levenshtein
+  * charges full price, with the common-prefix bonus that fits
+  * identifier-shaped keys (names, codes).
+  *
+  * Conventions — chosen to be BIT-IDENTICAL to DuckDB's
+  * `jaro_winkler_similarity` (verified on 14 000 cross-alphabet cases
+  * while designing the oracle):
+  *  - either side empty → 0.0 (even both-empty);
+  *  - match window ⌊max(|a|,|b|)/2⌋ − 1, floored at 0;
+  *  - transpositions = half the matched-but-misaligned count;
+  *  - Jaro j = (m/|a| + m/|b| + (m−t)/m) / 3 evaluated in exactly that
+  *    association order (every operand an exact small-int-to-double);
+  *  - Winkler bonus j + ℓ·0.1·(1−j) (prefix ℓ ≤ 4) only when j > 0.7.
+  *
+  * Byte-level (UTF-8): identical to per-character arithmetic on ASCII
+  * corpora (the [[RollingMinHash]] convention). O(|a|·window) compiled
+  * JVM per pair via a static kernel call from generated code — usable as
+  * a [[graft.operators.BlockingJoin]] score without leaving whole-stage
+  * codegen. */
+object JaroWinklerKernel {
+  def similarity(s1: UTF8String, s2: UTF8String): Double = {
+    val a = s1.getBytes
+    val b = s2.getBytes
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (java.util.Arrays.equals(a, b)) return 1.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var matched = false
+      while (j < hi && !matched) {
+        if (!m2(j) && a(i) == b(j)) { m1(i) = true; m2(j) = true; m += 1; matched = true }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val j0 = (md / l1 + md / l2 + (m - t / 2).toDouble / md) / 3.0
+    if (j0 > 0.7) {
+      val maxL = math.min(4, math.min(l1, l2))
+      var l = 0
+      while (l < maxL && a(l) == b(l)) l += 1
+      j0 + l * 0.1 * (1.0 - j0)
+    } else j0
+  }
+}
+
+/** One-pass token-multiplicity stats: n_tokens, n_types (distinct), and
+  * the repeated-ordered-pair count Σc(c−1) behind the Gini–Simpson
+  * diversity index. Semantics ≡ the HOF route (sort the whitespace token
+  * array, fold run lengths — [[graft.llmops.TextStats.repeatPairsOfSorted]];
+  * LlmOpsSpec asserts the equivalence), but ONE hash-counting pass in
+  * compiled JVM instead of an interpreted sort + per-element lambda
+  * fold: the HOF form measured 56 s at the 64× corpus (STRESS.md r8),
+  * all of it CodegenFallback dispatch — the same wall the r7 repetition
+  * kernel removed. */
+object TokenDiversityKernel {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_types", LongType, nullable = false),
+    StructField("pairs", LongType, nullable = false)))
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(s: UTF8String): InternalRow = {
+    val toks = s.split(Space, -1)
+    val n = toks.length // split(-1) never yields an empty array: "" → [""]
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val prev = counts.get(toks(i))
+      counts.put(toks(i), if (prev == null) 1 else prev.intValue() + 1)
+      i += 1
+    }
+    var pairs = 0L
+    val it = counts.values.iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue()
+      pairs += c * (c - 1)
+    }
+    new GenericInternalRow(Array[Any](n.toLong, counts.size.toLong, pairs))
+  }
+}
+
+/** `graft_token_diversity(text)` → struct(n_tokens, n_types, pairs) via
+  * [[TokenDiversityKernel]]. */
+case class TokenDiversity(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = TokenDiversityKernel.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TokenDiversityKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TokenDiversityKernel.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_diversity"
+}
+
+/** `graft_jaro_winkler(a, b)` → double via [[JaroWinklerKernel]]. */
+case class JaroWinklerSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel.similarity(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.JaroWinklerKernel.similarity($x, $y)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaro_winkler"
+}
+
 /** `graft_repetition_stats(text)` → struct(dup_token_frac,
   * top_bigram_frac) via [[RepetitionKernel]]. */
 case class RepetitionStats(child: Expression)
@@ -255,6 +399,13 @@ case class CdcBoundaries(child: Expression, w: Int, base: Long, mask: Long)
 
 object TextExpressions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "graft_jaro_winkler"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"graft_jaro_winkler(a, b) takes 2 arguments, got ${es.length}")
+        JaroWinklerSimilarity(es(0), es(1))
+      }),
     (FunctionIdentifier("graft_rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rolling_min_hash"),
       (es: Seq[Expression]) => {
@@ -264,6 +415,13 @@ object TextExpressions {
           "graft_rolling_min_hash window and base must be literal")
         RollingMinHash(es(0),
           es(1).eval().toString.toInt, es(2).eval().toString.toLong)
+      }),
+    (FunctionIdentifier("graft_token_diversity"),
+      new ExpressionInfo(classOf[TokenDiversity].getName, "graft_token_diversity"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1,
+          s"graft_token_diversity(text) takes 1 argument, got ${es.length}")
+        TokenDiversity(es(0))
       }),
     (FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition_stats"),
@@ -288,6 +446,19 @@ object TextExpressions {
       base: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{call_function, lit}
     call_function("graft_rolling_min_hash", text, lit(w), lit(base))
+  }
+
+  /** Requires a session built with [[graft.GraftExtensions]]. */
+  def tokenDiversity(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.call_function
+    call_function("graft_token_diversity", text)
+  }
+
+  /** Requires a session built with [[graft.GraftExtensions]]. */
+  def jaroWinkler(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.call_function
+    call_function("graft_jaro_winkler", a, b)
   }
 
   /** Requires a session built with [[graft.GraftExtensions]]. */

@@ -141,14 +141,22 @@ object Communities {
     var r = 0
     while (r < rounds && !cur.isEmpty) {
       r += 1
-      val alive = cur.groupBy("src").agg(count(lit(1)).as("_deg"))
-        .filter(col("_deg") >= k).select("src")
-      cur = cur
-        .join(alive, Seq("src"), "left_semi")
-        .join(alive.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .localCheckpoint(true)
+      cur = peelRound(cur, k).localCheckpoint(true)
     }
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** One peel wave on a symmetrized edge set: degree count (map-side
+    * combined), keep nodes with degree ≥ k, and two semi-joins that drop
+    * edges touching a peeled endpoint. Exposed separately because the
+    * loop checkpoints each wave (O(1) lineage), which hides the wave's
+    * plan from the returned DataFrame — PlanAuditSpec pins this shape
+    * directly. */
+  private[graft] def peelRound(cur: DataFrame, k: Int): DataFrame = {
+    val alive = cur.groupBy("src").agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") >= k).select("src")
+    cur.join(alive, Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
   }
 }

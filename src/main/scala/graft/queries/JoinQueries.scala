@@ -224,6 +224,67 @@ object JoinQueries extends QueryFamily {
              |SELECT c_custkey, rid, CAST(edit_dist AS INT) AS edit_dist
              |FROM best WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
 
+    // q_fuzzy_match's blocked pipeline scored by Jaro–Winkler instead of
+    // Levenshtein — the census-matcher comparator (transposition-tolerant,
+    // common-prefix bonus) as a native codegen'd expression
+    // (graft_jaro_winkler, functions/TextExpressions.scala). The scores
+    // hash-compare against DuckDB's jaro_winkler_similarity bit-for-bit:
+    // the kernel pins DuckDB's conventions (empty→0, window ⌊max/2⌋−1,
+    // 0.7 boost threshold, exact IEEE association order — see the
+    // kernel's scaladoc).
+    ("q_jaro_match",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val l = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+        val r = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(9)) =!= 0)
+          .select((col("c_custkey") + 1000000L).as("rid"),
+            regexp_replace(col("c_name"), "0", "O").as("r_name"),
+            col("c_nationkey").as("r_nation"))
+        def restored(c: org.apache.spark.sql.Column) = translate(c, "O", "0")
+        def rdig(c: org.apache.spark.sql.Column) =
+          regexp_replace(restored(c), "[^0-9]", "")
+        val cand = BlockingJoin.candidates(l, r, "c_custkey", "rid",
+          blockKeys = Seq(
+            struct(l("c_nationkey"), substring(restored(l("c_name")), -4, 4)) ->
+              struct(r("r_nation"), substring(restored(r("r_name")), -4, 4)),
+            struct(l("c_nationkey"), substring(rdig(l("c_name")), -3, 3)) ->
+              struct(r("r_nation"), substring(rdig(r("r_name")), -3, 3))))
+        val best = Window.partitionBy(col("c_custkey"))
+          .orderBy(col("jw").desc, col("rid"))
+        cand
+          .withColumn("jw", graft.functions.TextExpressions
+            .jaroWinkler(col("c_name"), col("r_name")))
+          .withColumn("_rn", row_number().over(best))
+          .filter(col("_rn") === 1)
+          .select("c_custkey", "rid", "jw")
+          .orderBy("c_custkey")
+      },
+      Some("""WITH l AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+             |r AS (
+             |  SELECT c_custkey + 1000000 AS rid, replace(c_name, '0', 'O') AS r_name,
+             |    c_nationkey AS r_nation
+             |  FROM customer WHERE c_custkey % 9 <> 0),
+             |cand AS (
+             |  SELECT c_custkey, c_name, rid, r_name FROM l JOIN r
+             |    ON l.c_nationkey = r.r_nation
+             |   AND substring(translate(l.c_name, 'O', '0'), -4, 4)
+             |     = substring(translate(r.r_name, 'O', '0'), -4, 4)
+             |  UNION
+             |  SELECT c_custkey, c_name, rid, r_name FROM l JOIN r
+             |    ON l.c_nationkey = r.r_nation
+             |   AND substring(regexp_replace(translate(l.c_name, 'O', '0'), '[^0-9]', '', 'g'), -3, 3)
+             |     = substring(regexp_replace(translate(r.r_name, 'O', '0'), '[^0-9]', '', 'g'), -3, 3)),
+             |scored AS (
+             |  SELECT c_custkey, rid,
+             |    jaro_winkler_similarity(c_name, r_name) AS jw
+             |  FROM cand),
+             |best AS (
+             |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+             |    ORDER BY jw DESC, rid) AS rn FROM scored)
+             |SELECT c_custkey, rid, jw
+             |FROM best WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
+
     // J2 — sequence→map resolution: strip trailing index, exact match
     // first, else prefix, else unmatched (reference:
     // render_engine.py:87-158). Sequences are doc source_docid names; two

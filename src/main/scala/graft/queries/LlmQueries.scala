@@ -1914,19 +1914,21 @@ object LlmQueries extends QueryFamily {
     // index (1 − Σc(c−1)/(n(n−1))) — the integer-exact diversity signal
     // (Shannon entropy needs log(), which does not hash-verify across
     // engines; Simpson is rational in the counts, one division). Spark
-    // computes the repeated-pair count with a map-side fold over the
-    // sorted token array — no explode, no shuffle, per-row cost at any
-    // corpus size — while the oracle takes the explode+groupBy route to
-    // the same exact integers.
+    // computes all three counts with ONE native hash-counting pass per
+    // row (graft_token_diversity — the sorted-fold HOF form it replaces
+    // measured 56 s of CodegenFallback dispatch at the 64× corpus, see
+    // STRESS.md; LlmOpsSpec pins kernel ≡ fold ≡ explode) — no explode,
+    // no shuffle, per-row cost at any corpus size — while the oracle
+    // takes the explode+groupBy route to the same exact integers.
     ("q_token_diversity",
       (s: SparkSession, d: String) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), array_sort(TextStats.tokens(col("text"))).as("_t"))
-        toks
+        Tables.documents(s, d)
+          .withColumn("_d", graft.functions.TextExpressions
+            .tokenDiversity(col("text")))
           .select(col("doc_id"),
-            size(col("_t")).cast("long").as("n_tokens"),
-            size(array_distinct(col("_t"))).cast("long").as("n_types"),
-            TextStats.repeatPairsOfSorted(col("_t")).as("_pairs"))
+            col("_d").getField("n_tokens").as("n_tokens"),
+            col("_d").getField("n_types").as("n_types"),
+            col("_d").getField("pairs").as("_pairs"))
           .select(col("doc_id"), col("n_tokens"), col("n_types"),
             (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
             when(col("n_tokens") >= 2L,

@@ -320,7 +320,36 @@ object Stress {
     // join + count + degree-bounded argmax window; expected PageRank-like
     // round-constant behavior), robust length stats (two keyed percentile
     // passes — the exact-quantile buffer bound is the measurement)
-    "q_label_prop", "q_mad_outliers", "q_winsorize")
+    "q_label_prop", "q_mad_outliers", "q_winsorize",
+    // round-8 third batch: k-core peel (2 waves of degree-count +
+    // double semi-join over the 64× purchase graph), chi-square drift
+    // (one (day, event_type) shuffle then category-vocabulary-sized
+    // math), Spearman (two rank windows per group over the 64× doc
+    // table), token diversity (map-side fold — expected scan-bound).
+    // q_bfs_hops is EXCLUDED (bounded vec_id<40 correctness baseline —
+    // replica-0 scan only); stress_bfs_hops below runs the frontier
+    // operator over the full 64× purchase graph instead.
+    "q_kcore", "q_chi2_drift", "q_spearman", "q_token_diversity")
+
+  /** Multi-source BFS over the full 64× purchase graph (the unbounded
+    * analog of q_bfs_hops's kNN-subgraph fixture): seeds are 3 supplier
+    * nodes, 4 frontier waves. The bipartite graph is 2-hop-dense
+    * (supplier→customers→suppliers), so the measurement is the frontier
+    * join + min-combine mechanics at a 64× edge list, with the frontier
+    * itself saturating (and the early-exit firing) by wave 3-4. */
+  private def stressBfsHops(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = graft.model.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq("s1", "s2", "s3").toDF("node")
+    graft.graph.ShortestPaths.bounded(edges, seeds, maxHops = 4)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/stress_sf"
@@ -348,7 +377,8 @@ object Stress {
         "stress_decon_big_bloom" -> (stressDeconBigBloom _),
         "stress_fuzzy_unblocked" -> (stressFuzzyUnblocked _),
         "stress_linkage_scaled" -> (stressLinkageScaled _),
-        "stress_ppjoin_tau06" -> (stressPpjoinTau06 _))
+        "stress_ppjoin_tau06" -> (stressPpjoinTau06 _),
+        "stress_bfs_hops" -> (stressBfsHops _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }

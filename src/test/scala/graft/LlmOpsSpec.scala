@@ -1867,8 +1867,9 @@ class LlmOpsSpec extends SparkSpec {
           .as("p"))
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 0L), (2L, 2L), (3L, 12L), (4L, 0L), (5L, 8L)), got.toString)
-    // cross-check the fold against the explode+groupBy route (the oracle's
-    // form) on every fixture doc at sf0.001
+    // cross-check the fold against BOTH the explode+groupBy route (the
+    // oracle's form) and the native one-pass kernel (the query's form)
+    // on every fixture doc at sf0.001
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fold = real.select(col("doc_id"),
       TextStats.repeatPairsOfSorted(array_sort(TextStats.tokens(col("text")))).as("p"))
@@ -1876,7 +1877,18 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(sum(col("c") * (col("c") - 1L)).as("q"))
-    assert(fold.join(exploded, Seq("doc_id"))
-      .filter(col("p") =!= col("q")).isEmpty)
+    val kernel = real.withColumn("_d",
+        graft.functions.TextExpressions.tokenDiversity(col("text")))
+      .select(col("doc_id"), col("_d").getField("pairs").as("k"),
+        col("_d").getField("n_tokens").as("kn"),
+        col("_d").getField("n_types").as("kt"))
+    val joined = fold.join(exploded, Seq("doc_id")).join(kernel, Seq("doc_id"))
+    assert(joined.filter(col("p") =!= col("q") || col("p") =!= col("k")).isEmpty)
+    // the kernel's token/type counts match the array forms too
+    val viaArrays = real.select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("an"),
+      size(array_distinct(TextStats.tokens(col("text")))).cast("long").as("at"))
+    assert(kernel.join(viaArrays, Seq("doc_id"))
+      .filter(col("kn") =!= col("an") || col("kt") =!= col("at")).isEmpty)
   }
 }

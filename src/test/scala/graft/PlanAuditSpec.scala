@@ -730,4 +730,41 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(SparkEntry.queries("q_ppjoin_jaccard")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("plan: token diversity is map-side — zero hash exchanges, no UDF") {
+    // the Σc(c−1) fold runs per row over the sorted token array; the only
+    // exchange in the whole plan is the deterministic output sort
+    val p = plan(SparkEntry.queries("q_token_diversity")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 0, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("plan: chi2 drift reduces to (day, category) cells before any window") {
+    val p = plan(SparkEntry.queries("q_chi2_drift")(spark, sf))
+    // raw events combine map-side into per-(day, cat) cells below the
+    // first exchange; everything after runs on the cell table
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // group shuffle + day-window + final day rollup — never more
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
+  }
+
+  test("plan: spearman rank windows sort within groups — no global sort") {
+    val p = plan(SparkEntry.queries("q_spearman")(spark, sf))
+    // the only range exchange is the deterministic output orderBy; both
+    // rank passes are per-language window sorts on hash exchanges
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("plan: k-core peel wave keeps edges via semi-joins, degrees combine map-side") {
+    // the full query checkpoints each wave (hiding it from the final
+    // plan), so pin the per-wave shape the loop runs
+    val edges = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
+    val p = plan(graft.graph.Communities.peelRound(edges, 4))
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

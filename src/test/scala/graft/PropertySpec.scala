@@ -383,6 +383,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaro-winkler: reference values, conventions, codegen ≡ interpreted") {
+    import graft.functions.{JaroWinklerKernel, TextExpressions}
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(a: String, b: String) =
+      JaroWinklerKernel.similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+    // the two textbook record-linkage cases (Winkler's census examples)
+    assert(k("MARTHA", "MARHTA") == 0.9611111111111111, k("MARTHA", "MARHTA"))
+    assert(k("DWAYNE", "DUANE") == 0.8400000000000001, k("DWAYNE", "DUANE"))
+    // conventions pinned to the oracle engine: empty → 0 (even both
+    // empty), equal → 1, zero matches → 0, sub-threshold gets NO prefix
+    // bonus even with a shared prefix
+    assert(k("", "") == 0.0 && k("abc", "") == 0.0)
+    assert(k("abc", "abc") == 1.0)
+    assert(k("abc", "xyz") == 0.0)
+    val subThreshold = k("aXYZWVU", "aABCDEF") // shares 'a', j ≤ 0.7
+    assert(subThreshold <= 0.7, subThreshold.toString)
+    // symmetric
+    assert(k("DWAYNE", "DUANE") == k("DUANE", "DWAYNE"))
+    // whole-stage-codegen path produces the identical bits as the
+    // interpreted kernel across random ASCII pairs
+    val strGen = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(97, 107).map(_.toChar)).map(_.mkString))
+    val rows = (1 to 200).map(s => (s.toLong, gen(strGen, s.toLong), gen(strGen, s + 500L)))
+    val viaDf = rows.toDF("id", "a", "b")
+      .select(col("id"), TextExpressions.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      assert(java.lang.Double.doubleToLongBits(viaDf(id)) ==
+        java.lang.Double.doubleToLongBits(k(a, b)), s"id=$id '$a' '$b'")
+    }
+  }
+
   test("property: bloom prune never drops a true join key") {
     import org.apache.spark.sql.functions.col
     val keys = Gen.listOfN(300, Gen.chooseNum(0L, 10000L))
