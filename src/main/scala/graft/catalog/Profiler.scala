@@ -44,4 +44,56 @@ object Profiler {
         s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_value, max_value)")
       .select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
   }
+
+  /** Pairwise Pearson correlation over numeric columns, ONE scan — the
+    * redundancy report behind feature pruning and leakage checks (two
+    * near-duplicate quality signals inflate whatever consumes both).
+    *
+    * Cross-engine exactness (the [[graft.llmops.Eval.spearmanByGroup]]
+    * convention): each value is cast to DECIMAL(18,6) — deterministic
+    * double→decimal rounding, identical in Spark and DuckDB — so the
+    * per-column sums Σx and per-pair sums Σxy, Σx² are EXACT decimal
+    * additions (order-free where a raw double sum is not), and the final
+    *   r = (n·Σxy − ΣxΣy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    * runs in double as one fixed IEEE tree over those exact sums,
+    * rounded to 12 decimals: the sums' DECIMAL→DOUBLE cast itself is the
+    * one step engines disagree on (the JVM converts in a single
+    * correctly-rounded step; DuckDB routes through int128 and double-
+    * rounds — measured ≤1 ulp apart on the fixture), and r ∈ [−1,1] at
+    * 12 decimals is far inside any consumer's tolerance. A constant
+    * column → NULL (no variance to correlate), not 0.
+    *
+    * Rows with a NULL in ANY of `cols` are dropped (listwise deletion) so
+    * one n serves every pair — the standard correlation-matrix contract;
+    * callers needing pairwise-n run per-pair.
+    *
+    * Scale shape: one projection + one global aggregate of
+    * |cols| + |cols|·(|cols|+1)/2 decimal sums (all map-side partials,
+    * one 1-row reduce); the pair table is assembled driver-free from the
+    * single wide row via stack. */
+  def correlationPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val clean = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c).cast(dec).as(c)): _*)
+    val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield (cols(i), cols(j))
+    val sums =
+      cols.map(c => sum(col(c)).as(s"_s_$c")) ++
+        cols.map(c => sum(col(c) * col(c)).as(s"_ss_$c")) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"_sp_${a}_$b") }
+    val wide = clean.agg(count(lit(1)).as("_n"), sums: _*)
+    def d(c: String) = col(c).cast("double")
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', _s_$a, _s_$b, _ss_$a, _ss_$b, _sp_${a}_$b"
+    }.mkString(", ")
+    val long = wide.selectExpr("_n",
+      s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, sa, sb, ssa, ssb, sab)")
+    val varA = d("_n") * d("ssa") - d("sa") * d("sa")
+    val varB = d("_n") * d("ssb") - d("sb") * d("sb")
+    long.select(col("col_a"), col("col_b"), col("_n").as("n"),
+      when(varA === 0.0 || varB === 0.0, lit(null).cast("double"))
+        .otherwise(round((d("_n") * d("sab") - d("sa") * d("sb"))
+          / sqrt(varA * varB), 12)).as("corr"))
+  }
 }

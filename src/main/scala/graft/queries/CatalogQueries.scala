@@ -99,6 +99,54 @@ object CatalogQueries extends QueryFamily {
              |  MIN(c_mktsegment), MAX(c_mktsegment) FROM t
              |ORDER BY "column"""".stripMargin)),
 
+    // Pairwise Pearson correlation over lineitem's numeric columns in ONE
+    // scan — the redundancy report behind feature pruning (two
+    // near-duplicate signals inflate whatever consumes both). Values cast
+    // to DECIMAL(18,6) so every sum is exact decimal addition
+    // (order-free); the final r is one fixed IEEE tree over those exact
+    // sums — hash-identical cross-engine.
+    ("q_corr_matrix",
+      (s: SparkSession, d: String) => {
+        Profiler.correlationPairs(Tables.lineitem(s, d),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy("col_a", "col_b")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val nn = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+        val castSel = cols.map(c => s"CAST($c AS DECIMAL(18,6)) AS $c").mkString(", ")
+        // products widen one operand to DECIMAL(19,6): same value, but it
+        // moves DuckDB's physical multiply to int128 (a raw int64·int64
+        // decimal product overflows at these magnitudes — the engine says
+        // so explicitly); Spark's decimal multiply is wide by default
+        def w(c: String) = s"CAST($c AS DECIMAL(19,6))"
+        val sums = (cols.map(c => s"SUM($c) AS s_$c") ++
+          cols.map(c => s"SUM(${w(c)} * $c) AS ss_$c") ++
+          (for (i <- cols.indices; j <- i + 1 until cols.size)
+            yield s"SUM(${w(cols(i))} * ${cols(j)}) AS sp_${cols(i)}_${cols(j)}"))
+          .mkString(",\n    ")
+        val pairRows = (for (i <- cols.indices; j <- i + 1 until cols.size) yield {
+          val (a, b) = (cols(i), cols(j))
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             |    CAST(s_$a AS DOUBLE) AS sa, CAST(s_$b AS DOUBLE) AS sb,
+             |    CAST(ss_$a AS DOUBLE) AS ssa, CAST(ss_$b AS DOUBLE) AS ssb,
+             |    CAST(sp_${a}_$b AS DOUBLE) AS sab FROM s""".stripMargin
+        }).mkString("\n  UNION ALL\n  ")
+        s"""WITH c AS (SELECT $castSel FROM lineitem WHERE $nn),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    $sums
+           |  FROM c),
+           |p AS (
+           |  $pairRows)
+           |SELECT col_a, col_b, n,
+           |  CASE WHEN CAST(n AS DOUBLE) * ssa - sa * sa = 0
+           |         OR CAST(n AS DOUBLE) * ssb - sb * sb = 0 THEN NULL
+           |       ELSE round((CAST(n AS DOUBLE) * sab - sa * sb)
+           |         / sqrt((CAST(n AS DOUBLE) * ssa - sa * sa)
+           |              * (CAST(n AS DOUBLE) * ssb - sb * sb)), 12) END AS corr
+           |FROM p ORDER BY col_a, col_b""".stripMargin
+      }),
+
     // Profile drift between two corpus snapshots (here: documents before
     // vs after a length cut — the post-curation regression check): per
     // column, row/null/distinct deltas and whether the min/max moved.

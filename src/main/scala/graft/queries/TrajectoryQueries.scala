@@ -33,6 +33,30 @@ object TrajectoryQueries extends QueryFamily {
              |  FROM r JOIN t ON t.seq = r.seq AND t.idx = r.idx + 1)
              |SELECT seq, idx, target, clamped FROM r ORDER BY seq, idx""".stripMargin)),
 
+    // EWMA smoothing per user — the blending recurrence beside the
+    // clamp's bounding one (telemetry denoising / drift-tolerant
+    // baselines). α = 0.25 has a short binary expansion, and
+    // s + α·(x − s) is evaluated in the identical association order in
+    // both engines, so every recursive step hash-replays.
+    ("q_ewma_smooth",
+      (s: SparkSession, d: String) => {
+        TrajectoryOps.ewmaOrdered(Tables.events(s, d), "user_id",
+            orderCols = Seq("ts", "event_id"), "value", alpha = 0.25)
+          .orderBy("seq", "idx")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS seq,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS idx,
+             |    value AS target
+             |  FROM events),
+             |r(seq, idx, target, smoothed) AS (
+             |  SELECT seq, idx, target, target FROM t WHERE idx = 1
+             |  UNION ALL
+             |  SELECT t.seq, t.idx, t.target,
+             |    r.smoothed + 0.25 * (t.target - r.smoothed)
+             |  FROM r JOIN t ON t.seq = r.seq AND t.idx = r.idx + 1)
+             |SELECT seq, idx, target, smoothed FROM r ORDER BY seq, idx""".stripMargin)),
+
     // E8 matrix kernel in isolation: q_extrinsic_export stays golden-only
     // (seeded-RNG upstream), but the 4×4 view-matrix math itself is pure —
     // fed deterministic lineitem-derived poses it hash-verifies against

@@ -121,6 +121,46 @@ object TrajectoryOps {
     }
   }
 
+  /** Exponentially-weighted moving average per sequence — the smoothing
+    * half of the recurrence family ([[rateClampOrdered]] bounds steps,
+    * this blends them): telemetry denoising, drift-tolerant rate
+    * baselines, the "smoothed quality trend" a monitor alarms on.
+    * s₁ = x₁, sₜ = sₜ₋₁ + α·(xₜ − sₜ₋₁) — evaluated in exactly that IEEE
+    * association order so the DuckDB recursive-CTE oracle replays every
+    * step bit-for-bit (pick α with a short binary expansion, e.g. 0.25,
+    * to keep the literal itself trivially identical).
+    *
+    * Same scale shape as the clamp: repartition by sequence, sort WITHIN
+    * partitions (rides the shuffle's spill machinery), one O(1)-state
+    * streaming pass — no per-group buffering at any trajectory length.
+    * Output idx is the 1-based position under `orderCols`. */
+  def ewmaOrdered(df: DataFrame, seqCol: String, orderCols: Seq[String],
+      targetCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val prepared = df
+      .repartition(col(seqCol))
+      .sortWithinPartitions((seqCol +: orderCols).map(col): _*)
+      .select(
+        col(seqCol).cast("string").as("seq"),
+        col(targetCol).cast("double").as("target"))
+    implicit val enc = Encoders.row(StructType(Seq(
+      StructField("seq", StringType), StructField("idx", LongType),
+      StructField("target", DoubleType), StructField("smoothed", DoubleType))))
+    prepared.mapPartitions { rows =>
+      var cur: String = null
+      var s = Double.NaN
+      var pos = 0L
+      rows.map { r =>
+        val seq = r.getString(0)
+        if (seq != cur) { cur = seq; s = Double.NaN; pos = 0L }
+        pos += 1
+        val x = r.getDouble(1)
+        s = if (s.isNaN) x else s + alpha * (x - s)
+        Row(seq, pos, x, s)
+      }
+    }
+  }
+
   /** Radial-distance trajectory simplification: a sample is KEPT iff its
     * value moved at least `eps` (absolute) from the last KEPT sample; the
     * first sample per sequence is always kept. The standard streaming-

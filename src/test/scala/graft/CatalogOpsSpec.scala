@@ -115,4 +115,33 @@ class CatalogOpsSpec extends SparkSpec {
       assert(spark.read.parquet(out).exceptAll(spark.read.parquet(in)).isEmpty)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
+
+  test("correlationPairs: ±1 on linear maps, NULL on constants, hand value, listwise n") {
+    import graft.catalog.Profiler
+    val df = Seq(
+      (1.0, 3.0, 7.0, 1.0),
+      (2.0, 5.0, 7.0, 2.0),
+      (3.0, 7.0, 7.0, 4.0))
+      .toDF("x", "y2x", "const", "z")
+    val got = Profiler.correlationPairs(df, Seq("x", "y2x", "const", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("x", "y2x")) == Some(1.0))           // y = 2x + 1
+    assert(got(("x", "const")).isEmpty)              // zero variance → NULL
+    assert(got(("y2x", "const")).isEmpty)
+    // x=[1,2,3], z=[1,2,4]: r = 9/√84 (reported at the documented
+    // 12-decimal rounding)
+    assert(math.abs(got(("x", "z")).get - 9.0 / math.sqrt(84.0)) < 1e-12,
+      got(("x", "z")).toString)
+    // a NULL anywhere drops the ROW for every pair (one n serves all)
+    val withNull = Seq((Some(1.0), Some(1.0)), (Some(2.0), Some(3.0)),
+      (Some(3.0), None)).toDF("a", "b")
+    val n = Profiler.correlationPairs(withNull, Seq("a", "b"))
+      .select("n").as[Long].head()
+    assert(n == 2L)
+    // anti-correlation is exactly -1
+    val inv = Seq((1.0, 9.0), (2.0, 6.0), (3.0, 3.0)).toDF("a", "b")
+    assert(Profiler.correlationPairs(inv, Seq("a", "b"))
+      .select("corr").as[Double].head() == -1.0)
+  }
 }

@@ -37,6 +37,24 @@ class TrajectorySpec extends SparkSpec {
     assert(so.toSeq == Seq(0.0, 5.0, 9.0, 12.0))
   }
 
+  test("ewmaOrdered: hand recurrence, per-sequence reset, alpha=1 is identity") {
+    val df = Seq(
+      ("a", 1L, 8.0), ("a", 2L, 4.0), ("a", 3L, 4.0),
+      ("b", 1L, 100.0)) // new sequence must re-seed, not blend from 'a'
+      .toDF("u", "i", "v")
+    val out = TrajectoryOps.ewmaOrdered(df, "u", Seq("i"), "v", alpha = 0.25)
+      .orderBy("seq", "idx")
+      .select("seq", "idx", "smoothed")
+      .as[(String, Long, Double)].collect().toSeq
+    // s1=8, s2=8+0.25(4-8)=7, s3=7+0.25(4-7)=6.25; b re-seeds at 100
+    assert(out == Seq(("a", 1L, 8.0), ("a", 2L, 7.0), ("a", 3L, 6.25),
+      ("b", 1L, 100.0)), out.toString)
+    val id = TrajectoryOps.ewmaOrdered(df, "u", Seq("i"), "v", alpha = 1.0)
+      .orderBy("seq", "idx").select("target", "smoothed")
+      .as[(Double, Double)].collect()
+    assert(id.forall { case (t, sm) => t == sm })
+  }
+
   test("resampleByCount hits endpoints exactly and yields n points per seq") {
     // piecewise-linear value over arc length: value = 2*cum
     val pts = Seq(("s", 1, 10.0, 20.0), ("s", 2, 10.0, 40.0), ("s", 3, 20.0, 80.0))
