@@ -253,6 +253,61 @@ object Eval {
     * Cost: two sort-windows per group (one per signal — the rank step),
     * then one hash aggregation; nothing downstream exceeds group count.
     */
+  /** Benford first-digit conformity audit per group — the classic
+    * synthetic-data / fabricated-numbers detector: organically-grown
+    * magnitudes (prices, populations, file sizes) follow
+    * P(d) = log₁₀(1 + 1/d); generated or tampered columns usually don't.
+    * In a training-data pipeline this is the cheap screen for synthetic
+    * numeric fields and copy-paste inflation before the data teaches a
+    * model those artifacts.
+    *
+    * Determinism: the nine Benford probabilities are shortest-roundtrip
+    * DOUBLE LITERALS (identical parse in any IEEE engine — no log10()
+    * call, which would not hash-verify); the first digit comes from the
+    * decimal rendering of floor(|x|) as an INTEGER (integer→string is
+    * engine-stable where double→string is not), rows with |x| < 1
+    * excluded; observed shares are exact int/int divisions and the
+    * deviation |share − p| is one fixed IEEE tree. The report is DENSE:
+    * all 9 digits appear per group (a digit that never occurs is share
+    * 0, the loudest possible deviation — it must not vanish from the
+    * report), via a broadcast 9-row digit table.
+    *
+    * One shuffle on (group, digit); everything downstream is 9 rows per
+    * group. */
+  def benfordAudit(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val digit = substring(floor(abs(value)).cast("long").cast("string"), 1, 1)
+    val counts = df
+      .filter(value.isNotNull && abs(value) >= 1.0)
+      .select(keys :+ digit.as("_digit"): _*)
+      .groupBy(keys :+ col("_digit"): _*)
+      .agg(count(lit(1)).as("_obs"))
+    val totals = counts.groupBy(keys: _*).agg(sum("_obs").as("n_total"))
+    val digits = broadcast(
+      counts.sparkSession.range(1, 10).select(col("id").cast("string").as("_digit")))
+    val p = BenfordP.foldLeft(lit(null).cast("double")) { case (acc, (d, pd)) =>
+      when(col("_digit") === d.toString, lit(pd)).otherwise(acc)
+    }
+    totals.crossJoin(digits)
+      .join(counts, (groupCols :+ "_digit").toSeq, "left")
+      .na.fill(0L, Seq("_obs"))
+      .withColumn("obs_share",
+        col("_obs").cast("double") / col("n_total").cast("double"))
+      .withColumn("benford_p", p)
+      .select(keys ++ Seq(col("_digit").as("digit"), col("_obs").as("n_obs"),
+        col("n_total"), col("obs_share"), col("benford_p"),
+        abs(col("obs_share") - col("benford_p")).as("abs_dev")): _*)
+  }
+
+  /** log₁₀(1 + 1/d) for d = 1..9 as shortest-roundtrip literals. */
+  private val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
   def spearmanByGroup(df: DataFrame, groupCols: Seq[String],
       x: Column, y: Column): DataFrame = {
     val keys = groupCols.map(col)

@@ -118,4 +118,91 @@ object BlockingJoin {
       .withColumn("match_score", score)
       .select(leftCols ++ (col(rightId) +: rightCols) :+ col("match_score"): _*)
   }
+
+  /** Sorted-neighborhood candidate pairs (Hernández–Stolfo): both sides
+    * merge under ONE total sort order and every cross-side pair within
+    * `w` positions becomes a candidate — the classic complement to
+    * [[candidates]]'s key blocking. Key blocking needs an EQUALITY that
+    * survives the corruption; sorted-neighborhood only needs the
+    * corrupted key to SORT NEAR its original (truncated digits, typos in
+    * the suffix), and its cost is exactly n·w pairs — no quadratic block
+    * to mis-size.
+    *
+    * Determinism: candidates depend on the global order, so the sort key
+    * is made TOTAL by appending (side, id) — equal keys order
+    * left-before-right then by id, and the oracle replays the identical
+    * order. Only (id, key, side) travels through the ordering; full rows
+    * join back by id afterwards, so wide inputs don't ride the sort.
+    *
+    * Scale shape: one range-partitioned sort of the narrow union; global
+    * positions are partition-local indices plus broadcast per-partition
+    * offsets (the zipWithIndex construction — the offsets table is one
+    * row per PARTITION, control-plane-bounded like CC's size probe);
+    * neighbor pairs come from an equi-join on ⌊pos/w⌋ blocks b→{b, b+1}
+    * filtered to 0 < Δpos ≤ w — never a position cross-join.
+    *
+    * @return (leftId, rightId, pos_gap) — one row per in-window
+    *         cross-side pair, pos_gap ∈ [1, w] the sort-order distance */
+  def sortedNeighborhood(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      leftKey: Column, rightKey: Column, w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val merged = left.select(col(leftId).cast("long").as("_id"),
+        leftKey.cast("string").as("_k"), lit(0).as("_side"))
+      .unionByName(right.select(col(rightId).cast("long").as("_id"),
+        rightKey.cast("string").as("_k"), lit(1).as("_side")))
+    val sorted = merged
+      .repartitionByRange(col("_k"), col("_side"), col("_id"))
+      .sortWithinPartitions("_k", "_side", "_id")
+    // partition-local index via one streaming pass (no window, no extra
+    // shuffle), MATERIALIZED before the offset probe: repartitionByRange
+    // samples, so an unpinned plan could draw different boundaries on
+    // its second execution and mis-stitch the offsets
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_side",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_pid",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_i",
+        org.apache.spark.sql.types.LongType)))
+    val indexed = sorted.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = 0L
+      rows.map { r =>
+        i += 1
+        org.apache.spark.sql.Row(r.getLong(0), r.getInt(2), pid, i)
+      }
+    }(org.apache.spark.sql.Encoders.row(idxSchema)).localCheckpoint(true)
+    // per-PARTITION counts → prefix offsets: a control-plane collect of
+    // one row per partition (the ConnectedComponents size-probe class)
+    val offsets = indexed.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .orderBy("_pid")
+      .collect().toSeq.scanLeft((0, 0L)) { case ((_, acc), r) =>
+        (r.getInt(0), acc + r.getLong(1)) }
+      .sliding(2).collect { case Seq((_, off), (pid, _)) => (pid, off) }.toSeq
+    val offDf = broadcast(offsets.toDF("_pid", "_off"))
+    val pos = indexed.join(offDf, Seq("_pid"))
+      .select(col("_id"), col("_side"), (col("_off") + col("_i")).as("_pos"))
+      .withColumn("_blk", (col("_pos") / w).cast("long"))
+    // each left row probes its own block AND the next (explode, not an
+    // OR-join — an OR predicate can't hash-partition and would plan as a
+    // nested loop); Δpos ≤ w then exact-filters the band
+    val a = pos.select(col("_id").as("_a_id"), col("_side").as("_a_side"),
+        col("_pos").as("_a_pos"),
+        explode(array(col("_blk"), col("_blk") + 1L)).as("_jb"))
+    val b = pos.select(col("_id").as("_b_id"), col("_side").as("_b_side"),
+      col("_pos").as("_b_pos"), col("_blk").as("_jb"))
+    a.join(b, Seq("_jb"))
+      .filter(col("_b_pos") > col("_a_pos") &&
+        col("_b_pos") <= col("_a_pos") + w &&
+        col("_a_side") =!= col("_b_side"))
+      .select(
+        when(col("_a_side") === 0, col("_a_id")).otherwise(col("_b_id")).as(leftId),
+        when(col("_a_side") === 0, col("_b_id")).otherwise(col("_a_id")).as(rightId),
+        (col("_b_pos") - col("_a_pos")).as("pos_gap"))
+  }
 }

@@ -248,6 +248,52 @@ object EvalQueries extends QueryFamily {
              |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
              |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rho
-             |FROM a ORDER BY lang""".stripMargin))
+             |FROM a ORDER BY lang""".stripMargin)),
+
+    // Benford first-digit conformity per return flag — the synthetic-
+    // numbers screen (organically-grown magnitudes follow log₁₀(1+1/d);
+    // generated columns usually don't). The nine probabilities are
+    // shortest-roundtrip double LITERALS (no log10() call — libm does
+    // not hash-verify); digits come from integer rendering; the report
+    // is dense so a never-occurring digit reads as deviation, not
+    // absence.
+    ("q_benford",
+      (s: SparkSession, d: String) => {
+        Eval.benfordAudit(Tables.lineitem(s, d), Seq("l_returnflag"),
+            col("l_extendedprice"))
+          .orderBy("l_returnflag", "digit")
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag AS g,
+             |    CAST(floor(abs(l_extendedprice)) AS BIGINT) AS iv
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) >= 1.0),
+             |c AS (
+             |  SELECT g, substring(CAST(iv AS VARCHAR), 1, 1) AS digit,
+             |    CAST(count(*) AS BIGINT) AS n_obs
+             |  FROM v GROUP BY g, digit),
+             |t AS (SELECT g, CAST(SUM(n_obs) AS BIGINT) AS n_total FROM c GROUP BY g),
+             |dg AS (
+             |  SELECT CAST(x AS VARCHAR) AS digit,
+             |    CASE x WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+             |           WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+             |           WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
+             |           WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+             |           WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+             |           WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+             |           WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+             |           WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+             |           ELSE CAST(0.04575749056067514 AS DOUBLE) END AS p
+             |  FROM range(1, 10) r(x)),
+             |j AS (
+             |  SELECT t.g, dg.digit, COALESCE(c.n_obs, 0) AS n_obs,
+             |    t.n_total, dg.p
+             |  FROM t CROSS JOIN dg
+             |  LEFT JOIN c ON c.g = t.g AND c.digit = dg.digit)
+             |SELECT g AS l_returnflag, digit, n_obs, n_total,
+             |  CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+             |  p AS benford_p,
+             |  abs(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) - p) AS abs_dev
+             |FROM j ORDER BY l_returnflag, digit""".stripMargin))
   )
 }

@@ -285,6 +285,47 @@ object JoinQueries extends QueryFamily {
              |SELECT c_custkey, rid, jw
              |FROM best WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
 
+    // Sorted-neighborhood blocking (Hernández–Stolfo) — the linkage
+    // complement to key blocking: here the corruption INCREMENTS the
+    // digit key (an OCR-style off-by-one), so no equality key survives
+    // and BlockingJoin.candidates would have zero recall, but the
+    // corrupted key still SORTS adjacent to its original — the window
+    // catches every true pair at exactly n·w candidates. Global order is
+    // total (key, side, id), replayed identically by the oracle.
+    ("q_sorted_neighborhood",
+      (s: SparkSession, d: String) => {
+        def digits(c: org.apache.spark.sql.Column) = regexp_replace(c, "[^0-9]", "")
+        val l = Tables.customer(s, d)
+          .select(col("c_custkey"), digits(col("c_name")).as("lk"))
+        val r = Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(9)) =!= 0)
+          .select((col("c_custkey") + 1000000L).as("rid"),
+            format_string("%09d", digits(col("c_name")).cast("long") + 1L).as("rk"))
+        BlockingJoin.sortedNeighborhood(l, r, "c_custkey", "rid",
+            col("lk"), col("rk"), w = 4)
+          .orderBy("c_custkey", "rid")
+      },
+      Some("""WITH l AS (
+             |  SELECT c_custkey AS id,
+             |    regexp_replace(c_name, '[^0-9]', '', 'g') AS k, 0 AS side
+             |  FROM customer),
+             |r AS (
+             |  SELECT c_custkey + 1000000 AS id,
+             |    printf('%09d',
+             |      CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) + 1) AS k,
+             |    1 AS side
+             |  FROM customer WHERE c_custkey % 9 <> 0),
+             |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+             |p AS (
+             |  SELECT *, CAST(row_number() OVER (ORDER BY k, side, id) AS BIGINT) AS pos
+             |  FROM u)
+             |SELECT CASE WHEN a.side = 0 THEN a.id ELSE b.id END AS c_custkey,
+             |       CASE WHEN a.side = 0 THEN b.id ELSE a.id END AS rid,
+             |       b.pos - a.pos AS pos_gap
+             |FROM p a JOIN p b
+             |  ON b.pos > a.pos AND b.pos <= a.pos + 4 AND a.side <> b.side
+             |ORDER BY c_custkey, rid""".stripMargin)),
+
     // J2 — sequence→map resolution: strip trailing index, exact match
     // first, else prefix, else unmatched (reference:
     // render_engine.py:87-158). Sequences are doc source_docid names; two

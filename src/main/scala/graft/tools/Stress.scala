@@ -329,7 +329,12 @@ object Stress {
     // q_bfs_hops is EXCLUDED (bounded vec_id<40 correctness baseline —
     // replica-0 scan only); stress_bfs_hops below runs the frontier
     // operator over the full 64× purchase graph instead.
-    "q_kcore", "q_chi2_drift", "q_spearman", "q_token_diversity")
+    "q_kcore", "q_chi2_drift", "q_spearman", "q_token_diversity",
+    // round-8 fourth batch: one-scan decimal-sum correlation matrix over
+    // the 64× lineitem (expected scan-bound) and the EWMA recurrence
+    // (repartition+sort+O(1) scan — the rate-clamp shape, 64× more users
+    // with constant per-user series length)
+    "q_corr_matrix", "q_ewma_smooth")
 
   /** Multi-source BFS over the full 64× purchase graph (the unbounded
     * analog of q_bfs_hops's kNN-subgraph fixture): seeds are 3 supplier

@@ -175,4 +175,24 @@ class EvalSpec extends SparkSpec {
   test("spearman: constant column is NULL (no ordering), not zero") {
     assert(rho(Seq(1L, 2L, 3L), Seq(7L, 7L, 7L)).isEmpty)
   }
+
+  test("benford: digit extraction, sub-1 exclusion, dense 9-digit report") {
+    // digits: 1.0→1, 19.0→1, -25.5→2, 3.5→3, 9.0→9; 0.5 excluded → n=5
+    val df = Seq(1.0, 19.0, -25.5, 3.5, 9.0, 0.5).map(("g", _)).toDF("g", "v")
+    val got = Eval.benfordAudit(df, Seq("g"), col("v"))
+      .orderBy("digit")
+      .select("digit", "n_obs", "n_total", "obs_share", "abs_dev")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == (1 to 9).map(_.toString)) // dense, ordered
+    assert(got.forall(_._3 == 5L))
+    val byDigit = got.map(r => r._1 -> r._2).toMap
+    val want = Map("1" -> 2L, "2" -> 1L, "3" -> 1L, "9" -> 1L)
+    assert(byDigit == (1 to 9).map(d =>
+      d.toString -> want.getOrElse(d.toString, 0L)).toMap)
+    // a never-occurring digit reads as deviation = its Benford p, not absence
+    val d4 = got.find(_._1 == "4").get
+    assert(d4._2 == 0L && d4._4 == 0.0 && d4._5 == 0.09691001300805642)
+    // an observed digit's share is the exact division
+    assert(byDigit("1") == 2L && got.find(_._1 == "1").get._4 == 2.0 / 5.0)
+  }
 }

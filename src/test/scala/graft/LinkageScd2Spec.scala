@@ -73,4 +73,47 @@ class LinkageScd2Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("match_score"))
   }
+
+  test("sortedNeighborhood: window pairs on the merged order, gaps bounded") {
+    // merged order (key, side, id): aL(1) bR(10) cL(2) dR(11) eL(3)
+    val l = Seq((1L, "a"), (2L, "c"), (3L, "e")).toDF("lid", "lk")
+    val r = Seq((10L, "b"), (11L, "d")).toDF("rid", "rk")
+    def run(w: Int) = BlockingJoin.sortedNeighborhood(l, r, "lid", "rid",
+        col("lk"), col("rk"), w)
+      .select("lid", "rid", "pos_gap")
+      .as[(Long, Long, Long)].collect().toSet
+    // w=1: exactly the adjacent cross-side pairs
+    assert(run(1) == Set((1L, 10L, 1L), (2L, 10L, 1L), (2L, 11L, 1L), (3L, 11L, 1L)))
+    // w=2 adds nothing: every gap-2 neighbor in this order is same-side
+    assert(run(2) == run(1))
+    // w=4 spans the whole list: all 3×2 cross-side pairs, gaps in [1, 4]
+    assert(run(4).size == 6)
+    assert(run(4).map(p => (p._1, p._2)) ==
+      Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L)))
+    assert(run(4).forall(p => p._3 >= 1 && p._3 <= 4))
+  }
+
+  test("sortedNeighborhood: recall where equality blocking has none") {
+    // right keys are left keys + 1 (OCR off-by-one): zero equal keys, but
+    // the corrupted key sorts NEAR its original — with dense sequential
+    // keys the true pair's gap is 3 (the colliding left key and its own
+    // right twin sit between), the window-sizing fact the query's w=4
+    // rests on
+    val l = (1L to 9L).map(i => (i, f"$i%03d")).toDF("lid", "lk")
+    val r = (1L to 9L).map(i => (i + 100L, f"${i + 1}%03d")).toDF("rid", "rk")
+    val pairs = BlockingJoin.sortedNeighborhood(l, r, "lid", "rid",
+        col("lk"), col("rk"), w = 3)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // every true pair (i, i+100) is caught...
+    assert((1L to 9L).forall(i => pairs.contains((i, i + 100L))))
+    // ...while the equality blocker pairs each corrupted key with the
+    // WRONG record (the left record whose key it collided into) and
+    // never the true one
+    val lq = l.select(col("lid"), col("lk"))
+    val rq = r.select(col("rid"), col("rk"))
+    val eq = BlockingJoin.candidates(lq, rq, "lid", "rid",
+        Seq(lq("lk") -> rq("rk")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(eq.nonEmpty && (1L to 9L).forall(i => !eq.contains((i, i + 100L))))
+  }
 }
