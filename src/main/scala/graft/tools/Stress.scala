@@ -334,7 +334,12 @@ object Stress {
     // the 64× lineitem (expected scan-bound) and the EWMA recurrence
     // (repartition+sort+O(1) scan — the rate-clamp shape, 64× more users
     // with constant per-user series length)
-    "q_corr_matrix", "q_ewma_smooth")
+    "q_corr_matrix", "q_ewma_smooth",
+    // round-8 fifth batch: Benford audit (one (flag, digit) shuffle over
+    // the 64× lineitem, then 9-row math) and sorted-neighborhood blocking
+    // (customer is dimension-sized in this fixture, so the curve should
+    // be flat — the n·w candidate bound is the sf-independent claim)
+    "q_benford", "q_sorted_neighborhood")
 
   /** Multi-source BFS over the full 64× purchase graph (the unbounded
     * analog of q_bfs_hops's kNN-subgraph fixture): seeds are 3 supplier
