@@ -252,6 +252,56 @@ object TrajectoryQueries extends QueryFamily {
              |  FROM r2 r LEFT JOIN s3 ON r.node = s3.dst)
              |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin)),
 
+    // Personalized (topic-sensitive) PageRank on the same purchase
+    // graph: restart mass only on 4 seed suppliers — importance RELATIVE
+    // to a trusted set (the TrustRank/seed-proximity corpus-weighting
+    // signal), where q_page_rank scores global centrality. Unreached
+    // nodes hold exactly 0. Same integer fixed-point replay: the oracle
+    // unrolls the identical 3 rounds.
+    ("q_personalized_pagerank",
+      (s: SparkSession, d: String) => {
+        val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b")).distinct()
+        val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        val seeds = li.filter(col("l_suppkey") <= 4)
+          .select(concat(lit("s"), col("l_suppkey")).as("node")).distinct()
+        PageRank.personalized(edges, "a", "b", seeds, iters = 3).orderBy("node")
+      },
+      Some("""WITH pr0 AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT a AS src, b AS dst FROM pr0
+             |      UNION ALL SELECT b, a FROM pr0),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+             |seeds AS (SELECT DISTINCT 's' || l_suppkey AS node
+             |  FROM lineitem WHERE l_suppkey <= 4),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+             |  UNION ALL SELECT node FROM seeds)),
+             |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM seeds),
+             |r0 AS (SELECT n.node,
+             |    CASE WHEN s.node IS NOT NULL
+             |         THEN 1000000000000 // n_seeds ELSE 0 END AS rank,
+             |    CASE WHEN s.node IS NOT NULL
+             |         THEN (15 * (1000000000000 // n_seeds)) // 100 ELSE 0 END AS base
+             |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node, ns),
+             |s1 AS (SELECT e.dst, SUM(r.rank // d.out_deg) AS in_sum
+             |  FROM r0 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r1 AS (SELECT r.node, r.base + (85 * coalesce(s1.in_sum, 0)) // 100 AS rank, r.base
+             |  FROM r0 r LEFT JOIN s1 ON r.node = s1.dst),
+             |s2 AS (SELECT e.dst, SUM(r.rank // d.out_deg) AS in_sum
+             |  FROM r1 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r2 AS (SELECT r.node, r.base + (85 * coalesce(s2.in_sum, 0)) // 100 AS rank, r.base
+             |  FROM r1 r LEFT JOIN s2 ON r.node = s2.dst),
+             |s3 AS (SELECT e.dst, SUM(r.rank // d.out_deg) AS in_sum
+             |  FROM r2 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src GROUP BY 1),
+             |r3 AS (SELECT r.node, r.base + (85 * coalesce(s3.in_sum, 0)) // 100 AS rank
+             |  FROM r2 r LEFT JOIN s3 ON r.node = s3.dst)
+             |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin)),
+
     // Majority-vote label propagation (3 synchronous rounds,
     // deterministic count-DESC/label-ASC tie-break) on the same
     // bipartite purchase graph as q_page_rank — community detection

@@ -339,7 +339,10 @@ object Stress {
     // the 64× lineitem, then 9-row math) and sorted-neighborhood blocking
     // (customer is dimension-sized in this fixture, so the curve should
     // be flat — the n·w candidate bound is the sf-independent claim)
-    "q_benford", "q_sorted_neighborhood")
+    "q_benford", "q_sorted_neighborhood",
+    // personalized PageRank: q_page_rank's Pregel shape with seed-only
+    // restart — expected the same round-constant behavior
+    "q_personalized_pagerank")
 
   /** Multi-source BFS over the full 64× purchase graph (the unbounded
     * analog of q_bfs_hops's kNN-subgraph fixture): seeds are 3 supplier

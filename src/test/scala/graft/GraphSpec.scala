@@ -179,6 +179,35 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("personalized pagerank: seed-only restart, distance decay, all-seeds ≡ uniform") {
+    import graft.graph.PageRank
+    // directed a→b, seed {a}, d=0.85, scale small for hand arithmetic:
+    // r0: a=10^6, base_a=1.5e5; b=0
+    // round1: b gets (85·10^6)//100 = 850000; a = 150000 (no in-edges)
+    // round2: b gets (85·150000)//100 = 127500; a = 150000
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seedA = Seq(1L).toDF("node")
+    val got = PageRank.personalized(e, "src", "dst", seedA, iters = 2,
+        scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150000L, 2L -> 127500L), got.toString)
+    // unreached node holds exactly 0; isolated seed still emits a row
+    val e2 = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val got2 = PageRank.personalized(e2, "src", "dst",
+        Seq(1L, 9L).toDF("node"), iters = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got2(3L) == 0L && got2(4L) == 0L)
+    assert(got2.contains(9L) && got2(9L) > 0L) // restart mass, no edges
+    // seeds = every node ⇒ identical to uniform pageRank, rank for rank
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val allNodes = Seq(1L, 2L, 3L).toDF("node")
+    val uni = PageRank.pageRank(ring, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val per = PageRank.personalized(ring, "src", "dst", allNodes, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(uni == per, s"$uni vs $per")
+  }
+
   test("kCorePeel: peel cascades shell by shell up to the declared rounds") {
     import graft.graph.Communities
     // a 5-clique (every node degree 4) + node 6 hanging off {1,2,3,7}
