@@ -674,6 +674,28 @@ object Dedup {
       .withColumn("is_kept", col(idCol) === col("cluster_id"))
   }
 
+  /** Leak-safe train/val/test split: the split bucket is keyed on the
+    * near-dup CLUSTER's canonical id, not the document's own — so a
+    * near-duplicate pair can never straddle train and eval, the
+    * contamination mode a plain per-doc hash split ships silently (the
+    * val "held-out" doc whose twin sits in train measures memorization,
+    * not generalization). Composition of two verified parts:
+    * [[dedupClusters]] (CC over the pair list, canonical = min id) keys
+    * [[TextStats.datasetSplit]]'s md5 bucket. Singleton documents hash
+    * on their own id, so the split stays ~pctTrain/pctVal/rest at any
+    * dup density; whole clusters move between splits together.
+    *
+    * @param pairs verified near-dup pairs (id_a, id_b) — any of the
+    *              dedup family's outputs */
+  def leakSafeSplit(universe: DataFrame, idCol: String, pairs: DataFrame,
+      pctTrain: Int, pctVal: Int): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"need 0 <= pctTrain + pctVal <= 100, got $pctTrain + $pctVal")
+    dedupClusters(universe, idCol, pairs)
+      .select(col(idCol), col("cluster_id"),
+        TextStats.datasetSplit(col("cluster_id"), pctTrain, pctVal).as("split"))
+  }
+
   /** Span-level dedup (C4-style): documents are cut into consecutive
     * `spanWords`-word spans, spans whose text appears anywhere earlier in
     * the corpus (first occurrence = lowest (doc id, span index)) are

@@ -11,6 +11,56 @@ import graft.llmops.{TextStats, BpeTrainer, Dedup, HeavyHitters, KMeansOps, Prod
   */
 object LlmQueries extends QueryFamily {
 
+  /** Oracle prologue shared by q_dedup_cluster and q_leak_safe_split:
+    * 3-gram shingles → 16-hash minhash signature → 4×4 banded LSH
+    * candidates → exact-Jaccard verify at 0.8 → recursive-CTE connected
+    * components, ending at `comp(node, cluster_id)` (canonical = min
+    * reachable id). One text, two consumers — the two oracles must stay
+    * keyed on the identical cluster table. */
+  private val minhashCompCtes: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+       |  FROM documents),
+       |hb AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substring(md5(shingle),1,15)) AS BIGINT) % ${Dedup.MinhashPrime} AS h
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until 16).map(j => s"min((h * ${Dedup.minhashA(j)} + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j").mkString(", ")}
+       |  FROM hb GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3 AS band_sig FROM sig
+       |  UNION ALL SELECT doc_id, 1, mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7 FROM sig
+       |  UNION ALL SELECT doc_id, 2, mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11 FROM sig
+       |  UNION ALL SELECT doc_id, 3, mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.id_a
+       |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+       |  GROUP BY c.id_a, c.id_b),
+       |pairs AS (
+       |  SELECT i.id_a, i.id_b
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.id_a
+       |  JOIN sizes sb ON sb.doc_id = i.id_b
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |cc(node, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+       |comp AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)""".stripMargin
+
   private val Stopwords = Seq("the", "a", "of", "and", "in", "to")
   private[queries] val LangProfiles = Map(
     "de" -> Seq("der", "die", "das", "und"),
@@ -498,54 +548,43 @@ object LlmQueries extends QueryFamily {
           rowsPerBand = 4, threshold = 0.8)
         Dedup.dedupClusters(docs, "doc_id", pairs).orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE sh AS (
-             |  SELECT DISTINCT doc_id, unnest(list_transform(
-             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
-             |  FROM documents),
-             |hb AS (
-             |  SELECT doc_id,
-             |    CAST(concat('0x', substring(md5(shingle),1,15)) AS BIGINT) % ${Dedup.MinhashPrime} AS h
-             |  FROM sh),
-             |sig AS (
-             |  SELECT doc_id,
-             |    ${(0 until 16).map(j => s"min((h * ${Dedup.minhashA(j)} + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j").mkString(", ")}
-             |  FROM hb GROUP BY doc_id),
-             |bands AS (
-             |  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3 AS band_sig FROM sig
-             |  UNION ALL SELECT doc_id, 1, mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7 FROM sig
-             |  UNION ALL SELECT doc_id, 2, mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11 FROM sig
-             |  UNION ALL SELECT doc_id, 3, mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15 FROM sig),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM bands a JOIN bands b
-             |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
-             |inter AS (
-             |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
-             |  FROM cand c
-             |  JOIN sh x ON x.doc_id = c.id_a
-             |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-             |  GROUP BY c.id_a, c.id_b),
-             |pairs AS (
-             |  SELECT i.id_a, i.id_b
-             |  FROM inter i
-             |  JOIN sizes sa ON sa.doc_id = i.id_a
-             |  JOIN sizes sb ON sb.doc_id = i.id_b
-             |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8),
-             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-             |          UNION SELECT id_b, id_a FROM pairs),
-             |cc(node, label) AS (
-             |  SELECT DISTINCT src, src FROM edges
-             |  UNION
-             |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
-             |comp AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)
-             |SELECT d.doc_id,
-             |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-             |  CAST(count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)) AS BIGINT) AS cluster_size,
-             |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_kept
-             |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin)),
+      Some(minhashCompCtes +
+        """
+          |SELECT d.doc_id,
+          |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+          |  CAST(count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)) AS BIGINT) AS cluster_size,
+          |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_kept
+          |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // Leak-safe split: the md5 split bucket is keyed on the near-dup
+    // CLUSTER's canonical id, so a near-duplicate pair can never
+    // straddle train and eval (the contamination a per-doc hash split
+    // ships silently). Same pair pipeline as q_dedup_cluster; the
+    // oracle shares its CTE prologue verbatim.
+    ("q_leak_safe_split",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashNearDups(docs, idCol = "doc_id",
+          textCol = "text", shingleSize = 3, numHashes = 16,
+          rowsPerBand = 4, threshold = 0.8)
+        Dedup.leakSafeSplit(docs, "doc_id", pairs, pctTrain = 80, pctVal = 10)
+          .orderBy("doc_id")
+      },
+      Some(minhashCompCtes +
+        """
+          |, keyed AS (
+          |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+          |b AS (
+          |  SELECT doc_id, cluster_id,
+          |    CAST(concat('0x', substring(md5(CAST(cluster_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
+          |  FROM keyed)
+          |SELECT doc_id, cluster_id,
+          |  CASE WHEN bucket < 80 THEN 'train'
+          |       WHEN bucket < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM b ORDER BY doc_id""".stripMargin)),
 
     // Graded contamination report — the measurement step before the
     // binary decontaminate drop: per doc, what fraction of its distinct

@@ -1853,6 +1853,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.filter(_._3 > 10).forall(_._1 == 5L))
   }
 
+  test("leakSafeSplit: cluster members inherit the canonical id's split") {
+    // md5 split buckets: id 0 → test (98), id 1 → train (48), id 6 → val
+    // (86) — so member 6 following canonical 0 into 'test' proves the
+    // bucket is keyed on the cluster, not the member's own id
+    val universe = Seq(0L, 1L, 6L).toDF("doc_id")
+    val pairs = Seq((0L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.leakSafeSplit(universe, "doc_id", pairs, 80, 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(0L) == ((0L, "test")) && got(6L) == ((0L, "test")), got.toString)
+    assert(got(1L) == ((1L, "train"))) // singleton keys on itself
+    // end-to-end: every minhash near-dup pair of the planted fixture
+    // shares a split
+    val realPairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+    val split = Dedup.leakSafeSplit(docs, "doc_id", realPairs, 80, 10)
+      .select(col("doc_id"), col("split"))
+    val straddle = realPairs
+      .join(split.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "_sa"), Seq("id_a"))
+      .join(split.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "_sb"), Seq("id_b"))
+      .filter(col("_sa") =!= col("_sb"))
+    assert(straddle.isEmpty)
+  }
+
   test("repeatPairsOfSorted: Σc(c−1) over multiplicities, fold ≡ explode form") {
     val docs = Seq(
       (1L, "a b c"),        // all distinct → 0
