@@ -67,6 +67,12 @@ object Profiler {
     * one n serves every pair — the standard correlation-matrix contract;
     * callers needing pairwise-n run per-pair.
     *
+    * Domain limit: values must fit DECIMAL(18,6), i.e. |x| < 10¹² — under
+    * ANSI mode a larger magnitude (epoch-micros, raw byte counts) fails
+    * the cast and the profile with it. Pre-scale such columns to the
+    * unit that matters (seconds, MB) before profiling; correlation is
+    * scale-invariant, so the result is unchanged.
+    *
     * Scale shape: one projection + one global aggregate of
     * |cols| + |cols|·(|cols|+1)/2 decimal sums (all map-side partials,
     * one 1-row reduce); the pair table is assembled driver-free from the

@@ -253,6 +253,36 @@ object Eval {
     * Cost: two sort-windows per group (one per signal — the rank step),
     * then one hash aggregation; nothing downstream exceeds group count.
     */
+
+  def spearmanByGroup(df: DataFrame, groupCols: Seq[String],
+      x: Column, y: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val v = df.select(keys ++ Seq(x.as("_x"), y.as("_y")): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val wx = Window.partitionBy(keys: _*).orderBy(col("_x"))
+    val wy = Window.partitionBy(keys: _*).orderBy(col("_y"))
+    val cx = Window.partitionBy(keys :+ col("_x"): _*)
+    val cy = Window.partitionBy(keys :+ col("_y"): _*)
+    val ranked = v
+      .withColumn("_rx",
+        lit(2L) * rank().over(wx).cast("long") + count(lit(1)).over(cx) - 1L)
+      .withColumn("_ry",
+        lit(2L) * rank().over(wy).cast("long") + count(lit(1)).over(cy) - 1L)
+    val agg = ranked.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum("_rx").as("_sx"), sum("_ry").as("_sy"),
+        sum(col("_rx") * col("_ry")).as("_sxy"),
+        sum(col("_rx") * col("_rx")).as("_sxx"),
+        sum(col("_ry") * col("_ry")).as("_syy"))
+    def d(c: String) = col(c).cast("double")
+    val varX = d("n") * d("_sxx") - d("_sx") * d("_sx")
+    val varY = d("n") * d("_syy") - d("_sy") * d("_sy")
+    agg.select(keys ++ Seq(col("n"),
+      when(varX === 0.0 || varY === 0.0, lit(null).cast("double"))
+        .otherwise((d("n") * d("_sxy") - d("_sx") * d("_sy"))
+          / sqrt(varX * varY)).as("rho")): _*)
+  }
+
   /** Benford first-digit conformity audit per group — the classic
     * synthetic-data / fabricated-numbers detector: organically-grown
     * magnitudes (prices, populations, file sizes) follow
@@ -266,7 +296,11 @@ object Eval {
     * call, which would not hash-verify); the first digit comes from the
     * decimal rendering of floor(|x|) as an INTEGER (integer→string is
     * engine-stable where double→string is not), rows with |x| < 1
-    * excluded; observed shares are exact int/int divisions and the
+    * excluded. Domain ceiling: |x| must fit a long (< 2⁶³ ≈ 9.2·10¹⁸) —
+    * the integer route is what keeps the digit engine-stable, so for
+    * wider magnitudes pre-scale the column (divide by a power of TEN,
+    * which preserves every first digit) rather than extracting from the
+    * double's rendering. Observed shares are exact int/int divisions and the
     * deviation |share − p| is one fixed IEEE tree. The report is DENSE:
     * all 9 digits appear per group (a digit that never occurs is share
     * 0, the loudest possible deviation — it must not vanish from the
@@ -307,33 +341,4 @@ object Eval {
     5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
     7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
     9 -> 0.04575749056067514)
-
-  def spearmanByGroup(df: DataFrame, groupCols: Seq[String],
-      x: Column, y: Column): DataFrame = {
-    val keys = groupCols.map(col)
-    val v = df.select(keys ++ Seq(x.as("_x"), y.as("_y")): _*)
-      .filter(col("_x").isNotNull && col("_y").isNotNull)
-    val wx = Window.partitionBy(keys: _*).orderBy(col("_x"))
-    val wy = Window.partitionBy(keys: _*).orderBy(col("_y"))
-    val cx = Window.partitionBy(keys :+ col("_x"): _*)
-    val cy = Window.partitionBy(keys :+ col("_y"): _*)
-    val ranked = v
-      .withColumn("_rx",
-        lit(2L) * rank().over(wx).cast("long") + count(lit(1)).over(cx) - 1L)
-      .withColumn("_ry",
-        lit(2L) * rank().over(wy).cast("long") + count(lit(1)).over(cy) - 1L)
-    val agg = ranked.groupBy(keys: _*)
-      .agg(count(lit(1)).as("n"),
-        sum("_rx").as("_sx"), sum("_ry").as("_sy"),
-        sum(col("_rx") * col("_ry")).as("_sxy"),
-        sum(col("_rx") * col("_rx")).as("_sxx"),
-        sum(col("_ry") * col("_ry")).as("_syy"))
-    def d(c: String) = col(c).cast("double")
-    val varX = d("n") * d("_sxx") - d("_sx") * d("_sx")
-    val varY = d("n") * d("_syy") - d("_sy") * d("_sy")
-    agg.select(keys ++ Seq(col("n"),
-      when(varX === 0.0 || varY === 0.0, lit(null).cast("double"))
-        .otherwise((d("n") * d("_sxy") - d("_sx") * d("_sy"))
-          / sqrt(varX * varY)).as("rho")): _*)
-  }
 }

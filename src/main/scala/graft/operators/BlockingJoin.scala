@@ -141,6 +141,11 @@ object BlockingJoin {
     * neighbor pairs come from an equi-join on ⌊pos/w⌋ blocks b→{b, b+1}
     * filtered to 0 < Δpos ≤ w — never a position cross-join.
     *
+    * Contract: BOTH id columns must be integral (long-castable) — they
+    * travel through the narrow merged frame as longs, the same narrowing
+    * [[bestMatch]] documents for its rightId. String-keyed callers map
+    * ids first (or extend with a string id variant).
+    *
     * @return (leftId, rightId, pos_gap) — one row per in-window
     *         cross-side pair, pos_gap ∈ [1, w] the sort-order distance */
   def sortedNeighborhood(left: DataFrame, right: DataFrame,

@@ -211,8 +211,12 @@ object EvalQueries extends QueryFamily {
     // IEEE tree at the end — hash-exact.
     ("q_spearman",
       (s: SparkSession, d: String) => {
+        // NULL lang dropped to match the oracle's WHERE (spearmanByGroup
+        // itself filters only the two measures, so a NULL group key
+        // would otherwise survive on the Spark side alone)
         Eval.spearmanByGroup(
             Tables.documents(s, d)
+              .filter(col("lang").isNotNull)
               .withColumn("n_tokens",
                 size(TextStats.tokens(col("text"))).cast("long")),
             Seq("lang"), col("n_chars"), col("n_tokens"))

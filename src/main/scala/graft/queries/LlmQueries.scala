@@ -1961,7 +1961,10 @@ object LlmQueries extends QueryFamily {
     // takes the explode+groupBy route to the same exact integers.
     ("q_token_diversity",
       (s: SparkSession, d: String) => {
+        // NULL text dropped to match the oracle's unnest (which emits no
+        // rows for a NULL), not surfaced as a NULL-stats row
         Tables.documents(s, d)
+          .filter(col("text").isNotNull)
           .withColumn("_d", graft.functions.TextExpressions
             .tokenDiversity(col("text")))
           .select(col("doc_id"),

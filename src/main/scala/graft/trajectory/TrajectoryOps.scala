@@ -133,11 +133,19 @@ object TrajectoryOps {
     * Same scale shape as the clamp: repartition by sequence, sort WITHIN
     * partitions (rides the shuffle's spill machinery), one O(1)-state
     * streaming pass — no per-group buffering at any trajectory length.
-    * Output idx is the 1-based position under `orderCols`. */
+    * Output idx is the 1-based position under `orderCols`.
+    *
+    * NULL/NaN targets are DROPPED before indexing (idx counts surviving
+    * rows), in both this operator and the oracle: a NULL would crash the
+    * typed scan, and a NaN would collide with the scan's fresh-sequence
+    * sentinel (reseeding the recurrence) while SQL's recursive form
+    * propagates NaN forever — dropping is the one semantics both engines
+    * state identically. */
   def ewmaOrdered(df: DataFrame, seqCol: String, orderCols: Seq[String],
       targetCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     val prepared = df
+      .filter(col(targetCol).isNotNull && !isnan(col(targetCol).cast("double")))
       .repartition(col(seqCol))
       .sortWithinPartitions((seqCol +: orderCols).map(col): _*)
       .select(
