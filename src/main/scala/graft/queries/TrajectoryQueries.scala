@@ -24,7 +24,7 @@ object TrajectoryQueries extends QueryFamily {
              |  SELECT CAST(user_id AS VARCHAR) AS seq,
              |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS idx,
              |    value AS target
-             |  FROM events),
+             |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
              |r(seq, idx, target, clamped) AS (
              |  SELECT seq, idx, target, target FROM t WHERE idx = 1
              |  UNION ALL

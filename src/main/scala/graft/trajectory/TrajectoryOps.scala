@@ -71,7 +71,11 @@ object TrajectoryOps {
     */
   def rateClamp(df: DataFrame, seqCol: String, idxCol: String,
       targetCol: String, maxDelta: Double): DataFrame = {
+    // NULL/NaN targets dropped, same contract (and reason) as
+    // [[ewmaOrdered]]: NULL crashes the typed scan, NaN collides with
+    // the scan's fresh-sequence sentinel
     val prepared = df
+      .filter(col(targetCol).isNotNull && !isnan(col(targetCol).cast("double")))
       .repartition(col(seqCol))
       .sortWithinPartitions(col(seqCol), col(idxCol).cast("long"))
       .select(
@@ -88,6 +92,7 @@ object TrajectoryOps {
   def rateClampOrdered(df: DataFrame, seqCol: String, orderCols: Seq[String],
       targetCol: String, maxDelta: Double): DataFrame = {
     val prepared = df
+      .filter(col(targetCol).isNotNull && !isnan(col(targetCol).cast("double")))
       .repartition(col(seqCol))
       .sortWithinPartitions((seqCol +: orderCols).map(col): _*)
       .select(
