@@ -341,4 +341,93 @@ object Eval {
     5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
     7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
     9 -> 0.04575749056067514)
+
+  /** Welch's two-sample t statistic per group — the MEAN-SHIFT member of
+    * the drift triad ([[ksByGroup]] tests distribution shape,
+    * [[chi2ByGroup]] the category mix; this is the parametric "did the
+    * average move, and by how many standard errors" that pages someone).
+    * Unequal variances assumed (Welch, not pooled Student); the
+    * Welch–Satterthwaite degrees of freedom are emitted beside t so a
+    * consumer can threshold properly.
+    *
+    * Exactness ([[graft.catalog.Profiler.correlationPairs]] convention):
+    * per-slice Σx and Σx² are exact DECIMAL(18,6)-based sums (values
+    * must fit — |x| < 10¹²; pre-scale wider columns), the mean/variance/
+    * t/dof combination is one fixed IEEE tree over those sums, and t and
+    * dof are rounded to 12 decimals because the decimal→double cast is
+    * the one step engines disagree on (measured 1 ulp). NULL when either
+    * slice has n < 2 or both sample variances are 0 (no spread to test
+    * against — "infinitely significant" is not a number).
+    *
+    * One shuffle on the group key; everything downstream is
+    * group-count-sized. */
+  def welchTByGroup(df: DataFrame, groupCols: Seq[String], value: Column,
+      inA: Column, inB: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val dec = DecimalType(18, 6)
+    val v = value.cast(dec)
+    val rows = df
+      .select(keys ++ Seq(v.as("_v"),
+        when(inA, 1L).otherwise(0L).as("_ia"),
+        when(inB, 1L).otherwise(0L).as("_ib")): _*)
+      .filter(col("_v").isNotNull && (col("_ia") + col("_ib")) > 0L)
+    val agg = rows.groupBy(keys: _*)
+      .agg(sum("_ia").as("n_a"), sum("_ib").as("n_b"),
+        sum(when(col("_ia") === 1L, col("_v"))).as("_sa"),
+        sum(when(col("_ib") === 1L, col("_v"))).as("_sb"),
+        sum(when(col("_ia") === 1L, col("_v") * col("_v"))).as("_ssa"),
+        sum(when(col("_ib") === 1L, col("_v") * col("_v"))).as("_ssb"))
+    def d(c: String) = col(c).cast("double")
+    val meanA = d("_sa") / d("n_a")
+    val meanB = d("_sb") / d("n_b")
+    // sample variance s² = (nΣx² − (Σx)²) / (n(n−1)), exact-sum inputs
+    val varA = (d("n_a") * d("_ssa") - d("_sa") * d("_sa")) /
+      (d("n_a") * (d("n_a") - 1.0))
+    val varB = (d("n_b") * d("_ssb") - d("_sb") * d("_sb")) /
+      (d("n_b") * (d("n_b") - 1.0))
+    val a = varA / d("n_a")
+    val b = varB / d("n_b")
+    val degenerate = col("n_a") < 2L || col("n_b") < 2L ||
+      (varA === 0.0 && varB === 0.0)
+    agg.select(keys ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") === 0L, lit(null).cast("double"))
+        .otherwise(meanA).as("mean_a"),
+      when(col("n_b") === 0L, lit(null).cast("double"))
+        .otherwise(meanB).as("mean_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round((meanA - meanB) / sqrt(a + b), 12)).as("t"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round((a + b) * (a + b) /
+          (a * a / (d("n_a") - 1.0) + b * b / (d("n_b") - 1.0)), 12))
+        .as("dof")): _*)
+  }
+
+  /** Rank (quantile) normalization of a score within its group: the
+    * tie-average rank mapped to (0, 1) — pct = (2·minrank + c − 1)/(2n),
+    * exactly the DOUBLED average rank over 2n, so the numerator is an
+    * integer and the single division replays cross-engine. The
+    * score-blending primitive: heterogeneous signals (an LM score, a
+    * length prior, a link score) become comparable by replacing each
+    * value with its within-group quantile before any weighted sum —
+    * rank-based, so immune to each signal's scale and outliers.
+    * NULL scores are dropped (they have no rank), and the output keeps
+    * every surviving input row with its `pct` appended.
+    *
+    * Cost: one sort-window per group (the rank) sharing its exchange
+    * with the tie-count window — nothing exceeds the input size. */
+  def rankNormalize(df: DataFrame, groupCols: Seq[String],
+      score: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val withS = df.filter(score.isNotNull).withColumn("_s", score)
+    val w = Window.partitionBy(keys: _*).orderBy(col("_s"))
+    val cw = Window.partitionBy(keys :+ col("_s"): _*)
+    val tot = Window.partitionBy(keys: _*)
+    withS
+      .withColumn("_r2",
+        lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(cw) - 1L)
+      .withColumn("_n", count(lit(1)).over(tot))
+      .withColumn("pct",
+        col("_r2").cast("double") / (lit(2L) * col("_n")).cast("double"))
+      .drop("_s", "_r2", "_n")
+  }
 }

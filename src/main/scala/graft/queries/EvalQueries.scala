@@ -254,6 +254,82 @@ object EvalQueries extends QueryFamily {
              |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rho
              |FROM a ORDER BY lang""".stripMargin)),
 
+    // Welch's t per day between click and view values — the MEAN-SHIFT
+    // member of the drift triad next to q_ks_drift (shape) and
+    // q_chi2_drift (category mix), with the Welch–Satterthwaite dof
+    // beside the statistic. Exact decimal sums; one fixed IEEE tree;
+    // t/dof rounded to 12 decimals (the decimal→double cast rule).
+    ("q_welch_t",
+      (s: SparkSession, d: String) => {
+        Eval.welchTByGroup(
+            Tables.events(s, d)
+              .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+            Seq("day"), col("value"),
+            col("event_type") === "click", col("event_type") === "view")
+          .orderBy("day")
+      },
+      Some {
+        val mA = "CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        val mB = "CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)"
+        val vA = "(CAST(n_a AS DOUBLE) * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
+        val vB = "(CAST(n_b AS DOUBLE) * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))"
+        val a = s"($vA) / CAST(n_a AS DOUBLE)"
+        val b = s"($vB) / CAST(n_b AS DOUBLE)"
+        val degen = s"n_a < 2 OR n_b < 2 OR (($vA) = 0 AND ($vB) = 0)"
+        s"""WITH e AS (
+           |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+           |    CAST(value AS DECIMAL(18,6)) AS v,
+           |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+           |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+           |  FROM events),
+           |f AS (SELECT * FROM e WHERE v IS NOT NULL AND ia + ib > 0),
+           |agg AS (
+           |  SELECT day, CAST(SUM(ia) AS BIGINT) AS n_a,
+           |    CAST(SUM(ib) AS BIGINT) AS n_b,
+           |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,
+           |    SUM(CASE WHEN ib = 1 THEN v END) AS sb,
+           |    SUM(CASE WHEN ia = 1 THEN CAST(v AS DECIMAL(19,6)) * v END) AS ssa,
+           |    SUM(CASE WHEN ib = 1 THEN CAST(v AS DECIMAL(19,6)) * v END) AS ssb
+           |  FROM f GROUP BY day)
+           |SELECT day, n_a, n_b,
+           |  CASE WHEN n_a = 0 THEN NULL ELSE $mA END AS mean_a,
+           |  CASE WHEN n_b = 0 THEN NULL ELSE $mB END AS mean_b,
+           |  CASE WHEN $degen THEN NULL
+           |       ELSE round((($mA) - ($mB)) / sqrt(($a) + ($b)), 12) END AS t,
+           |  CASE WHEN $degen THEN NULL
+           |       ELSE round((($a) + ($b)) * (($a) + ($b))
+           |         / (($a) * ($a) / (CAST(n_a AS DOUBLE) - 1.0)
+           |          + ($b) * ($b) / (CAST(n_b AS DOUBLE) - 1.0)), 12) END AS dof
+           |FROM agg ORDER BY day""".stripMargin
+      }),
+
+    // Rank normalization of document length within each language — the
+    // score-blending primitive: a value becomes its within-group
+    // quantile (tie-average rank over 2n, integer numerator) so
+    // heterogeneous signals can be summed. Every surviving row keeps its
+    // identity columns.
+    ("q_rank_normalize",
+      (s: SparkSession, d: String) => {
+        Eval.rankNormalize(
+            Tables.documents(s, d)
+              .filter(col("lang").isNotNull)
+              .select("doc_id", "lang", "n_chars"),
+            Seq("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+             |r AS (
+             |  SELECT *,
+             |    CAST(2 * rank() OVER (PARTITION BY lang ORDER BY n_chars)
+             |      + count(*) OVER (PARTITION BY lang, n_chars) - 1 AS BIGINT) AS r2,
+             |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+             |  FROM v)
+             |SELECT doc_id, lang, n_chars,
+             |  CAST(r2 AS DOUBLE) / CAST(2 * n AS DOUBLE) AS pct
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // Benford first-digit conformity per return flag — the synthetic-
     // numbers screen (organically-grown magnitudes follow log₁₀(1+1/d);
     // generated columns usually don't). The nine probabilities are

@@ -342,7 +342,11 @@ object Stress {
     "q_benford", "q_sorted_neighborhood",
     // personalized PageRank: q_page_rank's Pregel shape with seed-only
     // restart — expected the same round-constant behavior
-    "q_personalized_pagerank")
+    "q_personalized_pagerank",
+    // round-8 sixth batch: Welch t (one group shuffle of decimal sums
+    // over the 64× event log) and rank normalization (per-language
+    // rank windows over the 64× doc table)
+    "q_welch_t", "q_rank_normalize")
 
   /** Multi-source BFS over the full 64× purchase graph (the unbounded
     * analog of q_bfs_hops's kNN-subgraph fixture): seeds are 3 supplier

@@ -176,6 +176,35 @@ class EvalSpec extends SparkSpec {
     assert(rho(Seq(1L, 2L, 3L), Seq(7L, 7L, 7L)).isEmpty)
   }
 
+  test("welch t: hand-computed statistic and dof, degenerate cases NULL") {
+    def welch(a: Seq[Double], b: Seq[Double]) = {
+      val df = (a.map(("g", _, "A")) ++ b.map(("g", _, "B"))).toDF("g", "v", "s")
+      Eval.welchTByGroup(df, Seq("g"), col("v"),
+          col("s") === "A", col("s") === "B")
+        .select("t", "dof").as[(Option[Double], Option[Double])].head()
+    }
+    // A=[1,2,3] (mean 2, s²=1), B=[5,7] (mean 6, s²=2):
+    // t = (2−6)/√(1/3 + 1) = −2√3; ν = (4/3)²/((1/9)/2 + 1) = 32/19
+    val (t, dof) = welch(Seq(1, 2, 3), Seq(5, 7))
+    assert(math.abs(t.get - (-2.0 * math.sqrt(3.0))) < 1e-11, t.toString)
+    assert(math.abs(dof.get - 32.0 / 19.0) < 1e-11, dof.toString)
+    // both slices constant → no spread to test against
+    assert(welch(Seq(4, 4, 4), Seq(9, 9))._1.isEmpty)
+    // a 1-element slice has no sample variance
+    assert(welch(Seq(1, 2, 3), Seq(5))._1.isEmpty)
+  }
+
+  test("rank normalize: tie-average quantiles, identity columns kept, NULLs dropped") {
+    val df = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(20L)),
+      (4L, Some(30L)), (5L, None)).toDF("id", "v")
+      .withColumn("g", lit("g"))
+    val got = Eval.rankNormalize(df, Seq("g"), col("v"))
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    // ranks (avg): 1, 2.5, 2.5, 4 over n=4 → pct = 2r̄/(2n)
+    assert(got == Map(1L -> 0.25, 2L -> 0.625, 3L -> 0.625, 4L -> 1.0), got.toString)
+    assert(!got.contains(5L)) // NULL score has no rank
+  }
+
   test("benford: digit extraction, sub-1 exclusion, dense 9-digit report") {
     // digits: 1.0→1, 19.0→1, -25.5→2, 3.5→3, 9.0→9; 0.5 excluded → n=5
     val df = Seq(1.0, 19.0, -25.5, 3.5, 9.0, 0.5).map(("g", _)).toDF("g", "v")
