@@ -217,5 +217,13 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(line)
+    // The full metrics line is ~20 KB at 200+ queries; a bounded stdout
+    // tail capture truncates it mid-object and parses null. Emit a final
+    // <200-char summary with the same headline keys so ANY tail window
+    // holds one complete JSON object (full detail stays in the line above
+    // and in SPARK_GRAFT_BENCH_OUT).
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":${num(total, 1)},""" +
+      s""""n":${results.length},"failed":${failures.length},"sf":"$sfDir"}""")
   }
 }

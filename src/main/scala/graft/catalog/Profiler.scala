@@ -73,6 +73,14 @@ object Profiler {
     * unit that matters (seconds, MB) before profiling; correlation is
     * scale-invariant, so the result is unchanged.
     *
+    * AGGREGATE limit, enforced loudly: Σx² accumulates in DECIMAL(38,12)
+    * (cap ~10²⁶), so beyond the per-value ceiling the data must satisfy
+    * n·max(x)² < 10²⁶ — e.g. 10⁸ rows of 10⁹-scale values overflow long
+    * before any single value does, and under non-ANSI mode that overflow
+    * is a silent NULL corr. A same-pass max(|x|) check raises a
+    * descriptive error instead (the cross-term Σab is covered too:
+    * n·max|a|·max|b| ≤ max of the two squared bounds).
+    *
     * Scale shape: one projection + one global aggregate of
     * |cols| + |cols|·(|cols|+1)/2 decimal sums (all map-side partials,
     * one 1-row reduce); the pair table is assembled driver-free from the
@@ -87,18 +95,29 @@ object Profiler {
     val sums =
       cols.map(c => sum(col(c)).as(s"_s_$c")) ++
         cols.map(c => sum(col(c) * col(c)).as(s"_ss_$c")) ++
+        cols.map(c => max(abs(col(c))).cast("double").as(s"_m_$c")) ++
         pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"_sp_${a}_$b") }
     val wide = clean.agg(count(lit(1)).as("_n"), sums: _*)
     def d(c: String) = col(c).cast("double")
     val stackArgs = pairs.map { case (a, b) =>
-      s"'$a', '$b', _s_$a, _s_$b, _ss_$a, _ss_$b, _sp_${a}_$b"
+      s"'$a', '$b', _s_$a, _s_$b, _ss_$a, _ss_$b, _sp_${a}_$b, _m_$a, _m_$b"
     }.mkString(", ")
     val long = wide.selectExpr("_n",
-      s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, sa, sb, ssa, ssb, sab)")
+      s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, sa, sb, ssa, ssb, sab, ma, mb)")
     val varA = d("_n") * d("ssa") - d("sa") * d("sa")
     val varB = d("_n") * d("ssb") - d("sb") * d("sb")
+    // n·max(x)² < 10²⁶ keeps every decimal sum exact; fail loudly in
+    // both ANSI modes rather than emit an overflow-corrupted corr
+    val overflowGuard =
+      d("_n") * col("ma") * col("ma") >= 1e26 ||
+      d("_n") * col("mb") * col("mb") >= 1e26
     long.select(col("col_a"), col("col_b"), col("_n").as("n"),
-      when(varA === 0.0 || varB === 0.0, lit(null).cast("double"))
+      when(overflowGuard, raise_error(concat(
+          lit("correlationPairs: n*max(x)^2 >= 1e26 exceeds DECIMAL(38,12) " +
+            "sum-of-squares capacity for pair ("),
+          col("col_a"), lit(","), col("col_b"),
+          lit(") - pre-scale the column"))))
+        .when(varA === 0.0 || varB === 0.0, lit(null).cast("double"))
         .otherwise(round((d("_n") * d("sab") - d("sa") * d("sb"))
           / sqrt(varA * varB), 12)).as("corr"))
   }

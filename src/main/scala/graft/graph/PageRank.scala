@@ -121,20 +121,27 @@ object PageRank {
       .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val withDeg = e.join(deg, Seq("src")).localCheckpoint()
-    val seedSet = seeds.select(col("node")).distinct().localCheckpoint()
+    val seedSet = seeds.select(col("node"))
+      .filter(col("node").isNotNull).distinct().localCheckpoint()
+    // the localCheckpoint above already ran the seed job, so this count
+    // is a free lookup — and an empty seed set must fail HERE with a
+    // named parameter, not as a NULL-rank (non-ANSI) or a cryptic
+    // division-by-zero plan error (ANSI) at scale div n_seeds
+    val nSeeds = seedSet.count()
+    require(nSeeds >= 1,
+      s"personalized needs a non-empty `seeds` set (got $nSeeds distinct " +
+        "non-null seed nodes)")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(seedSet.select(col("node"))).distinct()
-    val nSeeds = seedSet.agg(count(lit(1)).as("n_seeds"))
     var ranks = nodes
       .join(seedSet.withColumn("_is_seed", lit(1)), Seq("node"), "left")
-      .crossJoin(F.broadcast(nSeeds))
       .select(col("node"),
         when(col("_is_seed").isNotNull,
-            expr(s"CAST($scale AS BIGINT) div n_seeds"))
+            expr(s"CAST($scale AS BIGINT) div CAST($nSeeds AS BIGINT)"))
           .otherwise(lit(0L)).as("rank"),
         when(col("_is_seed").isNotNull,
-            expr(s"((${dDen - dNum}) * (CAST($scale AS BIGINT) div n_seeds)) div $dDen"))
+            expr(s"((${dDen - dNum}) * (CAST($scale AS BIGINT) div CAST($nSeeds AS BIGINT))) div $dDen"))
           .otherwise(lit(0L)).as("base"))
       .localCheckpoint()
     for (_ <- 1 to iters) {

@@ -242,8 +242,10 @@ object Eval {
     *
     * Exactness: ties get textbook average ranks, carried as DOUBLED
     * ranks 2·minrank + tiecount − 1 so they stay integers; the five
-    * per-group sums (Σr, Σr², Σrᵣry) are exact longs (safe to ~10⁶ rows
-    * per group: Σr² ≤ 4n³). The Pearson-on-ranks combination
+    * per-group sums (Σr, Σr², Σrᵣry) accumulate in DECIMAL(38,0) — exact
+    * integer arithmetic to Σr² ≤ 4n³ < 10³⁸, i.e. safe past 10¹² rows
+    * per group (a long accumulator would silently wrap at ~1.3M rows
+    * under non-ANSI mode). The Pearson-on-ranks combination
     *   ρ = (nΣxy − ΣxΣy) / √((nΣx² − Σx²)(nΣy² − Σy²))
     * runs in double as one fixed IEEE tree over those exact longs —
     * bit-identical across engines (the [[chi2ByGroup]] convention). A
@@ -268,12 +270,17 @@ object Eval {
         lit(2L) * rank().over(wx).cast("long") + count(lit(1)).over(cx) - 1L)
       .withColumn("_ry",
         lit(2L) * rank().over(wy).cast("long") + count(lit(1)).over(cy) - 1L)
+    // operands widen to DECIMAL(19,0) BEFORE the multiply (a long×long
+    // product wraps first), products land in DECIMAL(38,0) sums
+    val d19 = DecimalType(19, 0)
+    val rx = col("_rx").cast(d19)
+    val ry = col("_ry").cast(d19)
     val agg = ranked.groupBy(keys: _*)
       .agg(count(lit(1)).as("n"),
-        sum("_rx").as("_sx"), sum("_ry").as("_sy"),
-        sum(col("_rx") * col("_ry")).as("_sxy"),
-        sum(col("_rx") * col("_rx")).as("_sxx"),
-        sum(col("_ry") * col("_ry")).as("_syy"))
+        sum(rx).as("_sx"), sum(ry).as("_sy"),
+        sum(rx * ry).as("_sxy"),
+        sum(rx * rx).as("_sxx"),
+        sum(ry * ry).as("_syy"))
     def d(c: String) = col(c).cast("double")
     val varX = d("n") * d("_sxx") - d("_sx") * d("_sx")
     val varY = d("n") * d("_syy") - d("_sy") * d("_sy")
@@ -359,6 +366,13 @@ object Eval {
     * slice has n < 2 or both sample variances are 0 (no spread to test
     * against — "infinitely significant" is not a number).
     *
+    * AGGREGATE bound, enforced loudly: Σx² accumulates in DECIMAL(38,12)
+    * (cap ~10²⁶), so beyond the per-value limit a group must satisfy
+    * n·max(x)² < 10²⁶ — e.g. 10⁸ rows of 10⁹-scale values overflow far
+    * below the 10¹² per-value ceiling, and under non-ANSI mode that
+    * overflow is a silent NULL. A same-pass max(|x|) check raises a
+    * descriptive error instead of corrupting t.
+    *
     * One shuffle on the group key; everything downstream is
     * group-count-sized. */
   def welchTByGroup(df: DataFrame, groupCols: Seq[String], value: Column,
@@ -376,8 +390,13 @@ object Eval {
         sum(when(col("_ia") === 1L, col("_v"))).as("_sa"),
         sum(when(col("_ib") === 1L, col("_v"))).as("_sb"),
         sum(when(col("_ia") === 1L, col("_v") * col("_v"))).as("_ssa"),
-        sum(when(col("_ib") === 1L, col("_v") * col("_v"))).as("_ssb"))
+        sum(when(col("_ib") === 1L, col("_v") * col("_v"))).as("_ssb"),
+        max(abs(col("_v"))).cast("double").as("_ma"))
     def d(c: String) = col(c).cast("double")
+    // n·max(x)² < 10²⁶ keeps Σx² inside DECIMAL(38,12); fail loudly
+    // (both ANSI modes) instead of letting the sum go NULL/overflow
+    val overflowGuard = (col("n_a") + col("n_b")).cast("double") *
+      col("_ma") * col("_ma") >= 1e26
     val meanA = d("_sa") / d("n_a")
     val meanB = d("_sb") / d("n_b")
     // sample variance s² = (nΣx² − (Σx)²) / (n(n−1)), exact-sum inputs
@@ -394,7 +413,10 @@ object Eval {
         .otherwise(meanA).as("mean_a"),
       when(col("n_b") === 0L, lit(null).cast("double"))
         .otherwise(meanB).as("mean_b"),
-      when(degenerate, lit(null).cast("double"))
+      when(overflowGuard, raise_error(lit(
+          "welchTByGroup: n*max(x)^2 >= 1e26 exceeds the DECIMAL(38,12) " +
+          "sum-of-squares capacity - pre-scale the value column")))
+        .when(degenerate, lit(null).cast("double"))
         .otherwise(round((meanA - meanB) / sqrt(a + b), 12)).as("t"),
       when(degenerate, lit(null).cast("double"))
         .otherwise(round((a + b) * (a + b) /

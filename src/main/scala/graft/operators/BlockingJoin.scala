@@ -154,9 +154,17 @@ object BlockingJoin {
     require(w >= 1, s"window must be >= 1, got $w")
     val spark = left.sparkSession
     import spark.implicits._
-    val merged = left.select(col(leftId).cast("long").as("_id"),
+    // enforce the integral-id contract loudly: a NULL id (or a
+    // non-long-castable one, which casts to NULL under non-ANSI) would
+    // otherwise surface as an opaque NPE at getLong inside a task
+    def checkedId(c: Column, name: String) =
+      when(c.cast("long").isNull, raise_error(lit(
+        s"sortedNeighborhood: `$name` contains a NULL or non-long-castable " +
+          "id (integral-id contract) - map string ids to longs first")))
+        .otherwise(c.cast("long"))
+    val merged = left.select(checkedId(col(leftId), leftId).as("_id"),
         leftKey.cast("string").as("_k"), lit(0).as("_side"))
-      .unionByName(right.select(col(rightId).cast("long").as("_id"),
+      .unionByName(right.select(checkedId(col(rightId), rightId).as("_id"),
         rightKey.cast("string").as("_k"), lit(1).as("_side")))
     val sorted = merged
       .repartitionByRange(col("_k"), col("_side"), col("_id"))
