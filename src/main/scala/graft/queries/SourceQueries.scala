@@ -173,17 +173,42 @@ object SourceQueries extends QueryFamily {
 
     // Multimodal — video frame sampling as pure-expression byte slicing
     // (no decoder in the plan); frames_hash locks the sliced YUV bytes.
+    // DuckDB-oracled via an INDEPENDENT derivation: the synthetic Y4M
+    // content stream is concatenated md5("media:id:blk") blocks and the
+    // 48-byte frame planes align to exactly 3 blocks, so the oracle
+    // reconstructs each sampled frame's bytes as md5-hex concatenation —
+    // never touching a blob — and must land on the same 60-bit frame
+    // hash as Spark's container arithmetic (header length + frame
+    // offsets + substring slice). The hash is md5-based (the TextStats
+    // 60-bit device), not xxhash64, precisely so it replays cross-engine;
+    // frame_idx is unique per group, so XOR cannot cancel duplicates
+    // (and unlike sum it cannot overflow under ANSI mode).
     ("q_frame_sample",
       (s: SparkSession, d: String) => {
         Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 64), stride = 5)
           .groupBy("media_id")
           .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"),
-            // frame_idx is unique per group, so XOR cannot cancel duplicates
-            // (and unlike sum it cannot overflow under ANSI mode)
-            expr("bit_xor(xxhash64(frame_idx, frame_bytes))").as("frames_hash"))
+            expr("bit_xor(cast(conv(substring(md5(concat(cast(frame_idx as string), " +
+              "':', lower(hex(frame_bytes)))), 1, 15), 16, 10) as bigint))")
+              .as("frames_hash"))
           .orderBy("media_id")
       },
-      None),
+      Some("""WITH vids AS (
+             |  SELECT i AS media_id FROM range(0, 64) t(i) WHERE i % 3 = 2),
+             |fr AS (
+             |  SELECT media_id, f FROM vids, range(0, 30) g(f) WHERE f % 5 = 0),
+             |b AS (
+             |  SELECT media_id, f,
+             |    md5('media:' || media_id || ':' || (3*f)) ||
+             |    md5('media:' || media_id || ':' || (3*f + 1)) ||
+             |    md5('media:' || media_id || ':' || (3*f + 2)) AS frame_hex
+             |  FROM fr)
+             |SELECT media_id,
+             |  count(*) AS n_sampled,
+             |  CAST(max(f) AS INT) AS last_frame,
+             |  bit_xor(CAST(concat('0x',
+             |    substring(md5(f || ':' || frame_hex), 1, 15)) AS BIGINT)) AS frames_hash
+             |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin)),
 
     // Multimodal — perceptual average-hash image dedup: one decode pass
     // (8×8 resize), hash + Hamming-banded near-dup pairs in pure column

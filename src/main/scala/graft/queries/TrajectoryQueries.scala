@@ -575,8 +575,11 @@ object TrajectoryQueries extends QueryFamily {
              |  (SELECT max(size) FROM isl WHERE ratio >= 0.10) AS selected_island_size""".stripMargin)),
 
     // E5/E6 — seeded behavior-trajectory generation (UDTF via
-    // flatMapGroups; reference: behavior_executor.py:638-857). Rows-only:
-    // determinism + invariants covered by BehaviorGeneratorSpec.
+    // flatMapGroups; reference: behavior_executor.py:638-857). Oracled:
+    // the generator's counter-based md5 draws are addressable in SQL, so
+    // the whole state machine replays as a recursive CTE (the rate-clamp
+    // playbook) — see [[behaviorOracleSql]]. The committed golden stays
+    // as a drift guard (GoldenSpec); invariants in BehaviorGeneratorSpec.
     ("q_behavior_trajectory",
       (s: SparkSession, d: String) => {
         val jobs = Tables.nation(s, d).select(
@@ -593,7 +596,7 @@ object TrajectoryQueries extends QueryFamily {
             round(max(col("pitch")), 3).as("max_pitch"))
           .orderBy("sequence_id")
       },
-      None),
+      Some(behaviorOracleSql)),
 
     // E8 — extrinsic matrix export rows (frame, m00..m33; reference:
     // camera_exporter.py:383-437). Rows-only: orthonormality + golden
@@ -611,4 +614,135 @@ object TrajectoryQueries extends QueryFamily {
       },
       None)
   )
+
+  /** DuckDB replay of [[BehaviorGenerator.generate]] under the default
+    * [[BehaviorGenerator.Config]], built programmatically so every
+    * constant (step, yaw step, weighted-choice thresholds) is the exact
+    * double the kernel computes — rendered through Double.toString and
+    * re-parsed with CAST('…' AS DOUBLE), which round-trips bit-exactly.
+    *
+    * Structure: segment draws are addressed uniforms (never sequential),
+    * so segments materialize as a flat table (behavior, raw length, roam
+    * offset per k), cumulative raw lengths give start frames (clipping
+    * only ever shortens the LAST surviving segment, so raw cumsums are
+    * correct starts), and the per-frame state machine is one recursive
+    * CTE carrying (x, y, yaw, pitch, roam). The yaw/pitch chains are
+    * pure +,−,×,floor,min/max — bit-identical across engines; x/y pass
+    * through cos/sin (measured ≤1 ulp apart on ~0.2% of inputs), which
+    * only the 3-decimal-rounded path-length aggregate consumes, so the
+    * ~1e-12 worst-case drift is absorbed. Expressions like
+    * (r.yaw + ro) − r.yaw are deliberately NOT simplified — the kernel
+    * computes exactly that tree.
+    */
+  private[queries] def behaviorOracleSql: String = {
+    val cfg = BehaviorGenerator.Config()
+    val dt = 1.0 / cfg.fps
+    val step = cfg.speedCmPerSec * dt
+    val yawStep = cfg.yawRateDegPerSec * dt
+    val nFrames = (cfg.durationSeconds * cfg.fps).toInt
+    val lenRange = cfg.maxSegmentFrames - cfg.minSegmentFrames + 1
+    val maxSegs = math.ceil(nFrames.toDouble / cfg.minSegmentFrames).toInt
+    def dl(x: Double) = s"CAST('$x' AS DOUBLE)"
+    // weighted choice: r = u·total against the kernel's left-associated
+    // partial sums (Seq.sum and scanLeft fold identically)
+    val total = cfg.behaviorWeights.map(_._2).sum
+    val cums = cfg.behaviorWeights.scanLeft(0.0)(_ + _._2).tail
+    val caseArms = cfg.behaviorWeights.init.zip(cums.init).map {
+      case ((name, _), c) =>
+        s"WHEN ub * ${dl(total)} < ${dl(c)} THEN '$name'"
+    }.mkString(" ")
+    val lastBehavior = cfg.behaviorWeights.last._1
+    // the 60-bit md5 uniform (TextStats device): top 15 hex chars / 2^60
+    def usql(key: String) =
+      s"CAST(concat('0x', substring(md5($key),1,15)) AS BIGINT) / CAST(1152921504606846976 AS DOUBLE)"
+    // recurrence expressions, repeated inline (recursive terms cannot
+    // reference their own aliases); all mirror the kernel's trees
+    val roamNew = "CASE WHEN t.is_start THEN r.yaw + t.ro ELSE r.roam END"
+    val dExpr = s"(($roamNew) - r.yaw)"
+    val ndExpr =
+      s"($dExpr - CAST(360 AS DOUBLE) * floor(($dExpr + CAST(180 AS DOUBLE)) / CAST(360 AS DOUBLE)))"
+    val clampExpr = s"greatest(least($ndExpr, ${dl(yawStep)}), -(${dl(yawStep)}))"
+    val yawRoam = s"(r.yaw + $clampExpr)"
+    val yawNew =
+      s"""CASE WHEN t.behavior = 'random_roam' THEN $yawRoam
+         |      WHEN t.behavior = 'rotate' THEN r.yaw + ${dl(yawStep)}
+         |      ELSE r.yaw END""".stripMargin
+    val xNew =
+      s"""CASE t.behavior
+         |      WHEN 'random_roam' THEN r.x + ${dl(step)} * cos(radians($yawRoam))
+         |      WHEN 'translate_forward' THEN r.x + ${dl(step)} * cos(radians(r.yaw))
+         |      WHEN 'translate_backward' THEN r.x - ${dl(step)} * cos(radians(r.yaw))
+         |      WHEN 'translate_left' THEN r.x + ${dl(step)} * cos(radians(r.yaw + CAST(90 AS DOUBLE)))
+         |      WHEN 'translate_right' THEN r.x + ${dl(step)} * cos(radians(r.yaw - CAST(90 AS DOUBLE)))
+         |      ELSE r.x END""".stripMargin
+    val yNew =
+      s"""CASE t.behavior
+         |      WHEN 'random_roam' THEN r.y + ${dl(step)} * sin(radians($yawRoam))
+         |      WHEN 'translate_forward' THEN r.y + ${dl(step)} * sin(radians(r.yaw))
+         |      WHEN 'translate_backward' THEN r.y - ${dl(step)} * sin(radians(r.yaw))
+         |      WHEN 'translate_left' THEN r.y + ${dl(step)} * sin(radians(r.yaw + CAST(90 AS DOUBLE)))
+         |      WHEN 'translate_right' THEN r.y + ${dl(step)} * sin(radians(r.yaw - CAST(90 AS DOUBLE)))
+         |      ELSE r.y END""".stripMargin
+    val pitchNew =
+      "greatest(CAST(-45 AS DOUBLE), least(CAST(45 AS DOUBLE), r.pitch + (t.up - CAST(0.5 AS DOUBLE))))"
+    s"""WITH RECURSIVE jobs AS (
+       |  SELECT 'seq_' || n_nationkey AS seq,
+       |    CAST(n_nationkey + 10001 AS BIGINT) AS seed
+       |  FROM nation),
+       |seg0 AS (
+       |  SELECT seq, seed, k,
+       |    ${usql("seed || ':beh:' || k")} AS ub,
+       |    ${usql("seed || ':len:' || k")} AS ul,
+       |    ${usql("seed || ':roam:' || k")} AS ur
+       |  FROM jobs, range(0, $maxSegs) t(k)),
+       |seg1 AS (
+       |  SELECT seq, seed, k,
+       |    CASE $caseArms ELSE '$lastBehavior' END AS behavior,
+       |    ${cfg.minSegmentFrames} + CAST(floor(ul * CAST($lenRange AS DOUBLE)) AS INT) AS raw_len,
+       |    ur * CAST(180 AS DOUBLE) - CAST(90 AS DOUBLE) AS ro
+       |  FROM seg0),
+       |segc AS (
+       |  SELECT seq, seed, k, behavior, ro,
+       |    CAST(coalesce(sum(raw_len) OVER (PARTITION BY seq ORDER BY k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st,
+       |    raw_len
+       |  FROM seg1),
+       |segf AS (
+       |  SELECT seq, seed, k, behavior, ro, st,
+       |    least(CAST(raw_len AS BIGINT), $nFrames - st) AS seg_len
+       |  FROM segc WHERE st < $nFrames),
+       |frames AS (
+       |  SELECT s.seq, s.seed, f.f, s.behavior, s.ro, s.k AS seg,
+       |    (f.f = s.st) AS is_start,
+       |    ${usql("s.seed || ':pitch:' || f.f")} AS up
+       |  FROM segf s JOIN range(0, $nFrames) f(f)
+       |    ON f.f >= s.st AND f.f < s.st + s.seg_len),
+       |r(seq, f, x, y, yaw, pitch, roam, seg) AS (
+       |  SELECT seq, CAST(-1 AS BIGINT), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+       |    ${usql("seed || ':yaw0'")} * CAST(360 AS DOUBLE) - CAST(180 AS DOUBLE),
+       |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(-1 AS BIGINT)
+       |  FROM jobs
+       |  UNION ALL
+       |  SELECT t.seq, t.f,
+       |    $xNew,
+       |    $yNew,
+       |    $yawNew,
+       |    $pitchNew,
+       |    $roamNew,
+       |    t.seg
+       |  FROM r JOIN frames t ON t.seq = r.seq AND t.f = r.f + 1),
+       |pos AS (SELECT seq, f, x, y, pitch, seg FROM r WHERE f >= 0),
+       |dist AS (
+       |  SELECT seq, pitch, seg,
+       |    coalesce(sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w) +
+       |                  (y - lag(y) OVER w) * (y - lag(y) OVER w)), CAST(0 AS DOUBLE)) AS seg_dist
+       |  FROM pos WINDOW w AS (PARTITION BY seq ORDER BY f))
+       |SELECT seq AS sequence_id,
+       |  count(*) AS n_frames,
+       |  round(sum(seg_dist), 3) AS path_length_cm,
+       |  count(DISTINCT seg) AS n_segments,
+       |  round(min(pitch), 3) AS min_pitch,
+       |  round(max(pitch), 3) AS max_pitch
+       |FROM dist GROUP BY seq ORDER BY sequence_id""".stripMargin
+  }
 }

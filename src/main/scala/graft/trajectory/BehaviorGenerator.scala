@@ -3,12 +3,32 @@ package graft.trajectory
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import scala.util.Random
 
 /** Seeded camera-trajectory generator — the data-plane re-expression of
   * the reference's behavior state machine (behavior_executor.py:638-857):
   * a weighted random walk over behavior types, each behavior emitting
   * frames with its own motion rule, plus labeled segments (E5/E6).
+  *
+  * Randomness is COUNTER-BASED, not sequential: every draw is addressed
+  * by (seed, purpose, index) through a 60-bit md5 uniform —
+  * u = md5("seed:tag")[0,15) as hex / 2⁶⁰ — the same engine-portable
+  * device the sampling operators use ([[graft.llmops.TextStats]]).
+  * Consequences, both load-bearing at scale:
+  *   - draws don't depend on consumption ORDER, so the generator is
+  *     trivially parallel and any engine can replay an individual frame
+  *     without generating its predecessors' randomness;
+  *   - every draw is expressible in ANSI SQL, so the whole state machine
+  *     hash-verifies against a recursive-CTE oracle (the rate-clamp
+  *     playbook) instead of hiding behind a JVM-RNG golden file.
+  * The draw schedule: `yaw0` once, (`beh:k`, `len:k`, `roam:k`) per
+  * segment k, `pitch:f` per frame f.
+  *
+  * Determinism contract for the oracle: the yaw/pitch/segment chains use
+  * only +, −, ×, floor, min/max over exact inputs — bit-identical across
+  * IEEE engines. Only x/y touch cos/sin (measured ≤1 ulp apart between
+  * the JVM and DuckDB on ~0.2% of inputs), so any hash-compared consumer
+  * of positions must aggregate-and-round (the path-length query rounds
+  * to 3 decimals, absorbing the ~1e-12 accumulated drift).
   *
   * Kernel is a pure function `generate(seed, cfg)` (unit-testable,
   * deterministic); the Dataset wrapper is a flatMapGroups UDTF: one job
@@ -34,11 +54,32 @@ object BehaviorGenerator {
   case class Sample(sequenceId: String, frame: Int, x: Double, y: Double,
       z: Double, yaw: Double, pitch: Double, behavior: String, segmentIdx: Int)
 
-  /** Weighted choice via normalized cumulative weights
-    * (reference: behavior_executor.py:574-635). */
-  private def chooseBehavior(rng: Random, weights: Seq[(String, Double)]): String = {
+  private val Pow2_60: Double = 1152921504606846976.0 // 2^60, exact
+
+  /** The addressed 60-bit md5 uniform in [0, 1): first 15 hex chars of
+    * md5("seed:tag") as an integer over 2⁶⁰. long→double is one
+    * correctly-rounded step and /2⁶⁰ is exact scaling, so the value is
+    * bit-identical to `CAST(concat('0x', substring(md5(k),1,15)) AS
+    * BIGINT) / CAST(2^60 AS DOUBLE)` in any IEEE SQL engine. */
+  private[trajectory] def u(md: java.security.MessageDigest, seed: Long,
+      tag: String): Double = {
+    md.reset()
+    val digest = md.digest(
+      (seed.toString + ":" + tag).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = top 60 bits of the first 8 bytes
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (digest(i) & 0xffL); i += 1 }
+    (acc >>> 4).toDouble / Pow2_60
+  }
+
+  /** Weighted choice via normalized cumulative weights over one uniform
+    * (reference: behavior_executor.py:574-635). The fold order over
+    * `weights` defines the thresholds — the oracle replays the identical
+    * left-associated partial sums. */
+  private def chooseBehavior(u: Double, weights: Seq[(String, Double)]): String = {
     val total = weights.map(_._2).sum
-    val r = rng.nextDouble() * total
+    val r = u * total
     var acc = 0.0
     for ((name, w) <- weights) {
       acc += w
@@ -49,32 +90,34 @@ object BehaviorGenerator {
 
   /** Deterministic trajectory for (sequenceId, seed). */
   def generate(sequenceId: String, seed: Long, cfg: Config): Seq[Sample] = {
-    val rng = new Random(seed)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val nFrames = (cfg.durationSeconds * cfg.fps).toInt
     val dt = 1.0 / cfg.fps
     val step = cfg.speedCmPerSec * dt
+    val yawStep = cfg.yawRateDegPerSec * dt
+    val lenRange = cfg.maxSegmentFrames - cfg.minSegmentFrames + 1
     val out = Vector.newBuilder[Sample]
     var (x, y, z) = (0.0, 0.0, cfg.zOffsetCm)
-    var yaw = rng.nextDouble() * 360.0 - 180.0
+    var yaw = u(md, seed, "yaw0") * 360.0 - 180.0
     var pitch = 0.0
     var frame = 0
     var segIdx = 0
     while (frame < nFrames) {
-      val behavior = chooseBehavior(rng, cfg.behaviorWeights)
+      val behavior = chooseBehavior(u(md, seed, s"beh:$segIdx"), cfg.behaviorWeights)
       val segLen = math.min(
         cfg.minSegmentFrames +
-          rng.nextInt(cfg.maxSegmentFrames - cfg.minSegmentFrames + 1),
+          math.floor(u(md, seed, s"len:$segIdx") * lenRange).toInt,
         nFrames - frame)
-      // roam picks a fresh target heading once per segment
-      val roamHeading = yaw + (rng.nextDouble() * 180.0 - 90.0)
+      // roam picks a fresh target heading once per segment, relative to
+      // the yaw at segment entry
+      val roamHeading = yaw + (u(md, seed, s"roam:$segIdx") * 180.0 - 90.0)
       var i = 0
       while (i < segLen) {
         behavior match {
           case "random_roam" =>
             val d = roamHeading - yaw
             val nd = d - 360.0 * math.floor((d + 180.0) / 360.0)
-            yaw += math.max(math.min(nd, cfg.yawRateDegPerSec * dt),
-              -cfg.yawRateDegPerSec * dt)
+            yaw += math.max(math.min(nd, yawStep), -yawStep)
             x += step * math.cos(math.toRadians(yaw))
             y += step * math.sin(math.toRadians(yaw))
           case "translate_forward" =>
@@ -90,10 +133,11 @@ object BehaviorGenerator {
             x += step * math.cos(math.toRadians(yaw - 90.0))
             y += step * math.sin(math.toRadians(yaw - 90.0))
           case "rotate" =>
-            yaw += cfg.yawRateDegPerSec * dt
+            yaw += yawStep
           case _ => // idle
         }
-        pitch = math.max(-45.0, math.min(45.0, pitch + (rng.nextDouble() - 0.5)))
+        pitch = math.max(-45.0,
+          math.min(45.0, pitch + (u(md, seed, s"pitch:$frame") - 0.5)))
         out += Sample(sequenceId, frame, x, y, z, yaw, pitch, behavior, segIdx)
         frame += 1
         i += 1

@@ -16,11 +16,9 @@ class HarnessContractSpec extends AnyFunSuite {
     * GoldenSpec. Adding a query here requires adding its golden.
     */
   private val goldenLocked = Set(
-    "q_behavior_trajectory", // seeded trajectory generator (UDTF)
     "q_extrinsic_export",    // camera extrinsic matrices (trig, golden-locked)
     "q_media_features",      // pure-JVM codec decode
     "q_media_resize",
-    "q_frame_sample",
     "q_media_phash",     // perceptual hash over synthetic decoded media
     "q_media_ahash")     // audio envelope fingerprint over synthetic media
 
@@ -49,8 +47,11 @@ class HarnessContractSpec extends AnyFunSuite {
     // SQLERR at round time
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    // filesystem-backed oracles scan blobs/JSON instead of a table view
-    val fileReaders = Seq("read_blob", "read_text", "read_json", "glob(")
+    // filesystem-backed oracles scan blobs/JSON instead of a table view;
+    // seeded-synthetic oracles (q_frame_sample, q_behavior_trajectory's
+    // media cousin) generate their input from range()
+    val fileReaders = Seq("read_blob", "read_text", "read_json", "glob(",
+      "range(")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !tables.exists(t => sql.toLowerCase.contains(t)) &&
         !fileReaders.exists(sql.toLowerCase.contains) => name
