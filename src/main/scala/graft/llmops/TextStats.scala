@@ -447,9 +447,8 @@ object TextStats {
     * reduced by `array_max` (struct ordering = lexicographic, so ties —
     * impossible at 60 bits in practice — break to the higher shard
     * deterministically). No shuffle, no row multiplication, no UDF;
-    * cost is O(numShards) hashes per row, the standard HRW trade (a
-    * two-level hierarchy reduces it to O(√S) if shard counts ever reach
-    * the thousands). */
+    * cost is O(numShards) hashes per row, the standard HRW trade —
+    * [[hierarchicalShards]] is the O(√S) form for large shard counts. */
   def rendezvousShard(id: Column, numShards: Int): Column = {
     require(numShards >= 1, "numShards must be positive")
     array_max(transform(sequence(lit(0), lit(numShards - 1)),
@@ -458,6 +457,57 @@ object TextStats {
           s.cast("string"))), 1, 15), 16, 10).cast("long").as("h"),
         s.cast("long").as("shard"))))
       .getField("shard")
+  }
+
+  /** Two-level rendezvous sharding — HRW at O(√S) hashes per row instead
+    * of [[rendezvousShard]]'s O(S): shards are laid out as G = ⌈√S⌉
+    * groups of M = ⌈S/G⌉ members (global shard number = grp·M + j),
+    * level 1 argmaxes md5(id‖":g:"‖grp) over the G groups, level 2
+    * argmaxes md5(id‖":s:"‖shard) over the winning group's ≤M members
+    * (members past S, on a ragged last group, compete with hash −1 and
+    * can never win).
+    *
+    * Minimal movement holds PER LEVEL, so grow by whole groups with M
+    * fixed: S → S+M adds one group key, moving ~n/(G+1) documents and
+    * every one of them INTO the new group — other groups' docs keep their
+    * exact shard because both their group hash and their members' global
+    * shard numbers are unchanged. (Growing M instead renumbers grp·M+j
+    * for every group — don't.) A ragged last group (M ∤ S) receives a
+    * full group's share of documents over fewer members, biasing those
+    * members' load by M/(S mod M); keep S a multiple of M where balance
+    * matters.
+    *
+    * Implementation note, load-bearing for the O(√S) claim: the group
+    * winner materializes as its OWN projection (`_grp` column) before the
+    * member argmax references it. Higher-order-function lambdas re-run
+    * their body per element, so inlining the level-1 tree into the
+    * level-2 lambda would silently cost O(G·M) = O(S) hashes per row;
+    * CollapseProject keeps the split because `_grp` is non-cheap and
+    * multiply-referenced. Everything stays map-side — no shuffle, no row
+    * multiplication. */
+  def hierarchicalShards(df: DataFrame, idCol: String, numShards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(numShards >= 1, "numShards must be positive")
+    val nGroups = math.ceil(math.sqrt(numShards.toDouble)).toInt
+    val mPerGroup = math.ceil(numShards.toDouble / nGroups).toInt
+    def h60(key: Column) =
+      conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val id = col(idCol).cast("string")
+    val grp = array_max(transform(sequence(lit(0), lit(nGroups - 1)),
+      g => struct(
+        h60(concat(id, lit(":g:"), g.cast("string"))).as("h"),
+        g.cast("long").as("grp")))).getField("grp")
+    val member = array_max(transform(sequence(lit(0), lit(mPerGroup - 1)),
+      j => {
+        val sh = col("_grp") * mPerGroup + j.cast("long")
+        struct(
+          when(sh < numShards, h60(concat(id, lit(":s:"), sh.cast("string"))))
+            .otherwise(lit(-1L)).as("h"),
+          sh.as("shard"))
+      })).getField("shard")
+    df.withColumn("_grp", grp)
+      .withColumn(shardCol, member)
+      .drop("_grp")
   }
 
   /** Deterministic training-shard layout: the "write the corpus back out

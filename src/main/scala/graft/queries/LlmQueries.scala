@@ -2217,6 +2217,53 @@ object LlmQueries extends QueryFamily {
              |  CAST(sum(CASE WHEN shard9 <> shard8 AND shard9 <> 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere
              |FROM a GROUP BY shard8 ORDER BY shard8""".stripMargin)),
 
+    // Two-level rendezvous (the O(√S) HRW hierarchy): S=64 as 8 groups ×
+    // 8 members vs S=72 as 9×8 — growth by ONE WHOLE GROUP with member
+    // count fixed, the movement-preserving direction. The audit columns
+    // replay the per-level theorem: n_moved ≈ n/9 per shard and
+    // n_moved_elsewhere ≡ 0 (every mover lands in the NEW group, shards
+    // 64–71, because old groups' hashes and their members' global shard
+    // numbers are both unchanged). Cost per row is 8+8 hashes instead of
+    // the flat form's 64 — the large-S fix for q_rendezvous_shards' O(S).
+    ("q_rendezvous_hier",
+      (s: SparkSession, d: String) => {
+        val base = Tables.documents(s, d).select("doc_id")
+        val docs = TextStats.hierarchicalShards(
+          TextStats.hierarchicalShards(base, "doc_id", 64, "shard64"),
+          "doc_id", 72, "shard72")
+        docs.groupBy("shard64").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("shard72") =!= col("shard64"), 1L).otherwise(0L))
+              .as("n_moved"),
+            sum(when(col("shard72") =!= col("shard64") && col("shard72") < 64, 1L)
+              .otherwise(0L)).as("n_moved_elsewhere"))
+          .orderBy("shard64")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, g,
+             |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':g:' || CAST(g AS VARCHAR)),1,15)) AS BIGINT) AS hg
+             |  FROM documents, range(9) t(g)),
+             |ga AS (
+             |  SELECT doc_id,
+             |    arg_max(g, hg) FILTER (g < 8) AS grp64,
+             |    arg_max(g, hg) AS grp72
+             |  FROM g GROUP BY doc_id),
+             |m AS (
+             |  SELECT doc_id, j,
+             |    grp64 * 8 + j AS cand64, grp72 * 8 + j AS cand72,
+             |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':s:' || CAST(grp64 * 8 + j AS VARCHAR)),1,15)) AS BIGINT) AS h64,
+             |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':s:' || CAST(grp72 * 8 + j AS VARCHAR)),1,15)) AS BIGINT) AS h72
+             |  FROM ga, range(8) t(j)),
+             |sa AS (
+             |  SELECT doc_id,
+             |    arg_max(cand64, h64) AS shard64,
+             |    arg_max(cand72, h72) AS shard72
+             |  FROM m GROUP BY doc_id)
+             |SELECT shard64, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN shard72 <> shard64 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             |  CAST(sum(CASE WHEN shard72 <> shard64 AND shard72 < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere
+             |FROM sa GROUP BY shard64 ORDER BY shard64""".stripMargin)),
+
     // Exact interpolated length quantiles per language (corpus report).
     // Spark `percentile` and DuckDB `quantile_cont` both compute the
     // R-7 linear-interpolated quantile exactly, so the numbers hash-match.

@@ -963,6 +963,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(again.toSet == out.toSet, "same seed reproduces the layout")
   }
 
+  test("hierarchicalShards: full range, ragged groups safe, group-growth movement minimal") {
+    val df = spark.range(2000).toDF("id")
+    // square config 64 = 8×8
+    val s64 = TextStats.hierarchicalShards(df, "id", 64, "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s64.values.forall(s => s >= 0 && s < 64))
+    assert(s64.values.toSet.size > 32, "2000 ids should hit most of 64 shards")
+    // ragged config: S=10 → G=4, M=3, last group has a single real member;
+    // out-of-range candidates (hash −1) must never win
+    val s10 = TextStats.hierarchicalShards(df, "id", 10, "shard")
+      .collect().map(r => r.getLong(1))
+    assert(s10.forall(s => s >= 0 && s < 10), s"ragged overflow: ${s10.max}")
+    // growth by one whole group (64 → 72, M fixed at 8): every mover
+    // lands IN the new group, and ~n/9 of the corpus moves
+    val s72 = TextStats.hierarchicalShards(df, "id", 72, "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val movers = s64.keys.filter(id => s64(id) != s72(id)).toSeq
+    assert(movers.nonEmpty, "a new group must win some documents")
+    assert(movers.forall(id => s72(id) >= 64),
+      "per-level minimal movement: movers go only to the new group")
+    assert(movers.size < 2000 / 9 * 2, s"movement ~n/9, got ${movers.size}")
+    // deterministic replay
+    val again = TextStats.hierarchicalShards(df, "id", 64, "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == s64)
+  }
+
   test("int8 quantization: codes bounded, dequant error bounded, zero vector safe") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
