@@ -147,9 +147,14 @@ object SourceQueries extends QueryFamily {
 
     // Multimodal — binary payload decoded by the real pure-JVM codecs
     // (PPM/WAV/Y4M, llmops/Codecs.scala) → pooled features via
-    // mapPartitions batches (deterministic synthetic media; golden-locked:
-    // binary plumbing has no SQL analog). kind_detected/meta_ok prove the
-    // container actually parsed and matched its declared metadata.
+    // mapPartitions batches. DuckDB-oracled by INDEPENDENT re-derivation
+    // (the q_frame_sample playbook): the synthetic content bytes are the
+    // md5("media:id:blk") stream, so the oracle rebuilds each decoded
+    // value — PPM luma in emulated float32 (DuckDB FLOAT ops are native
+    // IEEE single, verified bit-identical to the JVM's), WAV PCM16 as
+    // signed little-endian pairs, Y4M luma as byte/255f — and the mean
+    // sums are exact in double (term ulps ≥ 2⁻⁴⁰, ≤ 960 terms), so
+    // order-free SUM replays the kernel's sequential fold bit-for-bit.
     ("q_media_features",
       (s: SparkSession, d: String) => {
         Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 64), featureDim = 8)
@@ -157,19 +162,25 @@ object SourceQueries extends QueryFamily {
             "n_values", "mean_value")
           .orderBy("media_id")
       },
-      None),
+      Some(mediaFeaturesOracleSql)),
 
     // Multimodal — nearest-neighbor resize of decoded PPM image rows;
     // payload_md5 locks the re-encoded container bytes, not just shapes.
+    // The hash is md5 over the payload's lowercase hex (not the raw
+    // blob) so it replays in DuckDB, where the oracle reconstructs the
+    // entire re-encoded container — ASCII header hex + the
+    // nearest-neighbor-selected source bytes straight from the md5
+    // content stream — and must land on the same digest as Spark's
+    // decode→resample→re-encode pipeline.
     ("q_media_resize",
       (s: SparkSession, d: String) => {
         Multimodal.resize(Multimodal.syntheticMedia(s, 64), outW = 4, outH = 2)
           .select(col("media_id"), col("out_width"), col("out_height"),
             size(col("pixels")).as("n_pixels"),
-            md5(col("payload")).as("payload_md5"))
+            md5(lower(hex(col("payload")))).as("payload_md5"))
           .orderBy("media_id")
       },
-      None),
+      Some(mediaResizeOracleSql)),
 
     // Multimodal — video frame sampling as pure-expression byte slicing
     // (no decoder in the plan); frames_hash locks the sliced YUV bytes.
@@ -212,19 +223,27 @@ object SourceQueries extends QueryFamily {
 
     // Multimodal — perceptual average-hash image dedup: one decode pass
     // (8×8 resize), hash + Hamming-banded near-dup pairs in pure column
-    // arithmetic. Golden locks every 64-bit code and neighbor count.
+    // arithmetic. DuckDB-oracled end to end: the oracle re-derives the
+    // 8×8 nearest-neighbor luma raster from the md5 content stream in
+    // emulated float32, packs the aHash bits (two's-complement bit 63,
+    // the q_ahash_bits device), and counts neighbors via ALL-PAIRS
+    // popcount — the banding's lossless-recall guarantee is exactly why
+    // the quadratic truth must match. Golden kept as a drift guard.
     ("q_media_phash",
       (s: SparkSession, d: String) => hashWithNearCounts(
         Multimodal.perceptualHash(Multimodal.syntheticMedia(s, 64)), maxDist = 12),
-      None),
+      Some(mediaHashOracleSql(kindMod = 0, maxDist = 12))),
 
     // Multimodal — audio energy-envelope fingerprint: the WAV analog of
     // q_media_phash (one decode pass → 64-window envelope → aHash bits →
-    // the same Hamming-banded pair search). Golden locks every code.
+    // the same Hamming-banded pair search). DuckDB-oracled the same way:
+    // PCM16 samples re-derived as signed little-endian byte pairs, the
+    // 64-window |amplitude| envelope replayed with the exact remainder
+    // boundaries and one float downcast per window.
     ("q_media_ahash",
       (s: SparkSession, d: String) => hashWithNearCounts(
         Multimodal.audioHash(Multimodal.syntheticMedia(s, 64)), maxDist = 10),
-      None),
+      Some(mediaHashOracleSql(kindMod = 1, maxDist = 10))),
 
     // The Hamming-banded pair search itself, DuckDB-oracled: the banding
     // is pure integer arithmetic (its media queries are golden-locked
@@ -368,4 +387,149 @@ object SourceQueries extends QueryFamily {
              |SELECT k AS media_id, CAST(b AS INT) AS win, env_val
              |FROM env ORDER BY media_id, win""".stripMargin))
   )
+
+  // ---- media-oracle builders -------------------------------------------
+  // The synthetic media content bytes ARE the md5("media:id:blk") stream
+  // (Multimodal.contentBytes), so every decoded value is re-derivable in
+  // DuckDB without a blob: byte o lives at hex chars [2(o%16)+1, +2) of
+  // block o/16's md5 string. Float32 kernel steps are replayed with
+  // DuckDB FLOAT arithmetic (native IEEE single — measured bit-identical
+  // to JVM float on the fixture's value ranges), and every mean-sum is
+  // exact in double (term ulps ≥ 2⁻⁴⁰, ≤ 960 terms ⇒ ≤ 46 significant
+  // bits), so order-free SUM equals the kernel's sequential fold.
+
+  /** Hex pair of content byte `o` (a SQL expression) for media `id`. */
+  private def hexAt(id: String, o: String): String =
+    s"substring(md5('media:' || $id || ':' || (($o) // 16)), 2 * (($o) % 16) + 1, 2)"
+
+  /** Content byte `o` as BIGINT in [0, 255]. */
+  private def byteAt(id: String, o: String): String =
+    s"CAST(concat('0x', ${hexAt(id, o)}) AS BIGINT)"
+
+  private val ImgsCte =
+    """imgs AS (
+      |  SELECT i AS media_id,
+      |    8 + 4 * ((i // 3) % 3) AS w,
+      |    4 + 2 * ((i // 3) % 2) AS h
+      |  FROM range(0, 64) t(i) WHERE i % 3 = 0)""".stripMargin
+
+  private val AudsCte =
+    """auds AS (
+      |  SELECT i AS media_id, 120 + 8 * ((i // 3) % 5) AS ns
+      |  FROM range(0, 64) t(i) WHERE i % 3 = 1)""".stripMargin
+
+  /** Emulated-float32 Rec.601 luma of the pixel whose first byte offset
+    * is `o` — the exact association order of Codecs.Ppm.luma. */
+  private def lumaF32(id: String, o: String): String =
+    s"""((CAST('0.299' AS FLOAT) * CAST(${byteAt(id, o)} AS FLOAT)
+       | + CAST('0.587' AS FLOAT) * CAST(${byteAt(id, s"($o) + 1")} AS FLOAT))
+       | + CAST('0.114' AS FLOAT) * CAST(${byteAt(id, s"($o) + 2")} AS FLOAT))
+       | / CAST(255 AS FLOAT)""".stripMargin.replace("\n", "")
+
+  /** q_media_resize: rebuild the re-encoded 4×2 PPM container's hex
+    * (ASCII header + 24 nearest-neighbor-selected source bytes) and md5
+    * it — must equal Spark's md5(lower(hex(payload))). */
+  private def mediaResizeOracleSql: String = {
+    val hdrHex = "P6\n4 2\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      .map("%02x".format(_)).mkString
+    s"""WITH $ImgsCte,
+       |grid AS (
+       |  SELECT media_id, k,
+       |    (((k // 12) * h // 2) * w + ((k % 12) // 3) * w // 4) * 3 + (k % 3) AS o
+       |  FROM imgs, range(0, 24) g(k)),
+       |hx AS (
+       |  SELECT media_id, k, ${hexAt("media_id", "o")} AS h2
+       |  FROM grid),
+       |pay AS (
+       |  SELECT media_id, '$hdrHex' || string_agg(h2, '' ORDER BY k) AS ph
+       |  FROM hx GROUP BY media_id)
+       |SELECT media_id, CAST(4 AS INT) AS out_width, CAST(2 AS INT) AS out_height,
+       |  CAST(8 AS INT) AS n_pixels, md5(ph) AS payload_md5
+       |FROM pay ORDER BY media_id""".stripMargin
+  }
+
+  /** Shared oracle for q_media_phash (kindMod 0: 8×8 luma raster) and
+    * q_media_ahash (kindMod 1: 64-window PCM envelope): 64 values →
+    * above-mean bit packing (two's-complement bit 63, the q_ahash_bits
+    * device) → ALL-PAIRS popcount neighbor counts. */
+  private def mediaHashOracleSql(kindMod: Int, maxDist: Int): String = {
+    val valsCte =
+      if (kindMod == 0)
+        s"""$ImgsCte,
+           |vals AS (
+           |  SELECT media_id, p AS idx,
+           |    CAST(${lumaF32("media_id", "o")} AS DOUBLE) AS v
+           |  FROM (
+           |    SELECT media_id, p,
+           |      (((p // 8) * h // 8) * w + (p % 8) * w // 8) * 3 AS o
+           |    FROM imgs, range(0, 64) g(p)) q)""".stripMargin
+      else
+        s"""$AudsCte,
+           |sv AS (
+           |  SELECT media_id, ns, s,
+           |    abs(CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END) AS av
+           |  FROM (
+           |    SELECT media_id, ns, s,
+           |      ${byteAt("media_id", "2 * s")} + 256 * ${byteAt("media_id", "2 * s + 1")} AS v0
+           |    FROM auds, range(0, 152) g(s) WHERE s < ns) q),
+           |vals AS (
+           |  SELECT w.media_id, w.b AS idx,
+           |    CAST(CAST(CAST(SUM(sv.av) AS DOUBLE) / CAST(32768 AS DOUBLE) / COUNT(*) AS FLOAT) AS DOUBLE) AS v
+           |  FROM (SELECT media_id, ns, b FROM auds, range(0, 64) gb(b)) w
+           |  JOIN sv ON sv.media_id = w.media_id
+           |    AND sv.s >= (w.b * w.ns) // 64 AND sv.s < ((w.b + 1) * w.ns) // 64
+           |  GROUP BY w.media_id, w.b)""".stripMargin
+    s"""WITH $valsCte,
+       |mn AS (SELECT media_id, SUM(v) / 64 AS m FROM vals GROUP BY media_id),
+       |h AS (
+       |  SELECT vals.media_id,
+       |    CAST(SUM(CASE WHEN v > m THEN
+       |      CASE WHEN idx = 63 THEN -9223372036854775807 - 1
+       |           ELSE CAST(1 AS BIGINT) << idx END ELSE 0 END) AS BIGINT) AS phash
+       |  FROM vals JOIN mn USING (media_id) GROUP BY vals.media_id),
+       |p AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM h a JOIN h b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $maxDist),
+       |c AS (
+       |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+       |    SELECT id_a AS media_id FROM p UNION ALL SELECT id_b FROM p) u
+       |  GROUP BY media_id)
+       |SELECT h.media_id, h.phash, coalesce(c.n_near, CAST(0 AS BIGINT)) AS n_near
+       |FROM h LEFT JOIN c USING (media_id) ORDER BY media_id""".stripMargin
+  }
+
+  /** q_media_features: per-kind decoded-value count and mean — image
+    * luma (float32), audio signed PCM/32768 (exact), video Y-plane
+    * byte/255f — unioned over all 64 media rows. */
+  private def mediaFeaturesOracleSql: String =
+    s"""WITH $ImgsCte,
+       |$AudsCte,
+       |ilum AS (
+       |  SELECT media_id, CAST(w * h AS BIGINT) AS n,
+       |    SUM(CAST(${lumaF32("media_id", "p * 3")} AS DOUBLE)) AS sv
+       |  FROM (SELECT media_id, w, h, p FROM imgs, range(0, 96) g(p) WHERE p < w * h) q
+       |  GROUP BY media_id, w * h),
+       |afeat AS (
+       |  SELECT media_id, CAST(ns AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END) AS DOUBLE)
+       |      / CAST(32768 AS DOUBLE) / ns AS mean_value
+       |  FROM (
+       |    SELECT media_id, ns, s,
+       |      ${byteAt("media_id", "2 * s")} + 256 * ${byteAt("media_id", "2 * s + 1")} AS v0
+       |    FROM auds, range(0, 152) g(s) WHERE s < ns) q
+       |  GROUP BY media_id, ns),
+       |vlum AS (
+       |  SELECT media_id, CAST(960 AS BIGINT) AS n,
+       |    SUM(CAST(CAST(${byteAt("media_id", "(k // 32) * 48 + (k % 32)")} AS FLOAT)
+       |      / CAST(255 AS FLOAT) AS DOUBLE)) AS sv
+       |  FROM (SELECT i AS media_id FROM range(0, 64) t(i) WHERE i % 3 = 2) v,
+       |    range(0, 960) g(k)
+       |  GROUP BY media_id)
+       |SELECT media_id, 'image' AS kind, 'image' AS kind_detected, TRUE AS meta_ok,
+       |  CAST(n AS INT) AS n_values, sv / n AS mean_value FROM ilum
+       |UNION ALL SELECT media_id, 'audio', 'audio', TRUE, CAST(n AS INT), mean_value FROM afeat
+       |UNION ALL SELECT media_id, 'video', 'video', TRUE, CAST(n AS INT), sv / n FROM vlum
+       |ORDER BY media_id""".stripMargin
 }

@@ -598,9 +598,33 @@ object TrajectoryQueries extends QueryFamily {
       },
       Some(behaviorOracleSql)),
 
+    // E8 composition check, DuckDB-oracled: the generator→extrinsic
+    // pipeline (the exact q_extrinsic_export dataflow) with every matrix
+    // entry rounded to 9 decimals, replayed end-to-end in SQL — the
+    // behavior state CTE feeding the q_extrinsic_matrix formula. This
+    // pins the COMPOSITION (pose wiring, roll=0, cm→m scaling, Rᵀ/−Rᵀt
+    // layout) that the raw-double export below cannot oracle (trig ulps);
+    // the export keeps its byte-exact golden for the raw values.
+    ("q_extrinsic_traj",
+      (s: SparkSession, d: String) => {
+        val jobs = Tables.nation(s, d).filter(col("n_nationkey") < 3)
+          .select(concat(lit("seq_"), col("n_nationkey")).as("sequence_id"),
+            (col("n_nationkey") + 10001L).as("seed"))
+        val samples = BehaviorGenerator.generateAll(jobs)
+          .withColumn("roll", lit(0.0))
+        val rows = Extrinsics.extrinsicRowsKeyed(samples, Seq("sequence_id"),
+          "frame", "x", "y", "z", "roll", "pitch", "yaw")
+        val cells = for (r <- 0 until 4; c <- 0 until 4)
+          yield (round(col(s"m$r$c"), 9) + lit(0.0)).as(s"m$r$c")
+        rows.select(Seq(col("sequence_id"), col("frame")) ++ cells: _*)
+          .orderBy("sequence_id", "frame")
+      },
+      Some(extrinsicTrajOracleSql)),
+
     // E8 — extrinsic matrix export rows (frame, m00..m33; reference:
     // camera_exporter.py:383-437). Rows-only: orthonormality + golden
-    // values covered by ExtrinsicsSpec.
+    // values covered by ExtrinsicsSpec; the 9-decimal composition replay
+    // above is the oracle-side evidence for this exact dataflow.
     ("q_extrinsic_export",
       (s: SparkSession, d: String) => {
         val jobs = Tables.nation(s, d).filter(col("n_nationkey") < 3)
@@ -634,7 +658,62 @@ object TrajectoryQueries extends QueryFamily {
     * (r.yaw + ro) − r.yaw are deliberately NOT simplified — the kernel
     * computes exactly that tree.
     */
-  private[queries] def behaviorOracleSql: String = {
+  private[queries] def behaviorOracleSql: String =
+    behaviorStateCte("") + s"""
+       |,dist AS (
+       |  SELECT seq, pitch, seg,
+       |    coalesce(sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w) +
+       |                  (y - lag(y) OVER w) * (y - lag(y) OVER w)), CAST(0 AS DOUBLE)) AS seg_dist
+       |  FROM pos WINDOW w AS (PARTITION BY seq ORDER BY f))
+       |SELECT seq AS sequence_id,
+       |  count(*) AS n_frames,
+       |  round(sum(seg_dist), 3) AS path_length_cm,
+       |  count(DISTINCT seg) AS n_segments,
+       |  round(min(pitch), 3) AS min_pitch,
+       |  round(max(pitch), 3) AS max_pitch
+       |FROM dist GROUP BY seq ORDER BY sequence_id""".stripMargin
+
+  /** The generator→extrinsic COMPOSITION replayed in SQL: the same
+    * per-frame state CTE feeding the view-matrix trees of
+    * [[Extrinsics.extrinsicMatrix]] (the q_extrinsic_matrix oracle's
+    * formula), every entry rounded to 9 decimals (+0.0 normalizes any
+    * signed zero the rounding direction could produce). The yaw/pitch
+    * inputs are bit-exact; the rotation entries carry at most the direct
+    * 1-ulp cos/sin divergence and the translations the ~1e-15
+    * accumulated x/y drift — 9 decimals is 6+ orders of slack, and the
+    * nation-seeded inputs are SF-invariant, so the comparison is a
+    * frozen constant once green. */
+  private[queries] def extrinsicTrajOracleSql: String =
+    behaviorStateCte(" WHERE n_nationkey < 3") + s"""
+       |,tt AS (
+       |  SELECT seq, f,
+       |    cos(radians(yaw)) AS cy, sin(radians(yaw)) AS sy,
+       |    cos(radians(pitch)) AS cp, sin(radians(pitch)) AS sp,
+       |    cos(radians(CAST(0 AS DOUBLE))) AS cr, sin(radians(CAST(0 AS DOUBLE))) AS sr,
+       |    x * CAST('0.01' AS DOUBLE) AS tx, y * CAST('0.01' AS DOUBLE) AS ty,
+       |    CAST('170.0' AS DOUBLE) * CAST('0.01' AS DOUBLE) AS tz
+       |  FROM pos),
+       |rr AS (
+       |  SELECT seq, f, tx, ty, tz,
+       |    cy * cp AS r00, cy * sp * sr - sy * cr AS r01, cy * sp * cr + sy * sr AS r02,
+       |    sy * cp AS r10, sy * sp * sr + cy * cr AS r11, sy * sp * cr - cy * sr AS r12,
+       |    -sp AS r20, cp * sr AS r21, cp * cr AS r22
+       |  FROM tt)
+       |SELECT seq AS sequence_id, CAST(f AS INT) AS frame,
+       |  round(r00, 9) + CAST(0 AS DOUBLE) AS m00, round(r10, 9) + CAST(0 AS DOUBLE) AS m01,
+       |  round(r20, 9) + CAST(0 AS DOUBLE) AS m02,
+       |  round(-(r00 * tx + r10 * ty + r20 * tz), 9) + CAST(0 AS DOUBLE) AS m03,
+       |  round(r01, 9) + CAST(0 AS DOUBLE) AS m10, round(r11, 9) + CAST(0 AS DOUBLE) AS m11,
+       |  round(r21, 9) + CAST(0 AS DOUBLE) AS m12,
+       |  round(-(r01 * tx + r11 * ty + r21 * tz), 9) + CAST(0 AS DOUBLE) AS m13,
+       |  round(r02, 9) + CAST(0 AS DOUBLE) AS m20, round(r12, 9) + CAST(0 AS DOUBLE) AS m21,
+       |  round(r22, 9) + CAST(0 AS DOUBLE) AS m22,
+       |  round(-(r02 * tx + r12 * ty + r22 * tz), 9) + CAST(0 AS DOUBLE) AS m23,
+       |  CAST(0 AS DOUBLE) AS m30, CAST(0 AS DOUBLE) AS m31,
+       |  CAST(0 AS DOUBLE) AS m32, CAST(1 AS DOUBLE) AS m33
+       |FROM rr ORDER BY sequence_id, frame""".stripMargin
+
+  private def behaviorStateCte(jobsWhere: String): String = {
     val cfg = BehaviorGenerator.Config()
     val dt = 1.0 / cfg.fps
     val step = cfg.speedCmPerSec * dt
@@ -688,7 +767,7 @@ object TrajectoryQueries extends QueryFamily {
     s"""WITH RECURSIVE jobs AS (
        |  SELECT 'seq_' || n_nationkey AS seq,
        |    CAST(n_nationkey + 10001 AS BIGINT) AS seed
-       |  FROM nation),
+       |  FROM nation$jobsWhere),
        |seg0 AS (
        |  SELECT seq, seed, k,
        |    ${usql("seed || ':beh:' || k")} AS ub,
@@ -731,18 +810,6 @@ object TrajectoryQueries extends QueryFamily {
        |    $roamNew,
        |    t.seg
        |  FROM r JOIN frames t ON t.seq = r.seq AND t.f = r.f + 1),
-       |pos AS (SELECT seq, f, x, y, pitch, seg FROM r WHERE f >= 0),
-       |dist AS (
-       |  SELECT seq, pitch, seg,
-       |    coalesce(sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w) +
-       |                  (y - lag(y) OVER w) * (y - lag(y) OVER w)), CAST(0 AS DOUBLE)) AS seg_dist
-       |  FROM pos WINDOW w AS (PARTITION BY seq ORDER BY f))
-       |SELECT seq AS sequence_id,
-       |  count(*) AS n_frames,
-       |  round(sum(seg_dist), 3) AS path_length_cm,
-       |  count(DISTINCT seg) AS n_segments,
-       |  round(min(pitch), 3) AS min_pitch,
-       |  round(max(pitch), 3) AS max_pitch
-       |FROM dist GROUP BY seq ORDER BY sequence_id""".stripMargin
+       |pos AS (SELECT seq, f, x, y, yaw, pitch, seg FROM r WHERE f >= 0)""".stripMargin
   }
 }

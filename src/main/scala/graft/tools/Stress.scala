@@ -346,7 +346,61 @@ object Stress {
     // round-8 sixth batch: Welch t (one group shuffle of decimal sums
     // over the 64× event log) and rank normalization (per-language
     // rank windows over the 64× doc table)
-    "q_welch_t", "q_rank_normalize")
+    "q_welch_t", "q_rank_normalize",
+    // round-9: the two-level HRW audit (2×(9+8) md5 per row vs the flat
+    // audit's 17 — both zero-shuffle before the 64-row agg)
+    "q_rendezvous_hier")
+
+  /** Flat-vs-hierarchical HRW at S=64 — the cost claim behind
+    * [[graft.llmops.TextStats.hierarchicalShards]]: the flat form hashes
+    * 64 md5s per row, the two-level form 8+8. Same downstream aggregate
+    * so the measured delta is the per-row hashing. */
+  private def stressRendezvousFlat64(s: SparkSession, d: String): DataFrame =
+    graft.model.Tables.documents(s, d)
+      .select(graft.llmops.TextStats.rendezvousShard(col("doc_id"), 64).as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+
+  private def stressRendezvousHier64(s: SparkSession, d: String): DataFrame =
+    graft.llmops.TextStats.hierarchicalShards(
+        graft.model.Tables.documents(s, d).select("doc_id"), "doc_id", 64)
+      .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+
+  /** RRF fusion with the retrieval arms MATERIALIZED first (bench
+    * methodology only — the sf0.1 oracle query q_hybrid_rrf is
+    * unchanged): in the top-10 artifact, q_hybrid_rrf's cost was ~94%
+    * the BM25 index build that q_bm25 already measures as its own row.
+    * stress_rrf_arms builds both arms once and persists them to parquet;
+    * stress_rrf_fusion_only times ONLY the fusion over those
+    * materialized rankings — the number a deployment that caches arm
+    * results (every real hybrid-retrieval stack) actually pays. Parquet,
+    * not localCheckpoint: the harness unpersists all RDD blocks between
+    * entries, which would tear a checkpoint out from under the fusion. */
+  private val RrfArmDir = "/tmp/stress_rrf_arms"
+
+  private def stressRrfArms(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.{Similarity, SparseSim}
+    val docs = graft.model.Tables.documents(s, d)
+    val lex = SparseSim.bm25Retrieve(
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        docs.filter(col("doc_id") >= 10), "doc_id", "text",
+        k = 20, maxDf = 50L, ngram = 2)
+      .select(col("qid"), col("id"), col("rank"))
+    val emb = graft.model.Tables.embeddings(s, d)
+    val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        idCol = "vec_id", vecCol = "embedding", k = 20, dim = 64)
+      .select(col("query_id").as("qid"), col("cand_id").as("id"), col("rank"))
+    lex.write.mode("overwrite").parquet(s"$RrfArmDir/lex")
+    dense.write.mode("overwrite").parquet(s"$RrfArmDir/dense")
+    s.read.parquet(s"$RrfArmDir/lex")
+  }
+
+  private def stressRrfFusionOnly(s: SparkSession, d: String): DataFrame = {
+    val lex = s.read.parquet(s"$RrfArmDir/lex")
+    val dense = s.read.parquet(s"$RrfArmDir/dense")
+    graft.llmops.Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+      queryCol = "qid", idCol = "id", rankCol = "rank", kRrf = 60, topK = 10)
+  }
 
   /** Multi-source BFS over the full 64× purchase graph (the unbounded
     * analog of q_bfs_hops's kNN-subgraph fixture): seeds are 3 supplier
@@ -395,7 +449,11 @@ object Stress {
         "stress_fuzzy_unblocked" -> (stressFuzzyUnblocked _),
         "stress_linkage_scaled" -> (stressLinkageScaled _),
         "stress_ppjoin_tau06" -> (stressPpjoinTau06 _),
-        "stress_bfs_hops" -> (stressBfsHops _))
+        "stress_bfs_hops" -> (stressBfsHops _),
+        "stress_rendezvous_flat64" -> (stressRendezvousFlat64 _),
+        "stress_rendezvous_hier64" -> (stressRendezvousHier64 _),
+        "stress_rrf_arms" -> (stressRrfArms _),
+        "stress_rrf_fusion_only" -> (stressRrfFusionOnly _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -50,6 +50,19 @@ object Extrinsics {
     withM.select((col(frame).as("frame") +: cells): _*)
   }
 
+  /** [[extrinsicRows]] with pass-through key columns — for consumers that
+    * need the matrix rows joined back to their sequence (the export CSV
+    * itself is per-sequence, so [[extrinsicRows]] drops keys). */
+  def extrinsicRowsKeyed(df: DataFrame, keyCols: Seq[String], frame: String,
+      x: String, y: String, z: String,
+      roll: String, pitch: String, yaw: String): DataFrame = {
+    val m = extrinsicUdf(col(x), col(y), col(z), col(roll), col(pitch), col(yaw))
+    val withM = df.withColumn("_m", m)
+    val cells = for (r <- 0 until 4; c <- 0 until 4)
+      yield element_at(col("_m"), r * 4 + c + 1).as(s"m$r$c")
+    withM.select(keyCols.map(col) ++ (col(frame).as("frame") +: cells): _*)
+  }
+
   /** E9 — transform CSV row: meters + degrees
     * (camera_exporter.py:411-412). */
   def transformRows(df: DataFrame, frame: String,

@@ -16,11 +16,11 @@ class HarnessContractSpec extends AnyFunSuite {
     * GoldenSpec. Adding a query here requires adding its golden.
     */
   private val goldenLocked = Set(
-    "q_extrinsic_export",    // camera extrinsic matrices (trig, golden-locked)
-    "q_media_features",      // pure-JVM codec decode
-    "q_media_resize",
-    "q_media_phash",     // perceptual hash over synthetic decoded media
-    "q_media_ahash")     // audio envelope fingerprint over synthetic media
+    // camera extrinsic matrices: RAW trig doubles (cos/sin differ by
+    // ≤1 ulp between engines, measured), so the export stays golden —
+    // but its exact dataflow is oracle-evidenced by q_extrinsic_traj's
+    // 9-decimal replay and q_extrinsic_matrix's hash-exact kernel
+    "q_extrinsic_export")
 
   test("query names are globally unique across families") {
     val all = SparkEntry.families.flatMap(_.queries.keys)
