@@ -726,6 +726,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("plan: hierarchical HRW materializes the group winner once — O(√S) hashes per row") {
+    import graft.llmops.TextStats
+    import org.apache.spark.sql.catalyst.expressions.ArrayMax
+    val df = TextStats.hierarchicalShards(
+      Tables.documents(spark, sf).select("doc_id"), "doc_id", 64)
+    // exactly TWO argmax trees must survive optimization: level 1 in its
+    // own projection (aliased _grp) and level 2 referencing that
+    // attribute. If CollapseProject ever inlines the level-1 tree into
+    // the level-2 lambda, the group argmax re-evaluates per member —
+    // O(G·M) = O(S) md5s per row, silently voiding the 2.9×-measured
+    // win (stress_rendezvous_hier64) — and the count here becomes 3.
+    val nArgmax = df.queryExecution.optimizedPlan.collect {
+      case n => n.expressions.flatMap(_.collect { case am: ArrayMax => am })
+    }.flatten.size
+    assert(nArgmax == 2, s"expected 2 array_max trees (split projections), got $nArgmax")
+    assert(countShuffles(plan(df)) == 0, plan(df))
+  }
+
   test("plan: prefix-filtered Jaccard joins on the prefix-shingle key, never all-pairs") {
     val p = plan(SparkEntry.queries("q_ppjoin_jaccard")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
