@@ -68,9 +68,18 @@ object KMeansOps {
     * the convergence probe, and the final result all consume round r, and
     * without the cut each consumer would replay every earlier round's
     * corpus pass (the ConnectedComponents fixpoint precedent). The corpus
-    * itself is scanned once per round — Lloyd's inherent cost — with the
+    * itself is consumed once per round — Lloyd's inherent cost — with the
     * round's centroids riding the broadcast, so driver state stays at
     * k·dim rows regardless of corpus size.
+    *
+    * For maxIter > 1 the POINTS input is localCheckpoint'd too: callers
+    * feed derived tables (int8 quantization, projections), and without
+    * the cut every round re-executes that upstream per-row work — at the
+    * 64× fixture the quantize-per-round form measured 199.9 s vs the
+    * materialized form's one quantize pass + (rounds−1) cached reads
+    * (MEMORY_AND_DISK, so an oversized corpus degrades to disk reads,
+    * never OOM). Single-round callers skip the cut — materialization
+    * would cost more than it saves.
     *
     * Early stop composes with fixed-round replay verification: once at
     * the fixed point, further rounds are the identity, so a verifier
@@ -82,12 +91,13 @@ object KMeansOps {
     require(maxIter >= 1,
       s"lloydTrain needs maxIter >= 1 (got $maxIter): the result is the " +
         "last completed lloydStep, so zero iterations has no output")
+    val pts = if (maxIter > 1) points.localCheckpoint() else points
     var cents = seed
     var prev: Option[DataFrame] = None
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val next = lloydStep(points, idCol, vecCol, cents, dim).localCheckpoint()
+      val next = lloydStep(pts, idCol, vecCol, cents, dim).localCheckpoint()
       converged = prev.exists { p =>
         next.select(col("cell_id"), col("pos"), col("mean"))
           .join(p.select(col("cell_id"), col("pos"), col("mean").as("_pm")),
