@@ -132,6 +132,22 @@ object SparseSim {
     val post = tfPostings(corpus, idCol, textCol, ngram)
     // len > 0 keeps term-less docs out of n_docs/avg-len, exactly as the
     // postings-derived form did (they can't match anything anyway)
+    val qterms = queries.select(col(qIdCol).as("qid"),
+        explode(termsExpr(col(qTextCol), ngram)).as("term"))
+      .distinct()
+    // the SCORED branch's postings are query-term-pruned BEFORE the
+    // (id, term) tf aggregation: the broadcast semi filter runs against
+    // the exploded term stream map-side, so this branch's exchange
+    // carries only query-matching postings instead of the full corpus.
+    // Identical tf values (the filter keys on term alone), so scores are
+    // unchanged — but the corpus-sized (id, term) tf shuffle now runs
+    // ONCE (in the df_ index build), not twice. Locally the explode CPU
+    // dominates (measured 64×: 133.8 → 124.4 s, ~7%); on a real cluster
+    // the deleted shuffle is the network-bound half, which is the point.
+    val postQ = corpus.select(col(idCol).as("id"),
+        explode(termsExpr(col(textCol), ngram)).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val lens = corpus.select(col(idCol).as("id"),
         size(termsExpr(col(textCol), ngram)).cast("long").as("len"))
       .filter(col("len") > 0)
@@ -140,15 +156,12 @@ object SparseSim {
     val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
-    val qterms = queries.select(col(qIdCol).as("qid"),
-        explode(termsExpr(col(qTextCol), ngram)).as("term"))
-      .distinct()
     val lenRatio = (col("len") * col("n_docs")).cast("double") /
       col("total_tokens").cast("double")
     val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * lenRatio))
-    val scored = post.join(df_, "term")
-      .join(broadcast(qterms), "term")
+    val scored = postQ.join(broadcast(qterms), "term")
+      .join(df_, "term")
       .join(lens, "id")
       .crossJoin(broadcast(stats))
       .withColumn("_ts", round(col("w").cast("double") * sat).cast("long"))
