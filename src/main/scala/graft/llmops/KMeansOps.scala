@@ -78,8 +78,12 @@ object KMeansOps {
     * 64× fixture the quantize-per-round form measured 199.9 s vs the
     * materialized form's one quantize pass + (rounds−1) cached reads
     * (MEMORY_AND_DISK, so an oversized corpus degrades to disk reads,
-    * never OOM). Single-round callers skip the cut — materialization
-    * would cost more than it saves.
+    * never OOM — 256× measured 21.2 s, 3.4× the 64× row for 4× data).
+    * Single-round callers skip the cut — materialization would cost
+    * more than it saves — and `materializePoints = false` opts out for
+    * corpora where holding even the quantized form is unaffordable and
+    * recompute-per-round is the cheaper trade (the bm25Retrieve
+    * "cheap to HOLD" rule decides which side a caller is on).
     *
     * Early stop composes with fixed-round replay verification: once at
     * the fixed point, further rounds are the identity, so a verifier
@@ -87,11 +91,14 @@ object KMeansOps {
     * same table whether or not the loop cut out early.
     */
   def lloydTrain(points: DataFrame, idCol: String, vecCol: String,
-      seed: DataFrame, dim: Int, maxIter: Int): DataFrame = {
+      seed: DataFrame, dim: Int, maxIter: Int,
+      materializePoints: Boolean = true): DataFrame = {
     require(maxIter >= 1,
       s"lloydTrain needs maxIter >= 1 (got $maxIter): the result is the " +
         "last completed lloydStep, so zero iterations has no output")
-    val pts = if (maxIter > 1) points.localCheckpoint() else points
+    val pts =
+      if (materializePoints && maxIter > 1) points.localCheckpoint()
+      else points
     var cents = seed
     var prev: Option[DataFrame] = None
     var it = 0
