@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM's stdout must pass through UNDECORATED: sbt's default
+// fork logger prefixes every line with "[info] ", which defeated the
+// driver's BENCH tail parser for three rounds (the summary JSON line was
+// present but arrived as "[info] {...}"). StdoutOutput pipes the child's
+// stdout/stderr straight through. Set at project level so it delegates to
+// run, runMain, and Test alike.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -391,12 +391,17 @@ object Eval {
         sum(when(col("_ib") === 1L, col("_v"))).as("_sb"),
         sum(when(col("_ia") === 1L, col("_v") * col("_v"))).as("_ssa"),
         sum(when(col("_ib") === 1L, col("_v") * col("_v"))).as("_ssb"),
-        max(abs(col("_v"))).cast("double").as("_ma"))
+        max(when(col("_ia") === 1L, abs(col("_v")))).cast("double").as("_ma"),
+        max(when(col("_ib") === 1L, abs(col("_v")))).cast("double").as("_mb"))
     def d(c: String) = col(c).cast("double")
     // n·max(x)² < 10²⁶ keeps Σx² inside DECIMAL(38,12); fail loudly
-    // (both ANSI modes) instead of letting the sum go NULL/overflow
-    val overflowGuard = (col("n_a") + col("n_b")).cast("double") *
-      col("_ma") * col("_ma") >= 1e26
+    // (both ANSI modes) instead of letting the sum go NULL/overflow.
+    // Bounded PER GROUP (each sum only sees its own group's rows) — a
+    // combined n_a+n_b × max-over-both bound raised on data whose
+    // per-group sums were actually in range.
+    val overflowGuard =
+      (d("n_a") * col("_ma") * col("_ma") >= 1e26) ||
+      (d("n_b") * col("_mb") * col("_mb") >= 1e26)
     val meanA = d("_sa") / d("n_a")
     val meanB = d("_sb") / d("n_b")
     // sample variance s² = (nΣx² − (Σx)²) / (n(n−1)), exact-sum inputs
@@ -418,7 +423,13 @@ object Eval {
           "sum-of-squares capacity - pre-scale the value column")))
         .when(degenerate, lit(null).cast("double"))
         .otherwise(round((meanA - meanB) / sqrt(a + b), 12)).as("t"),
-      when(degenerate, lit(null).cast("double"))
+      // guard attached here TOO: a consumer selecting only dof (Catalyst
+      // prunes the t column and its when-chain away) must still fail
+      // loudly on an overflowed sum rather than read a silent NULL
+      when(overflowGuard, raise_error(lit(
+          "welchTByGroup: n*max(x)^2 >= 1e26 exceeds the DECIMAL(38,12) " +
+          "sum-of-squares capacity - pre-scale the value column")))
+        .when(degenerate, lit(null).cast("double"))
         .otherwise(round((a + b) * (a + b) /
           (a * a / (d("n_a") - 1.0) + b * b / (d("n_b") - 1.0)), 12))
         .as("dof")): _*)

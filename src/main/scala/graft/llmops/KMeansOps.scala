@@ -77,13 +77,31 @@ object KMeansOps {
     * the cut every round re-executes that upstream per-row work — at the
     * 64× fixture the quantize-per-round form measured 199.9 s vs the
     * materialized form's one quantize pass + (rounds−1) cached reads
-    * (MEMORY_AND_DISK, so an oversized corpus degrades to disk reads,
-    * never OOM — 256× measured 21.2 s, 3.4× the 64× row for 4× data).
-    * Single-round callers skip the cut — materialization would cost
-    * more than it saves — and `materializePoints = false` opts out for
-    * corpora where holding even the quantized form is unaffordable and
-    * recompute-per-round is the cheaper trade (the bm25Retrieve
-    * "cheap to HOLD" rule decides which side a caller is on).
+    * (256× measured 21.2 s, 3.4× the 64× row for 4× data).
+    *
+    * Why this is safe where bm25Retrieve's postings checkpoint OOM'd at
+    * 256×: checkpoint blocks are unevictable either way, but the two
+    * tables sit on opposite sides of the "cheap to HOLD" rule. A Lloyd
+    * points table is BOUNDED BY ITS INPUT — one row per point, row width
+    * ≈ id + dim (quantized: dim bytes), i.e. at most the corpus the loop
+    * must scan every round anyway — and MEMORY_AND_DISK lets the overflow
+    * live on disk, so the unevictable-memory footprint stays a bounded
+    * slice. The bm25 postings table was corpus × n-gram EXPANDED (~10× the
+    * input), so pinning it outgrew storage memory faster than eviction
+    * could compensate; the fix there was pruning, not caching. When even
+    * the quantized points can't be afforded (disk-constrained boxes,
+    * dim ≫ 10³), `materializePoints = Some(false)` opts out and the loop
+    * recomputes the upstream per round — the r9 pre-fix behavior.
+    *
+    * By default (`materializePoints = None`) the choice is made from the
+    * optimizer's size estimate: materialize when the points plan's
+    * sizeInBytes fits in half the JVM heap (headroom for the per-round
+    * assignment checkpoints and execution memory). Parquet-backed plans
+    * estimate from file sizes; a derived plan with no stats inherits the
+    * scan estimate through Catalyst's per-operator propagation, which is
+    * the right order of magnitude for the projections callers feed here.
+    * Single-round callers always skip the cut — materialization would
+    * cost more than it saves.
     *
     * Early stop composes with fixed-round replay verification: once at
     * the fixed point, further rounds are the identity, so a verifier
@@ -92,12 +110,16 @@ object KMeansOps {
     */
   def lloydTrain(points: DataFrame, idCol: String, vecCol: String,
       seed: DataFrame, dim: Int, maxIter: Int,
-      materializePoints: Boolean = true): DataFrame = {
+      materializePoints: Option[Boolean] = None): DataFrame = {
     require(maxIter >= 1,
       s"lloydTrain needs maxIter >= 1 (got $maxIter): the result is the " +
         "last completed lloydStep, so zero iterations has no output")
+    val doMaterialize = materializePoints.getOrElse {
+      points.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(Runtime.getRuntime.maxMemory) / 2
+    }
     val pts =
-      if (materializePoints && maxIter > 1) points.localCheckpoint()
+      if (doMaterialize && maxIter > 1) points.localCheckpoint()
       else points
     var cents = seed
     var prev: Option[DataFrame] = None

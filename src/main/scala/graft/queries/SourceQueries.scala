@@ -165,7 +165,10 @@ object SourceQueries extends QueryFamily {
       Some(mediaFeaturesOracleSql)),
 
     // Multimodal — nearest-neighbor resize of decoded PPM image rows;
-    // payload_md5 locks the re-encoded container bytes, not just shapes.
+    // payload_hex_md5 locks the re-encoded container bytes, not just
+    // shapes. Named _hex_md5 because it is md5 of the LOWERCASE HEX of the
+    // payload, NOT md5 of the raw container bytes - do not compare it
+    // against a real container digest.
     // The hash is md5 over the payload's lowercase hex (not the raw
     // blob) so it replays in DuckDB, where the oracle reconstructs the
     // entire re-encoded container — ASCII header hex + the
@@ -177,13 +180,15 @@ object SourceQueries extends QueryFamily {
         Multimodal.resize(Multimodal.syntheticMedia(s, 64), outW = 4, outH = 2)
           .select(col("media_id"), col("out_width"), col("out_height"),
             size(col("pixels")).as("n_pixels"),
-            md5(lower(hex(col("payload")))).as("payload_md5"))
+            md5(lower(hex(col("payload")))).as("payload_hex_md5"))
           .orderBy("media_id")
       },
       Some(mediaResizeOracleSql)),
 
     // Multimodal — video frame sampling as pure-expression byte slicing
-    // (no decoder in the plan); frames_hash locks the sliced YUV bytes.
+    // (no decoder in the plan); frames_md5_xor locks the sliced YUV bytes
+    // (renamed from frames_hash: it is a 60-bit md5-over-hex XOR device,
+    // NOT xxhash64 of the raw frame bytes - see the derivation note below).
     // DuckDB-oracled via an INDEPENDENT derivation: the synthetic Y4M
     // content stream is concatenated md5("media:id:blk") blocks and the
     // 48-byte frame planes align to exactly 3 blocks, so the oracle
@@ -201,7 +206,7 @@ object SourceQueries extends QueryFamily {
           .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"),
             expr("bit_xor(cast(conv(substring(md5(concat(cast(frame_idx as string), " +
               "':', lower(hex(frame_bytes)))), 1, 15), 16, 10) as bigint))")
-              .as("frames_hash"))
+              .as("frames_md5_xor"))
           .orderBy("media_id")
       },
       Some("""WITH vids AS (
@@ -218,7 +223,7 @@ object SourceQueries extends QueryFamily {
              |  count(*) AS n_sampled,
              |  CAST(max(f) AS INT) AS last_frame,
              |  bit_xor(CAST(concat('0x',
-             |    substring(md5(f || ':' || frame_hex), 1, 15)) AS BIGINT)) AS frames_hash
+             |    substring(md5(f || ':' || frame_hex), 1, 15)) AS BIGINT)) AS frames_md5_xor
              |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin)),
 
     // Multimodal — perceptual average-hash image dedup: one decode pass
@@ -445,7 +450,7 @@ object SourceQueries extends QueryFamily {
        |  SELECT media_id, '$hdrHex' || string_agg(h2, '' ORDER BY k) AS ph
        |  FROM hx GROUP BY media_id)
        |SELECT media_id, CAST(4 AS INT) AS out_width, CAST(2 AS INT) AS out_height,
-       |  CAST(8 AS INT) AS n_pixels, md5(ph) AS payload_md5
+       |  CAST(8 AS INT) AS n_pixels, md5(ph) AS payload_hex_md5
        |FROM pay ORDER BY media_id""".stripMargin
   }
 

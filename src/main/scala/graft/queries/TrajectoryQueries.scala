@@ -683,7 +683,12 @@ object TrajectoryQueries extends QueryFamily {
     * accumulated x/y drift — 9 decimals is 6+ orders of slack, and the
     * nation-seeded inputs are SF-invariant, so the comparison is a
     * frozen constant once green. */
-  private[queries] def extrinsicTrajOracleSql: String =
+  private[queries] def extrinsicTrajOracleSql: String = {
+    // camera height from the SAME Config the generator runs with — a
+    // changed zOffsetCm default must move the oracle too, not surface
+    // as an opaque hash mismatch (Double.toString round-trips exactly,
+    // the dl(...) device of behaviorStateCte)
+    val zOffset = BehaviorGenerator.Config().zOffsetCm
     behaviorStateCte(" WHERE n_nationkey < 3") + s"""
        |,tt AS (
        |  SELECT seq, f,
@@ -691,7 +696,7 @@ object TrajectoryQueries extends QueryFamily {
        |    cos(radians(pitch)) AS cp, sin(radians(pitch)) AS sp,
        |    cos(radians(CAST(0 AS DOUBLE))) AS cr, sin(radians(CAST(0 AS DOUBLE))) AS sr,
        |    x * CAST('0.01' AS DOUBLE) AS tx, y * CAST('0.01' AS DOUBLE) AS ty,
-       |    CAST('170.0' AS DOUBLE) * CAST('0.01' AS DOUBLE) AS tz
+       |    CAST('$zOffset' AS DOUBLE) * CAST('0.01' AS DOUBLE) AS tz
        |  FROM pos),
        |rr AS (
        |  SELECT seq, f, tx, ty, tz,
@@ -712,6 +717,7 @@ object TrajectoryQueries extends QueryFamily {
        |  CAST(0 AS DOUBLE) AS m30, CAST(0 AS DOUBLE) AS m31,
        |  CAST(0 AS DOUBLE) AS m32, CAST(1 AS DOUBLE) AS m33
        |FROM rr ORDER BY sequence_id, frame""".stripMargin
+  }
 
   private def behaviorStateCte(jobsWhere: String): String = {
     val cfg = BehaviorGenerator.Config()

@@ -375,7 +375,12 @@ object Stress {
     * results (every real hybrid-retrieval stack) actually pays. Parquet,
     * not localCheckpoint: the harness unpersists all RDD blocks between
     * entries, which would tear a checkpoint out from under the fusion. */
-  private val RrfArmDir = "/tmp/stress_rrf_arms"
+  /** Arm parquet is keyed by the INPUT DIR so a fusion-only run can
+    * never silently read arms built at a different scale factor; a
+    * missing dir fails fast with a pointer at the builder entry. */
+  private def rrfArmDir(d: String): String =
+    "/tmp/stress_rrf_arms_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
 
   private def stressRrfArms(s: SparkSession, d: String): DataFrame = {
     import graft.llmops.{Similarity, SparseSim}
@@ -390,14 +395,21 @@ object Stress {
         emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
         idCol = "vec_id", vecCol = "embedding", k = 20, dim = 64)
       .select(col("query_id").as("qid"), col("cand_id").as("id"), col("rank"))
-    lex.write.mode("overwrite").parquet(s"$RrfArmDir/lex")
-    dense.write.mode("overwrite").parquet(s"$RrfArmDir/dense")
-    s.read.parquet(s"$RrfArmDir/lex")
+    val armDir = rrfArmDir(d)
+    lex.write.mode("overwrite").parquet(s"$armDir/lex")
+    dense.write.mode("overwrite").parquet(s"$armDir/dense")
+    s.read.parquet(s"$armDir/lex")
   }
 
   private def stressRrfFusionOnly(s: SparkSession, d: String): DataFrame = {
-    val lex = s.read.parquet(s"$RrfArmDir/lex")
-    val dense = s.read.parquet(s"$RrfArmDir/dense")
+    val armDir = rrfArmDir(d)
+    if (!new java.io.File(s"$armDir/lex").isDirectory ||
+        !new java.io.File(s"$armDir/dense").isDirectory)
+      sys.error(s"stress_rrf_fusion_only: no materialized arms at $armDir " +
+        s"for input $d - run stress_rrf_arms at the SAME scale factor first " +
+        "(SPARK_GRAFT_STRESS_ONLY=stress_rrf_arms,stress_rrf_fusion_only)")
+    val lex = s.read.parquet(s"$armDir/lex")
+    val dense = s.read.parquet(s"$armDir/dense")
     graft.llmops.Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
       queryCol = "qid", idCol = "id", rankCol = "rank", kRrf = 60, topK = 10)
   }
