@@ -173,4 +173,116 @@ object SparseSim {
       .filter(col("rank") <= k)
       .select("qid", "id", "score_scaled", "n_terms", "rank")
   }
+
+  /** A stored, mergeable BM25 inverted index — the build-once/delta-merge
+    * form of [[bm25Retrieve]]. At 100 TB the index build IS the cost
+    * (the per-round bench's ~130 s class at 64× is almost entirely the
+    * corpus explode + tf shuffle); a daily-crawl deployment amortizes it
+    * by maintaining the index as a registry: new documents' postings are
+    * appended and the per-term/corpus statistics are summed in, never
+    * re-derived from the already-indexed corpus — the
+    * `Dedup.minhashIncrementalNearDups` playbook applied to retrieval.
+    *
+    * Why merge is EXACT (the oracle contract: delta-merged ≡ full
+    * rebuild on the unioned corpus): every stored statistic is either
+    * per-document (`tf`, `len` — untouched by other documents) or an
+    * integer sum over documents (`df`, `n_docs`, `total_tokens` — sums
+    * compose under union). The query-time weights (floor(1e6/df), the
+    * length ratio) are recomputed from the merged sums, so they land on
+    * the same integers the rebuilt index would. `maxDf` is deliberately
+    * NOT baked into the stored `termDf`: a df just under the cap can
+    * cross it when a delta merges in, so the cap must be applied at
+    * query time against the merged df.
+    *
+    * All four tables are plain DataFrames: persist them as parquet
+    * ([[writeIndex]]/[[readIndex]]) and the index survives sessions —
+    * `postings` and `docLens` are append-only under merge (no shuffle:
+    * union of scans), `termDf`/`corpusStats` merge through a
+    * vocabulary-sized (never corpus-sized) aggregation. */
+  final case class Bm25Index(
+      postings: DataFrame,    // (id, term, tf)   one row per doc-term
+      docLens: DataFrame,     // (id, len)        docs with ≥1 term
+      termDf: DataFrame,      // (term, df)       UNFILTERED document freq
+      corpusStats: DataFrame) // (n_docs, total_tokens) exactly one row
+
+  /** Index a corpus from scratch (also the delta builder: index the new
+    * batch alone, then [[mergeIndex]] it into the registry). */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 1): Bm25Index = {
+    val post = tfPostings(corpus, idCol, textCol, ngram)
+    val lens = corpus.select(col(idCol).as("id"),
+        size(termsExpr(col(textCol), ngram)).cast("long").as("len"))
+      .filter(col("len") > 0)
+    val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_tokens"))
+    Bm25Index(post, lens, df_, stats)
+  }
+
+  /** Merge a delta index (a NEW batch of documents, ids disjoint from
+    * the base — the caller's contract, same as `incrementalDedup`'s
+    * registry) into the base. The base's postings are never re-scanned:
+    * per-doc rows union, per-term/corpus sums add. */
+  def mergeIndex(base: Bm25Index, delta: Bm25Index): Bm25Index = {
+    val df_ = base.termDf.unionAll(delta.termDf)
+      .groupBy("term").agg(sum("df").as("df"))
+    val stats = base.corpusStats.unionAll(delta.corpusStats)
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"))
+    Bm25Index(
+      base.postings.unionAll(delta.postings),
+      base.docLens.unionAll(delta.docLens),
+      df_, stats)
+  }
+
+  /** [[bm25Retrieve]]'s exact scoring tree served from a stored index:
+    * the corpus text is never touched — the one corpus-sized cost left
+    * is the postings SCAN (map-side pruned by the broadcast query-term
+    * semi join before any exchange), so query latency is decoupled from
+    * the tokenize/tf-shuffle build cost the registry amortizes. */
+  def queryIndex(index: Bm25Index, queries: DataFrame,
+      qIdCol: String, qTextCol: String,
+      k: Int, maxDf: Long, ngram: Int = 1,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && maxDf >= 1)
+    val qterms = queries.select(col(qIdCol).as("qid"),
+        explode(termsExpr(col(qTextCol), ngram)).as("term"))
+      .distinct()
+    val df_ = index.termDf.filter(col("df") <= maxDf)
+      .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
+    val lenRatio = (col("len") * col("n_docs")).cast("double") /
+      col("total_tokens").cast("double")
+    val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * lenRatio))
+    val scored = index.postings.join(broadcast(qterms), "term")
+      .join(df_, "term")
+      .join(index.docLens, "id")
+      .crossJoin(broadcast(index.corpusStats))
+      .withColumn("_ts", round(col("w").cast("double") * sat).cast("long"))
+      .groupBy("qid", "id")
+      .agg(sum("_ts").as("score_scaled"), count(lit(1)).as("n_terms"))
+    val top = Window.partitionBy("qid")
+      .orderBy(col("score_scaled").desc, col("id"))
+    scored.withColumn("rank", row_number().over(top))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "score_scaled", "n_terms", "rank")
+  }
+
+  /** Persist / load the registry as four parquet tables. `overwrite` on
+    * write: registry updates replace the index dir atomically enough for
+    * a batch pipeline (a production deployment would version the dir). */
+  def writeIndex(index: Bm25Index, dir: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    index.docLens.write.mode("overwrite").parquet(s"$dir/doc_lens")
+    index.termDf.write.mode("overwrite").parquet(s"$dir/term_df")
+    index.corpusStats.write.mode("overwrite").parquet(s"$dir/corpus_stats")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Bm25Index =
+    Bm25Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doc_lens"),
+      spark.read.parquet(s"$dir/term_df"),
+      spark.read.parquet(s"$dir/corpus_stats"))
 }

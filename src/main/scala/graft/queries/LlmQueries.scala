@@ -535,6 +535,94 @@ object LlmQueries extends QueryFamily {
              |WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
              |ORDER BY batch_id, reg_id""".stripMargin)),
 
+    // Incremental END-TO-END curation: the corpus arrives as two ingests
+    // (history doc_id < 300, then the batch) and each batch is filtered
+    // against the ACCUMULATED registry — quality gate, exact dedup vs the
+    // key registry, decontamination, near-dup vs the stored signature
+    // registry plus within-batch — never rescanning history
+    // (Pipelines.curateIncremental). The oracle replays the FULL-CORPUS
+    // filter pipeline (stages 1-4 composed from the four independently-
+    // oracled stage SQLs) restricted to the batch ids: a hash match IS
+    // the batch-over-registry ≡ full-corpus-curate equivalence proof,
+    // which holds because ingest ids are monotonic (see the
+    // curateIncremental scaladoc for the stage-by-stage argument).
+    ("q_curate_incremental",
+      (s: SparkSession, d: String) => {
+        import graft.llmops.Pipelines
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val bench = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
+        def ingest(b: DataFrame, reg: Pipelines.CurationRegistry) =
+          Pipelines.curateIncremental(b, "doc_id", "text", bench, "text",
+            stopwords = Stopwords, minQuality = 0.5, shingleSize = 3,
+            numHashes = 16, rowsPerBand = 4, nearDupThreshold = 0.8,
+            decontamN = 3, registry = reg)
+        val (_, reg1) = ingest(docs.filter(col("doc_id") < 300),
+          Pipelines.CurationRegistry.empty(s, "doc_id", "text"))
+        val (kept, _) = ingest(docs.filter(col("doc_id") >= 300), reg1)
+        kept.select("doc_id", "n_tokens", "quality").orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+             |q AS (
+             |  SELECT doc_id, text, toks,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    least(1.0, CAST(len(toks) AS DOUBLE)/100.0) * 0.4 +
+             |    (1.0 - CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)/len(toks)) * 0.3 +
+             |    CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) * 0.3 AS quality
+             |  FROM t),
+             |qp AS (SELECT * FROM q WHERE quality >= 0.5),
+             |ex AS (
+             |  SELECT doc_id, text, n_tokens, quality FROM (
+             |    SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS key
+             |    FROM qp) f
+             |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY key)),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM ex),
+             |bsh AS (
+             |  SELECT DISTINCT unnest(list_transform(
+             |    range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+             |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingle
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bsh b USING (shingle)),
+             |clean AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+             |csh AS (SELECT s.doc_id, s.shingle FROM sh s JOIN clean c USING (doc_id)),
+             |hb AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substring(md5(shingle),1,15)) AS BIGINT) % ${Dedup.MinhashPrime} AS h
+             |  FROM csh),
+             |sig AS (
+             |  SELECT doc_id,
+             |    ${(0 until 16).map(j => s"min((h * ${Dedup.minhashA(j)} + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j").mkString(", ")}
+             |  FROM hb GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3 AS band_sig FROM sig
+             |  UNION ALL SELECT doc_id, 1, mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7 FROM sig
+             |  UNION ALL SELECT doc_id, 2, mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11 FROM sig
+             |  UNION ALL SELECT doc_id, 3, mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15 FROM sig),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+             |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM csh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+             |  FROM cand c
+             |  JOIN csh x ON x.doc_id = c.id_a
+             |  JOIN csh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+             |  GROUP BY c.id_a, c.id_b),
+             |drops AS (
+             |  SELECT DISTINCT i.id_b FROM inter i
+             |  JOIN sizes sa ON sa.doc_id = i.id_a
+             |  JOIN sizes sb ON sb.doc_id = i.id_b
+             |  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8)
+             |SELECT doc_id, n_tokens, quality FROM clean
+             |WHERE doc_id >= 300 AND doc_id NOT IN (SELECT id_b FROM drops)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Dedup-cluster canonicalization: the verified minhash pairs become
     // edges, connected components group transitive near-dups, and the min
     // doc_id per cluster is the one kept — the standard endgame of a
@@ -2472,42 +2560,31 @@ object LlmQueries extends QueryFamily {
             k = 5, maxDf = 50L, ngram = 2)
           .orderBy("qid", "rank")
       },
-      Some {
-        val (k1, b) = (1.2, 0.75)
-        val (k1p1, oneMb) = ((k1 + 1.0).toString, (1.0 - b).toString)
-        s"""WITH post AS (
-           |  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
-           |    SELECT doc_id AS id, unnest(list_transform(
-           |      range(1, greatest(len(string_split(text, ' ')), 1)),
-           |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
-           |    FROM documents WHERE doc_id >= 10) t
-           |  GROUP BY id, term),
-           |lens AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS len FROM post GROUP BY id),
-           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |  CAST(SUM(len) AS BIGINT) AS total_tokens FROM lens),
-           |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
-           |w AS (SELECT term, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w
-           |  FROM d WHERE df <= 50),
-           |q AS (SELECT DISTINCT qid, term FROM (
-           |    SELECT doc_id AS qid, unnest(list_transform(
-           |      range(1, greatest(len(string_split(text, ' ')), 1)),
-           |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
-           |    FROM documents WHERE doc_id < 10) t),
-           |cand AS (
-           |  SELECT q.qid, p.id, CAST(round(CAST(w.w AS DOUBLE) *
-           |      ((CAST(p.tf AS DOUBLE) * $k1p1) /
-           |       (CAST(p.tf AS DOUBLE) + $k1 * ($oneMb + $b *
-           |        (CAST(l.len * s.n_docs AS DOUBLE)
-           |         / CAST(s.total_tokens AS DOUBLE)))))) AS BIGINT) AS ts
-           |  FROM post p JOIN w USING (term) JOIN q USING (term)
-           |    JOIN lens l ON p.id = l.id, stats s),
-           |sc AS (SELECT qid, id, CAST(SUM(ts) AS BIGINT) AS score_scaled,
-           |  CAST(COUNT(*) AS BIGINT) AS n_terms FROM cand GROUP BY qid, id),
-           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
-           |  ORDER BY score_scaled DESC, id) AS INT) AS rank FROM sc)
-           |SELECT qid, id, score_scaled, n_terms, rank FROM r WHERE rank <= 5
-           |ORDER BY qid, rank""".stripMargin
-      }),
+      Some(bm25FullRebuildOracleSql)),
+
+    // Incremental BM25: the corpus (doc_id >= 10) arrives as a BASE
+    // registry (6/7 of the docs) plus a DELTA batch (doc_id % 7 == 0) —
+    // the daily-crawl shape. The delta is indexed ALONE and merged into
+    // the stored registry (per-doc rows append, per-term df and corpus
+    // stats sum — integer composition, the q_kmv_union playbook), and
+    // retrieval runs off the merged index. The oracle is the FULL
+    // REBUILD on the unioned corpus — q_bm25's own SQL verbatim — so a
+    // hash match IS the proof that delta-merge ≡ rebuild: same top-5,
+    // same exact integer scores, down to the window tie-breaks.
+    ("q_bm25_incremental",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") >= 10)
+        val base = SparseSim.buildIndex(
+          corpus.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", ngram = 2)
+        val delta = SparseSim.buildIndex(
+          corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text", ngram = 2)
+        SparseSim.queryIndex(SparseSim.mergeIndex(base, delta),
+            docs.filter(col("doc_id") < 10), "doc_id", "text",
+            k = 5, maxDf = 50L, ngram = 2)
+          .orderBy("qid", "rank")
+      },
+      Some(bm25FullRebuildOracleSql)),
 
     // Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical arm
     // and the dense-cosine arm (each already bounded to its own top-20
@@ -2984,4 +3061,47 @@ object LlmQueries extends QueryFamily {
              |SELECT vec_id, label, dist2, rank FROM r
              |WHERE rank <= 5 ORDER BY label, rank""".stripMargin))
   )
+
+  /** The BM25 full-rebuild oracle (queries doc_id < 10 against corpus
+    * doc_id >= 10, bigrams, k=5, maxDf=50) — shared VERBATIM by q_bm25
+    * (which scores through [[SparseSim.bm25Retrieve]]) and
+    * q_bm25_incremental (which scores through a delta-merged
+    * [[SparseSim.Bm25Index]]): both hashing green against the same
+    * rebuild SQL is the delta-merge ≡ rebuild equivalence proof. */
+  private def bm25FullRebuildOracleSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val (k1p1, oneMb) = ((k1 + 1.0).toString, (1.0 - b).toString)
+    s"""WITH post AS (
+       |  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id AS id, unnest(list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')), 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
+       |    FROM documents WHERE doc_id >= 10) t
+       |  GROUP BY id, term),
+       |lens AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS len FROM post GROUP BY id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len) AS BIGINT) AS total_tokens FROM lens),
+       |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+       |w AS (SELECT term, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w
+       |  FROM d WHERE df <= 50),
+       |q AS (SELECT DISTINCT qid, term FROM (
+       |    SELECT doc_id AS qid, unnest(list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')), 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
+       |    FROM documents WHERE doc_id < 10) t),
+       |cand AS (
+       |  SELECT q.qid, p.id, CAST(round(CAST(w.w AS DOUBLE) *
+       |      ((CAST(p.tf AS DOUBLE) * $k1p1) /
+       |       (CAST(p.tf AS DOUBLE) + $k1 * ($oneMb + $b *
+       |        (CAST(l.len * s.n_docs AS DOUBLE)
+       |         / CAST(s.total_tokens AS DOUBLE)))))) AS BIGINT) AS ts
+       |  FROM post p JOIN w USING (term) JOIN q USING (term)
+       |    JOIN lens l ON p.id = l.id, stats s),
+       |sc AS (SELECT qid, id, CAST(SUM(ts) AS BIGINT) AS score_scaled,
+       |  CAST(COUNT(*) AS BIGINT) AS n_terms FROM cand GROUP BY qid, id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |  ORDER BY score_scaled DESC, id) AS INT) AS rank FROM sc)
+       |SELECT qid, id, score_scaled, n_terms, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
 }

@@ -414,6 +414,57 @@ object Stress {
       queryCol = "qid", idCol = "id", rankCol = "rank", kRrf = 60, topK = 10)
   }
 
+  /** The incremental-BM25 cost split ([[graft.llmops.SparseSim.Bm25Index]]):
+    * `stress_bm25_index_build` pays the full corpus tokenize + tf shuffle
+    * ONCE and stores the registry (the ~130 s class q_bm25 re-pays every
+    * run); `stress_bm25_query_only` serves the same retrieval from the
+    * stored parquet (no corpus text in the plan); `stress_bm25_delta_update`
+    * indexes a 1/64 batch, merges it into the registry, and writes the
+    * updated registry back — the daily-crawl cost, expected ≪ rebuild.
+    * Same keyed-by-input-dir + fail-fast discipline as the RRF arms. */
+  private def bm25IndexDir(d: String): String =
+    "/tmp/stress_bm25_index_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
+
+  private def requireBm25Index(d: String): Unit =
+    if (!new java.io.File(s"${bm25IndexDir(d)}/postings").isDirectory)
+      sys.error(s"no stored BM25 index at ${bm25IndexDir(d)} for input $d " +
+        "- run stress_bm25_index_build at the SAME scale factor first")
+
+  private def stressBm25IndexBuild(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.SparseSim
+    val docs = graft.model.Tables.documents(s, d)
+    // the registry holds everything but the delta slice (doc_id % 64 == 0),
+    // so the delta-update row below measures a genuinely new batch
+    val base = SparseSim.buildIndex(
+      docs.filter(col("doc_id") >= 10 && col("doc_id") % 64 =!= 0),
+      "doc_id", "text", ngram = 2)
+    SparseSim.writeIndex(base, bm25IndexDir(d))
+    s.read.parquet(s"${bm25IndexDir(d)}/corpus_stats")
+  }
+
+  private def stressBm25QueryOnly(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.SparseSim
+    requireBm25Index(d)
+    val docs = graft.model.Tables.documents(s, d)
+    SparseSim.queryIndex(SparseSim.readIndex(s, bm25IndexDir(d)),
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      k = 5, maxDf = 50L, ngram = 2)
+  }
+
+  private def stressBm25DeltaUpdate(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.SparseSim
+    requireBm25Index(d)
+    val docs = graft.model.Tables.documents(s, d)
+    val delta = SparseSim.buildIndex(
+      docs.filter(col("doc_id") >= 10 && col("doc_id") % 64 === 0),
+      "doc_id", "text", ngram = 2)
+    val merged = SparseSim.mergeIndex(
+      SparseSim.readIndex(s, bm25IndexDir(d)), delta)
+    SparseSim.writeIndex(merged, s"${bm25IndexDir(d)}_merged")
+    s.read.parquet(s"${bm25IndexDir(d)}_merged/corpus_stats")
+  }
+
   /** Multi-source BFS over the full 64× purchase graph (the unbounded
     * analog of q_bfs_hops's kNN-subgraph fixture): seeds are 3 supplier
     * nodes, 4 frontier waves. The bipartite graph is 2-hop-dense
@@ -465,7 +516,10 @@ object Stress {
         "stress_rendezvous_flat64" -> (stressRendezvousFlat64 _),
         "stress_rendezvous_hier64" -> (stressRendezvousHier64 _),
         "stress_rrf_arms" -> (stressRrfArms _),
-        "stress_rrf_fusion_only" -> (stressRrfFusionOnly _))
+        "stress_rrf_fusion_only" -> (stressRrfFusionOnly _),
+        "stress_bm25_index_build" -> (stressBm25IndexBuild _),
+        "stress_bm25_query_only" -> (stressBm25QueryOnly _),
+        "stress_bm25_delta_update" -> (stressBm25DeltaUpdate _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -21,6 +21,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(_.swap) == Map(1 -> 1L, 2 -> 3L, 3 -> 2L))
   }
 
+  test("BM25 index: delta-merge ≡ full rebuild; merged df crosses maxDf; parquet round-trip") {
+    import graft.llmops.SparseSim
+    // 'apple' has df=3 in the base (≤ maxDf=3) but df=4 after the delta
+    // merges in — the query-time cap must prune it POST-merge, which a
+    // build-time-baked cap would miss
+    val base = Seq((10L, "apple banana cherry"), (11L, "apple dog emu"),
+      (12L, "apple fox banana")).toDF("doc_id", "text")
+    val delta = Seq((13L, "apple iris jay"), (14L, "banana kiwi lime"))
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "apple banana fox")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "score_scaled", "n_terms", "rank")
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+    val full = rows(SparseSim.bm25Retrieve(q, "doc_id", "text",
+      base.unionAll(delta), "doc_id", "text", k = 10, maxDf = 3L))
+    val merged = SparseSim.mergeIndex(
+      SparseSim.buildIndex(base, "doc_id", "text"),
+      SparseSim.buildIndex(delta, "doc_id", "text"))
+    val inc = rows(SparseSim.queryIndex(merged, q, "doc_id", "text",
+      k = 10, maxDf = 3L))
+    assert(inc == full && inc.nonEmpty)
+    // apple (merged df=4 > 3) contributes nowhere: doc 13 matches the
+    // query through apple alone, so it must be absent entirely
+    assert(!inc.exists(_._2 == 13L))
+    // registry round-trip through parquet preserves exact scores
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    SparseSim.writeIndex(merged, dir)
+    val reread = rows(SparseSim.queryIndex(SparseSim.readIndex(spark, dir),
+      q, "doc_id", "text", k = 10, maxDf = 3L))
+    assert(reread == full)
+  }
+
   test("SparseSim: identical docs cosine exactly 1; df-1 terms prune; top-k order") {
     import graft.llmops.SparseSim
     val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "a b c"), (4L, "x q r"))
@@ -1396,6 +1428,63 @@ class LlmOpsSpec extends SparkSpec {
     out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
       assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq == (0 until rows.length))
     }
+  }
+
+  test("incremental curate: registry catches batch victims; chaining ≡ full-corpus filter") {
+    import graft.llmops.Pipelines
+    // ingest 1 (the history): a quality doc, a doc that will be cloned,
+    // a doc that will be near-duplicated, and a doc DROPPED as a near-dup
+    // in its own ingest (21 vs 20) whose signature must STILL kill future
+    // dups (the stage-4-participant registry rule)
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (10L, "one two three four five six seven eight nine ten eleven twelve"),
+      (20L, "red orange yellow green blue indigo violet cyan magenta teal maroon navy"),
+      (21L, "red orange yellow green blue indigo violet cyan magenta teal maroon olive"))
+      .toDF("doc_id", "text")
+    // ingest 2 (the batch): one victim per registry stage + the
+    // within-batch cases + one clean survivor
+    val batch = Seq(
+      (100L, "the the the the"),                       // quality-gated
+      (110L, "one two three four five six seven eight nine ten eleven twelve"), // exact clone OF REGISTRY
+      (120L, "red orange yellow green blue indigo violet cyan magenta teal maroon pine"), // near-dup OF 21 (itself dropped)
+      (130L, "contaminated trigram leak plus filler words here now okay fine good yes"),
+      (140L, "sun moon star cloud rain snow wind storm mist frost dew hail"),
+      (141L, "sun moon star cloud rain snow wind storm mist frost dew hail"), // exact clone WITHIN batch
+      (150L, "north south east west up down left right front back inner outer"),
+      (151L, "north south east west up down left right front back inner void")) // near-dup WITHIN batch
+      .toDF("doc_id", "text")
+    val bench = Seq("contaminated trigram leak").toDF("text")
+    def ingest(b: org.apache.spark.sql.DataFrame,
+        reg: Pipelines.CurationRegistry) =
+      Pipelines.curateIncremental(b, "doc_id", "text", bench, "text",
+        stopwords = Seq("the", "a"), minQuality = 0.3, shingleSize = 3,
+        numHashes = 16, rowsPerBand = 1, nearDupThreshold = 0.5,
+        decontamN = 3, registry = reg)
+    val reg0 = Pipelines.CurationRegistry.empty(spark, "doc_id", "text")
+    val (kept1, reg1) = ingest(history, reg0)
+    assert(kept1.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 10L, 20L))
+    // 21 was dropped as 20's near-dup but must sit in the sig registry
+    assert(reg1.sigs.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 10L, 20L, 21L))
+    val (kept2, reg2) = ingest(batch, reg1)
+    assert(kept2.select("doc_id").as[Long].collect().toSet ==
+      Set(140L, 150L))
+    // equivalence: chained ingests ≡ the full-corpus filter pipeline
+    // restricted to the batch ids (same fixed banding)
+    val full = Pipelines.curateFilterStages(history.unionAll(batch),
+      "doc_id", "text", bench, "text", stopwords = Seq("the", "a"),
+      minQuality = 0.3, shingleSize = 3, numHashes = 16, rowsPerBand = 1,
+      nearDupThreshold = 0.5, decontamN = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "quality")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(rows(kept1) ++ rows(kept2) == rows(full))
+    // registries compose: keys grew by the batch's novel keys only
+    // (the five stage-2 survivors: 120, 130, 140, 150, 151)
+    assert(reg2.keys.as[String].collect().length ==
+      reg1.keys.as[String].collect().length + 5)
   }
 
   test("shard manifest flips on any edit, reorder, or loss") {
