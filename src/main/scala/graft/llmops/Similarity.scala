@@ -373,6 +373,78 @@ object Similarity {
       .select("query_id", "cell_id", "cand_id", "cosine", "rank")
   }
 
+  /** A stored, mergeable IVF index — the vector-search member of the
+    * round-10 registry family ([[SparseSim.Bm25Index]],
+    * `Pipelines.CurationRegistry`): centroids are FROZEN at index
+    * creation and every ingest assigns its new vectors against the same
+    * frozen centroids, so per-vector cell assignments are independent of
+    * every other vector and a delta-merged index is EXACTLY the
+    * full-rebuild index (the production vector-DB contract: cells drift
+    * as data drifts and the centroid set is retrained offline — a new
+    * index generation — never mutated in place under queries).
+    *
+    * `assigned` carries the precast vector, its norm, and the cell id —
+    * the query path never re-derives anything corpus-sized. */
+  final case class IvfIndex(
+      centroids: DataFrame, // (cell_id, centroid) — frozen
+      assigned: DataFrame)  // (cand_id, vec, norm, cell_id)
+
+  /** Index a corpus (also the delta builder) against FROZEN centroids. */
+  def ivfBuildIndex(candidates: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int): IvfIndex =
+    IvfIndex(centroids,
+      ivfAssignments(candidates, idCol, vecCol, centroids, dim)
+        .select(col(idCol).as("cand_id"), col("_v").as("vec"),
+          col("_n").as("norm"), col("cell_id")))
+
+  /** Merge a delta (new vectors, assigned against the SAME frozen
+    * centroid table — the caller's contract) into the base: pure
+    * append, no recomputation anywhere. */
+  def ivfMergeIndex(base: IvfIndex, delta: IvfIndex): IvfIndex =
+    IvfIndex(base.centroids, base.assigned.unionAll(delta.assigned))
+
+  /** [[ivfTopK]]'s probe+search served from a stored index: queries
+    * probe their nProbe cells map-side and join only the stored
+    * assignments — the corpus is never re-assigned or re-normed. Same
+    * EvalBarrier as ivfTopK so an in-memory (not-yet-written) index
+    * doesn't re-run the assignment expression per candidate pair. */
+  def ivfQueryIndex(index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      dim: Int): DataFrame = {
+    val assigned = graft.operators.EvalBarrier(
+      index.assigned.select(col("cand_id"), col("vec").as("_cv"),
+        col("norm").as("_cn"), col("cell_id")),
+      "_cv", "_cn")
+    val probes = probeCells(
+        prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim),
+        index.centroids, nProbe, dim)
+      .select("query_id", "_qv", "_qn", "cell_id")
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    probes.join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", pairCosine(dim))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell_id", "cand_id", "cosine", "rank")
+  }
+
+  /** Persist / load an IVF index segment (two parquet tables). The
+    * assignment pipeline executes exactly once — into the `assigned`
+    * write; the segmented-registry convention is
+    * [[SparseSim.writeIndex]]'s (one segment per ingest, merged at open
+    * time via [[ivfMergeIndex]]). */
+  def ivfWriteIndex(index: IvfIndex, dir: String): Unit = {
+    index.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def ivfReadIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assigned"))
+
   /** Recall@k report: score an APPROXIMATE top-k result (LSH, IVF, PQ,
     * quantized — any (query_id, cand_id) table) against the EXACT one —
     * the index-quality monitor a deployed ANN pipeline runs on a sampled

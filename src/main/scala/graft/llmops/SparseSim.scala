@@ -268,14 +268,34 @@ object SparseSim {
       .select("qid", "id", "score_scaled", "n_terms", "rank")
   }
 
-  /** Persist / load the registry as four parquet tables. `overwrite` on
-    * write: registry updates replace the index dir atomically enough for
-    * a batch pipeline (a production deployment would version the dir). */
+  /** Persist one index SEGMENT as four parquet tables. Only `postings`
+    * is written from the caller's plan; the other three are re-derived
+    * FROM THE WRITTEN PARQUET — they are pure functions of the postings
+    * by the data model's invariants (`len ≡ Σ tf` per doc, `df ≡`
+    * postings rows per term, corpus stats from the lens), so the values
+    * are identical and the corpus-tokenize pipeline executes exactly
+    * ONCE instead of once per output table (the unfixed form re-ran the
+    * explode 4× and blew the 64× stress timebox; postings are the
+    * "expensive to recompute, too big to checkpoint" case, so the cut
+    * goes through the filesystem, not memory).
+    *
+    * Registry layout is SEGMENTED, Lucene-style: each ingest writes its
+    * own segment dir and the registry is the segment LIST
+    * ([[readSegments]] re-merges at open time) — a delta update is
+    * O(batch) I/O, never a rewrite of accumulated history. Writing a
+    * MERGED index through here is compaction: legal, costs the full
+    * rewrite compaction costs. */
   def writeIndex(index: Bm25Index, dir: String): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$dir/postings")
-    index.docLens.write.mode("overwrite").parquet(s"$dir/doc_lens")
-    index.termDf.write.mode("overwrite").parquet(s"$dir/term_df")
-    index.corpusStats.write.mode("overwrite").parquet(s"$dir/corpus_stats")
+    val spark = index.postings.sparkSession
+    val post = spark.read.parquet(s"$dir/postings")
+    post.groupBy("id").agg(sum("tf").as("len"))
+      .write.mode("overwrite").parquet(s"$dir/doc_lens")
+    post.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/term_df")
+    spark.read.parquet(s"$dir/doc_lens")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$dir/corpus_stats")
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession,
@@ -285,4 +305,14 @@ object SparseSim {
       spark.read.parquet(s"$dir/doc_lens"),
       spark.read.parquet(s"$dir/term_df"),
       spark.read.parquet(s"$dir/corpus_stats"))
+
+  /** Open a segmented registry: fold [[mergeIndex]] over the segment
+    * dirs. Postings/doc-lens merge as unions of scans (no shuffle);
+    * term-df/corpus-stats re-merge through a vocabulary-sized (never
+    * corpus-sized) aggregation at open time. */
+  def readSegments(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): Bm25Index = {
+    require(dirs.nonEmpty, "readSegments needs at least one segment dir")
+    dirs.map(readIndex(spark, _)).reduce(mergeIndex)
+  }
 }

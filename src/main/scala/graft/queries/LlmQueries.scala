@@ -1699,38 +1699,34 @@ object LlmQueries extends QueryFamily {
             idCol = "vec_id", vecCol = "embedding", k = 3, nProbe = 2, dim = 64)
           .orderBy("query_id", "rank")
       },
-      Some("""WITH n AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
-             |  FROM embeddings),
-             |c AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 8),
-             |assign AS (
-             |  SELECT vec_id AS cand_id, cell_id FROM (
-             |    SELECT v.vec_id, c.cell_id,
-             |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             |        list_reduce(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]), (x,y) -> x+y)
-             |          / (v.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
-             |    FROM n v, c WHERE v.vec_id >= 8) WHERE rn = 1),
-             |probes AS (
-             |  SELECT vec_id AS query_id, cell_id FROM (
-             |    SELECT v.vec_id, c.cell_id,
-             |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             |        list_reduce(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]), (x,y) -> x+y)
-             |          / (v.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
-             |    FROM n v, c WHERE v.vec_id >= 8 AND v.vec_id < 18) WHERE rn <= 2),
-             |scored AS (
-             |  SELECT p.query_id, p.cell_id, a.cand_id,
-             |    list_reduce(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]), (x2,y2) -> x2+y2)
-             |      / (q.nrm * x.nrm) AS cosine
-             |  FROM probes p
-             |  JOIN assign a ON a.cell_id = p.cell_id AND a.cand_id <> p.query_id
-             |  JOIN n q ON q.vec_id = p.query_id
-             |  JOIN n x ON x.vec_id = a.cand_id),
-             |ranked AS (
-             |  SELECT *, row_number() OVER (PARTITION BY query_id
-             |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM scored)
-             |SELECT query_id, cell_id, cand_id, cosine, CAST(rank AS INT) AS rank
-             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+      Some(ivfFullRebuildOracleSql)),
+
+    // Incremental IVF vector registry: the corpus (vec_id >= 8) arrives
+    // as a base ingest (vec_id % 5 != 0) plus a delta batch, each
+    // assigned against the SAME frozen centroids and merged by pure
+    // append — per-vector assignments are independent of every other
+    // vector, so no ordering constraint is even needed (unlike the BM25
+    // and curation registries' monotonic-id contracts). Oracle is
+    // q_ann_ivf's full-rebuild SQL verbatim: hash match = delta-merge ≡
+    // rebuild for the vector registry.
+    ("q_ivf_incremental",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+        val corpus = emb.filter(col("vec_id") >= 8)
+        val base = Similarity.ivfBuildIndex(
+          corpus.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          centroids, dim = 64)
+        val delta = Similarity.ivfBuildIndex(
+          corpus.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+          centroids, dim = 64)
+        Similarity.ivfQueryIndex(Similarity.ivfMergeIndex(base, delta),
+            emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+            "vec_id", "embedding", k = 3, nProbe = 2, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfFullRebuildOracleSql)),
 
     // Embedding-cosine near-duplicate dedup: exact all-pairs baseline
     // (bounded to vec_id < 2000 — all-pairs is the deliberately quadratic
@@ -3061,6 +3057,46 @@ object LlmQueries extends QueryFamily {
              |SELECT vec_id, label, dist2, rank FROM r
              |WHERE rank <= 5 ORDER BY label, rank""".stripMargin))
   )
+
+  /** The IVF full-rebuild oracle (frozen centroids vec_id < 8, corpus
+    * vec_id >= 8, queries 8..17, k=3, nProbe=2) — shared VERBATIM by
+    * q_ann_ivf (one-shot [[Similarity.ivfTopK]]) and q_ivf_incremental
+    * (a delta-merged [[Similarity.IvfIndex]]): both hashing green against
+    * the same rebuild SQL is the delta-merge ≡ rebuild proof for the
+    * vector registry. */
+  private def ivfFullRebuildOracleSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id AS cand_id, cell_id FROM (
+      |    SELECT v.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]), (x,y) -> x+y)
+      |          / (v.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+      |    FROM n v, c WHERE v.vec_id >= 8) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell_id FROM (
+      |    SELECT v.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]), (x,y) -> x+y)
+      |          / (v.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+      |    FROM n v, c WHERE v.vec_id >= 8 AND v.vec_id < 18) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.query_id, p.cell_id, a.cand_id,
+      |    list_reduce(list_transform(range(1, len(q.e)+1), i -> q.e[i]*x.e[i]), (x2,y2) -> x2+y2)
+      |      / (q.nrm * x.nrm) AS cosine
+      |  FROM probes p
+      |  JOIN assign a ON a.cell_id = p.cell_id AND a.cand_id <> p.query_id
+      |  JOIN n q ON q.vec_id = p.query_id
+      |  JOIN n x ON x.vec_id = a.cand_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, cand_id ASC) AS rank FROM scored)
+      |SELECT query_id, cell_id, cand_id, cosine, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** The BM25 full-rebuild oracle (queries doc_id < 10 against corpus
     * doc_id >= 10, bigrams, k=5, maxDf=50) — shared VERBATIM by q_bm25

@@ -456,13 +456,16 @@ object Stress {
     import graft.llmops.SparseSim
     requireBm25Index(d)
     val docs = graft.model.Tables.documents(s, d)
+    // the registry is SEGMENTED: the update indexes and writes ONLY the
+    // batch's segment (O(batch) work and I/O — history untouched), then
+    // opens the two-segment registry and forces the merged corpus stats,
+    // proving the open path against the freshly-grown registry
     val delta = SparseSim.buildIndex(
       docs.filter(col("doc_id") >= 10 && col("doc_id") % 64 === 0),
       "doc_id", "text", ngram = 2)
-    val merged = SparseSim.mergeIndex(
-      SparseSim.readIndex(s, bm25IndexDir(d)), delta)
-    SparseSim.writeIndex(merged, s"${bm25IndexDir(d)}_merged")
-    s.read.parquet(s"${bm25IndexDir(d)}_merged/corpus_stats")
+    val segDir = s"${bm25IndexDir(d)}_seg1"
+    SparseSim.writeIndex(delta, segDir)
+    SparseSim.readSegments(s, Seq(bm25IndexDir(d), segDir)).corpusStats
   }
 
   /** Multi-source BFS over the full 64× purchase graph (the unbounded

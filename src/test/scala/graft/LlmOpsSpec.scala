@@ -51,6 +51,49 @@ class LlmOpsSpec extends SparkSpec {
     val reread = rows(SparseSim.queryIndex(SparseSim.readIndex(spark, dir),
       q, "doc_id", "text", k = 10, maxDf = 3L))
     assert(reread == full)
+    // segmented registry: base and delta written as SEPARATE segments
+    // (the O(batch) ingest path), re-merged at open time
+    val segBase = java.nio.file.Files.createTempDirectory("bm25seg0").toString
+    val segDelta = java.nio.file.Files.createTempDirectory("bm25seg1").toString
+    SparseSim.writeIndex(SparseSim.buildIndex(base, "doc_id", "text"), segBase)
+    SparseSim.writeIndex(SparseSim.buildIndex(delta, "doc_id", "text"), segDelta)
+    val segs = rows(SparseSim.queryIndex(
+      SparseSim.readSegments(spark, Seq(segBase, segDelta)),
+      q, "doc_id", "text", k = 10, maxDf = 3L))
+    assert(segs == full)
+  }
+
+  test("IVF index: delta-merge ≡ one-shot ivfTopK; parquet round-trip") {
+    // two well-separated cells; corpus split 3/2 into base + delta
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cell_id", "centroid")
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.8f, 0.2f)), (12L, Seq(0.1f, 0.9f)),
+      (13L, Seq(0.95f, 0.05f)), (14L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0f, 0.05f)), (101L, Seq(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cell_id", "cand_id", "cosine", "rank")
+        .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val full = rows(Similarity.ivfTopK(q, corpus, cents,
+      "vec_id", "embedding", k = 2, nProbe = 1, dim = 2))
+    val merged = Similarity.ivfMergeIndex(
+      Similarity.ivfBuildIndex(corpus.filter(col("vec_id") < 13),
+        "vec_id", "embedding", cents, dim = 2),
+      Similarity.ivfBuildIndex(corpus.filter(col("vec_id") >= 13),
+        "vec_id", "embedding", cents, dim = 2))
+    val inc = rows(Similarity.ivfQueryIndex(merged, q,
+      "vec_id", "embedding", k = 2, nProbe = 1, dim = 2))
+    assert(inc == full && inc.nonEmpty)
+    // cell-1 queries only ever see cell-1 candidates under nProbe=1
+    assert(inc.filter(_._1 == 101L).forall(r => Set(12L, 14L).contains(r._3)))
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.ivfWriteIndex(merged, dir)
+    val reread = rows(Similarity.ivfQueryIndex(
+      Similarity.ivfReadIndex(spark, dir), q,
+      "vec_id", "embedding", k = 2, nProbe = 1, dim = 2))
+    assert(reread == full)
   }
 
   test("SparseSim: identical docs cosine exactly 1; df-1 terms prune; top-k order") {
