@@ -208,6 +208,23 @@ object Pipelines {
     (kept, CurationRegistry(newKeys, newSigs, newTexts))
   }
 
+  /** Persist / load the curation registry (three parquet tables — the
+    * [[SparseSim.writeIndex]] convention; one dir per registry
+    * generation, the caller appends batches by writing the UPDATED
+    * registry to a new dir or segmenting per ingest). */
+  def writeRegistry(reg: CurationRegistry, dir: String): Unit = {
+    reg.keys.write.mode("overwrite").parquet(s"$dir/keys")
+    reg.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    reg.texts.write.mode("overwrite").parquet(s"$dir/texts")
+  }
+
+  def readRegistry(spark: org.apache.spark.sql.SparkSession,
+      dir: String): CurationRegistry =
+    CurationRegistry(
+      spark.read.parquet(s"$dir/keys"),
+      spark.read.parquet(s"$dir/sigs"),
+      spark.read.parquet(s"$dir/texts"))
+
   /** [[curate]]'s stages 1–4 with EXPLICIT banding — the full-corpus
     * form [[curateIncremental]] is equivalent to (restricted to the
     * batch ids), kept as a public entry point both for that equivalence

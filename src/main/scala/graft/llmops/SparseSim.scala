@@ -268,6 +268,50 @@ object SparseSim {
       .select("qid", "id", "score_scaled", "n_terms", "rank")
   }
 
+  /** [[cosineTopK]] served from a stored index — the OTHER member of the
+    * ~130 s 64× index-build cost class amortized by the same registry:
+    * the (id, term, tf) postings and raw df the stored [[Bm25Index]]
+    * already carries are exactly this operator's inputs, so one registry
+    * serves both retrieval (BM25) and all-pairs lexical similarity. The
+    * df window (the [2, maxDf] candidate knob) is applied at query time
+    * against the MERGED df — same post-merge-cap rule as [[queryIndex]].
+    * Scoring tree, checkpoint discipline, and output schema are
+    * [[cosineTopK]]'s verbatim; only the postings/df derivation is
+    * replaced by the stored tables. */
+  def cosineTopKIndex(index: Bm25Index, k: Int, maxDf: Long): DataFrame = {
+    require(k >= 1 && maxDf >= 2)
+    val df_ = index.termDf
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
+    // same three-consumer materialize-once as cosineTopK — and the
+    // df-PRUNED weighted postings stay the "cheap to HOLD" side
+    val wpost = index.postings.join(df_, "term").localCheckpoint(true)
+    val norms = wpost.groupBy("id")
+      .agg(sum(col("tf") * col("tf") * col("w")).as("s2"))
+    val a = wpost.select(col("term"), col("id").as("id_a"),
+      col("tf").as("tf_a"), col("w"))
+    val b = wpost.select(col("term"), col("id").as("id_b"),
+      col("tf").as("tf_b"))
+    val pairs = a.join(b, "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("tf_a") * col("tf_b") * col("w")).as("score_num"))
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("neighbor"),
+        col("score_num"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("neighbor"),
+        col("score_num")))
+    val scored = sym
+      .join(norms.select(col("id"), col("s2").as("sa")), "id")
+      .join(norms.select(col("id").as("neighbor"), col("s2").as("sb")), "neighbor")
+      .withColumn("cosine", col("score_num").cast("double")
+        / sqrt(col("sa").cast("double") * col("sb").cast("double")))
+    val top = Window.partitionBy("id")
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(top))
+      .filter(col("rank") <= k)
+      .select("id", "neighbor", "score_num", "cosine", "rank")
+  }
+
   /** Persist one index SEGMENT as four parquet tables. Only `postings`
     * is written from the caller's plan; the other three are re-derived
     * FROM THE WRITTEN PARQUET — they are pure functions of the postings

@@ -2509,38 +2509,28 @@ object LlmQueries extends QueryFamily {
             k = 3, maxDf = 50L, ngram = 2)
           .orderBy("id", "rank")
       },
-      Some("""WITH post AS (
-             |  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
-             |    SELECT doc_id AS id, unnest(list_transform(
-             |      range(1, greatest(len(string_split(text, ' ')), 1)),
-             |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
-             |    FROM documents) t
-             |  GROUP BY id, term),
-             |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
-             |w AS (
-             |  SELECT term, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w FROM d
-             |  WHERE df BETWEEN 2 AND 50),
-             |wp AS (SELECT p.id, p.term, p.tf, w.w FROM post p JOIN w USING (term)),
-             |norms AS (SELECT id, CAST(SUM(tf * tf * w) AS BIGINT) AS s2
-             |  FROM wp GROUP BY id),
-             |pairs AS (
-             |  SELECT a.id AS id_a, b.id AS id_b,
-             |    CAST(SUM(a.tf * b.tf * a.w) AS BIGINT) AS score_num
-             |  FROM wp a JOIN wp b ON a.term = b.term AND a.id < b.id
-             |  GROUP BY 1, 2),
-             |sym AS (
-             |  SELECT id_a AS id, id_b AS neighbor, score_num FROM pairs
-             |  UNION ALL SELECT id_b, id_a, score_num FROM pairs),
-             |sc AS (
-             |  SELECT s.id, s.neighbor, s.score_num,
-             |    CAST(s.score_num AS DOUBLE)
-             |      / sqrt(CAST(na.s2 AS DOUBLE) * CAST(nb.s2 AS DOUBLE)) AS cosine
-             |  FROM sym s JOIN norms na ON s.id = na.id
-             |    JOIN norms nb ON s.neighbor = nb.id),
-             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY id
-             |  ORDER BY cosine DESC, neighbor) AS INT) AS rank FROM sc)
-             |SELECT id, neighbor, score_num, cosine, rank FROM r WHERE rank <= 3
-             |ORDER BY id, rank""".stripMargin)),
+      Some(sparseTopkFullRebuildOracleSql)),
+
+    // All-pairs lexical similarity OFF THE STORED REGISTRY: the same
+    // Bm25Index that serves q_bm25_incremental serves cosineTopK — its
+    // postings/df tables ARE this operator's inputs, so one registry
+    // amortizes both members of the index-build cost class. Base
+    // (doc_id % 7 != 0) + delta segments merged, df window applied to
+    // the MERGED df at query time; oracle is q_sparse_topk's
+    // full-rebuild SQL verbatim, so the hash match proves the stored
+    // form is indistinguishable from rebuild.
+    ("q_sparse_topk_incremental",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val base = SparseSim.buildIndex(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", ngram = 2)
+        val delta = SparseSim.buildIndex(
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", ngram = 2)
+        SparseSim.cosineTopKIndex(SparseSim.mergeIndex(base, delta),
+            k = 3, maxDf = 50L)
+          .orderBy("id", "rank")
+      },
+      Some(sparseTopkFullRebuildOracleSql)),
 
     // BM25-style retrieval (rational IDF, exact integer sums): the first
     // 10 documents as queries against the rest of the corpus — the
@@ -3057,6 +3047,44 @@ object LlmQueries extends QueryFamily {
              |SELECT vec_id, label, dist2, rank FROM r
              |WHERE rank <= 5 ORDER BY label, rank""".stripMargin))
   )
+
+  /** q_sparse_topk's full-rebuild oracle (bigrams, k=3, df window
+    * [2, 50], whole documents table) — shared VERBATIM with
+    * q_sparse_topk_incremental, which computes the same answer through a
+    * delta-merged stored [[SparseSim.Bm25Index]] via cosineTopKIndex. */
+  private def sparseTopkFullRebuildOracleSql: String =
+    """WITH post AS (
+      |  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id AS id, unnest(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')), 1)),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
+      |    FROM documents) t
+      |  GROUP BY id, term),
+      |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+      |w AS (
+      |  SELECT term, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w FROM d
+      |  WHERE df BETWEEN 2 AND 50),
+      |wp AS (SELECT p.id, p.term, p.tf, w.w FROM post p JOIN w USING (term)),
+      |norms AS (SELECT id, CAST(SUM(tf * tf * w) AS BIGINT) AS s2
+      |  FROM wp GROUP BY id),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(SUM(a.tf * b.tf * a.w) AS BIGINT) AS score_num
+      |  FROM wp a JOIN wp b ON a.term = b.term AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT id_a AS id, id_b AS neighbor, score_num FROM pairs
+      |  UNION ALL SELECT id_b, id_a, score_num FROM pairs),
+      |sc AS (
+      |  SELECT s.id, s.neighbor, s.score_num,
+      |    CAST(s.score_num AS DOUBLE)
+      |      / sqrt(CAST(na.s2 AS DOUBLE) * CAST(nb.s2 AS DOUBLE)) AS cosine
+      |  FROM sym s JOIN norms na ON s.id = na.id
+      |    JOIN norms nb ON s.neighbor = nb.id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY id
+      |  ORDER BY cosine DESC, neighbor) AS INT) AS rank FROM sc)
+      |SELECT id, neighbor, score_num, cosine, rank FROM r WHERE rank <= 3
+      |ORDER BY id, rank""".stripMargin
 
   /** The IVF full-rebuild oracle (frozen centroids vec_id < 8, corpus
     * vec_id >= 8, queries 8..17, k=3, nProbe=2) — shared VERBATIM by

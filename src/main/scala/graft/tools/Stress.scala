@@ -468,6 +468,72 @@ object Stress {
     SparseSim.readSegments(s, Seq(bm25IndexDir(d), segDir)).corpusStats
   }
 
+  /** All-pairs lexical similarity off the SAME stored registry the BM25
+    * rows use — isolates cosineTopK's query-only cost (df prune +
+    * self-join + pair agg) from the ~117 s build the registry amortizes.
+    * Opens both segments when the delta row has run, else the base. */
+  private def stressSparseQueryOnly(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.SparseSim
+    requireBm25Index(d)
+    val seg1 = s"${bm25IndexDir(d)}_seg1"
+    val dirs = Seq(bm25IndexDir(d)) ++
+      (if (new java.io.File(s"$seg1/postings").isDirectory) Seq(seg1) else Nil)
+    SparseSim.cosineTopKIndex(SparseSim.readSegments(s, dirs),
+      k = 3, maxDf = 50L)
+  }
+
+  /** The incremental-curation cost split, same protocol as the BM25
+    * rows: `stress_curate_registry_build` ingests the history (all but
+    * the 1/64 delta slice) from an empty registry and STORES the
+    * resulting registry; `stress_curate_delta` ingests the 1/64 batch
+    * against the stored registry — the daily cost, expected ≪ the full
+    * pipeline. Fixed 64×-sized banding via minhashParamsForCorpus on the
+    * fixture count (both rows use the same params — the
+    * curateIncremental contract). */
+  private def curateRegDir(d: String): String =
+    "/tmp/stress_curate_reg_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
+
+  private def curateParams(s: SparkSession, d: String): (Int, Int) = {
+    val n = graft.model.Tables.documents(s, d).count()
+    graft.llmops.Dedup.minhashParamsForCorpus(n, threshold = 0.8,
+      bgSim = 0.3, recall = 0.9)
+  }
+
+  private def stressCurateRegistryBuild(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.Pipelines
+    val docs = graft.model.Tables.documents(s, d).select("doc_id", "text")
+    val bench = graft.model.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
+    val (h, r) = curateParams(s, d)
+    val (kept, reg) = Pipelines.curateIncremental(
+      docs.filter(col("doc_id") % 64 =!= 0), "doc_id", "text",
+      bench, "text", stopwords = Seq("the", "a", "of", "and", "in", "to"),
+      minQuality = 0.5, shingleSize = 3, numHashes = h, rowsPerBand = r,
+      nearDupThreshold = 0.8, decontamN = 3,
+      registry = Pipelines.CurationRegistry.empty(s, "doc_id", "text"))
+    Pipelines.writeRegistry(reg, curateRegDir(d))
+    kept.groupBy().agg(count(lit(1)).as("n_kept"))
+  }
+
+  private def stressCurateDelta(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.Pipelines
+    if (!new java.io.File(s"${curateRegDir(d)}/keys").isDirectory)
+      sys.error(s"no stored curation registry at ${curateRegDir(d)} for " +
+        s"input $d - run stress_curate_registry_build at the SAME scale first")
+    val docs = graft.model.Tables.documents(s, d).select("doc_id", "text")
+    val bench = graft.model.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
+    val (h, r) = curateParams(s, d)
+    val (kept, _) = Pipelines.curateIncremental(
+      docs.filter(col("doc_id") % 64 === 0), "doc_id", "text",
+      bench, "text", stopwords = Seq("the", "a", "of", "and", "in", "to"),
+      minQuality = 0.5, shingleSize = 3, numHashes = h, rowsPerBand = r,
+      nearDupThreshold = 0.8, decontamN = 3,
+      registry = Pipelines.readRegistry(s, curateRegDir(d)))
+    kept.groupBy().agg(count(lit(1)).as("n_kept"))
+  }
+
   /** Multi-source BFS over the full 64× purchase graph (the unbounded
     * analog of q_bfs_hops's kNN-subgraph fixture): seeds are 3 supplier
     * nodes, 4 frontier waves. The bipartite graph is 2-hop-dense
@@ -522,7 +588,10 @@ object Stress {
         "stress_rrf_fusion_only" -> (stressRrfFusionOnly _),
         "stress_bm25_index_build" -> (stressBm25IndexBuild _),
         "stress_bm25_query_only" -> (stressBm25QueryOnly _),
-        "stress_bm25_delta_update" -> (stressBm25DeltaUpdate _))
+        "stress_bm25_delta_update" -> (stressBm25DeltaUpdate _),
+        "stress_sparse_query_only" -> (stressSparseQueryOnly _),
+        "stress_curate_registry_build" -> (stressCurateRegistryBuild _),
+        "stress_curate_delta" -> (stressCurateDelta _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }

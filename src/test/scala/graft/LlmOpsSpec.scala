@@ -61,6 +61,17 @@ class LlmOpsSpec extends SparkSpec {
       SparseSim.readSegments(spark, Seq(segBase, segDelta)),
       q, "doc_id", "text", k = 10, maxDf = 3L))
     assert(segs == full)
+    // the SAME registry serves all-pairs lexical similarity: stored-form
+    // cosineTopK ≡ the from-text form on the unioned corpus
+    def simRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "neighbor", "score_num", "cosine", "rank")
+        .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val simFull = simRows(SparseSim.cosineTopK(base.unionAll(delta),
+      "doc_id", "text", k = 3, maxDf = 4L))
+    val simIdx = simRows(SparseSim.cosineTopKIndex(
+      SparseSim.readSegments(spark, Seq(segBase, segDelta)),
+      k = 3, maxDf = 4L))
+    assert(simIdx == simFull && simIdx.nonEmpty)
   }
 
   test("IVF index: delta-merge ≡ one-shot ivfTopK; parquet round-trip") {

@@ -61,6 +61,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("plan: stored-index BM25 query prunes postings by broadcast terms before any exchange") {
+    val p = plan(SparkEntry.queries("q_bm25_incremental")(spark, sf))
+    // the query-term prune must be a broadcast hash join (corpus postings
+    // stream through map-side), and nothing may enumerate pairs; the only
+    // BroadcastNestedLoop allowed is the documented one-row stats attach
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("plan: FK-chain rollup joins catalog dims with broadcast hash joins") {
     val p = plan(SparkEntry.queries("q_fk_rollup")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
