@@ -534,6 +534,52 @@ object Stress {
     kept.groupBy().agg(count(lit(1)).as("n_kept"))
   }
 
+  /** Hybrid retrieval with BOTH arms served from stored registries —
+    * the registry-family endgame next to `stress_rrf_arms`' ~140 s
+    * build-both-arms-per-run cost: the lexical arm off the stored
+    * [[graft.llmops.SparseSim.Bm25Index]] (built by
+    * stress_bm25_index_build), the dense arm off a stored
+    * [[graft.llmops.Similarity.IvfIndex]] (built here), fused by RRF.
+    * The dense arm is approximate (nProbe-bounded — the production
+    * trade; recall is q_ann_recall's contract), so this row is a COST
+    * row, not an oracle. */
+  private def ivfIndexDir(d: String): String =
+    "/tmp/stress_ivf_index_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
+
+  private def stressIvfIndexBuild(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.Similarity
+    val emb = graft.model.Tables.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    Similarity.ivfWriteIndex(Similarity.ivfBuildIndex(
+      emb.filter(col("vec_id") >= 10), "vec_id", "embedding",
+      centroids, dim = 64), ivfIndexDir(d))
+    s.read.parquet(s"${ivfIndexDir(d)}/centroids")
+  }
+
+  private def stressHybridIndexed(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.{Similarity, SparseSim}
+    requireBm25Index(d)
+    if (!new java.io.File(s"${ivfIndexDir(d)}/assigned").isDirectory)
+      sys.error(s"no stored IVF index at ${ivfIndexDir(d)} for input $d " +
+        "- run stress_ivf_index_build at the SAME scale factor first")
+    val docs = graft.model.Tables.documents(s, d)
+    val emb = graft.model.Tables.embeddings(s, d)
+    val lex = SparseSim.queryIndex(
+        SparseSim.readIndex(s, bm25IndexDir(d)),
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        k = 20, maxDf = 50L, ngram = 2)
+      .select(col("qid"), col("id"), col("rank"))
+    val dense = Similarity.ivfQueryIndex(
+        Similarity.ivfReadIndex(s, ivfIndexDir(d)),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 20, nProbe = 2, dim = 64)
+      .select(col("query_id").as("qid"), col("cand_id").as("id"), col("rank"))
+    Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+      queryCol = "qid", idCol = "id", rankCol = "rank", kRrf = 60, topK = 10)
+  }
+
   /** Multi-source BFS over the full 64× purchase graph (the unbounded
     * analog of q_bfs_hops's kNN-subgraph fixture): seeds are 3 supplier
     * nodes, 4 frontier waves. The bipartite graph is 2-hop-dense
@@ -591,7 +637,9 @@ object Stress {
         "stress_bm25_delta_update" -> (stressBm25DeltaUpdate _),
         "stress_sparse_query_only" -> (stressSparseQueryOnly _),
         "stress_curate_registry_build" -> (stressCurateRegistryBuild _),
-        "stress_curate_delta" -> (stressCurateDelta _))
+        "stress_curate_delta" -> (stressCurateDelta _),
+        "stress_ivf_index_build" -> (stressIvfIndexBuild _),
+        "stress_hybrid_indexed" -> (stressHybridIndexed _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }
