@@ -359,4 +359,19 @@ object SparseSim {
     require(dirs.nonEmpty, "readSegments needs at least one segment dir")
     dirs.map(readIndex(spark, _)).reduce(mergeIndex)
   }
+
+  /** Compact a segment list into one segment at `outDir` (which must not
+    * be one of the inputs — parquet cannot overwrite its own scan).
+    * Costs one full index rewrite — run it when the segment count (and
+    * with it the per-open vocabulary re-merge and the per-query scan fan)
+    * outweighs the rewrite, exactly Lucene's merge policy trade. The
+    * compacted index is value-identical to the segmented open:
+    * writeIndex canonicalizes from the merged postings, and df/lens/
+    * stats are pure functions of them. */
+  def compactSegments(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], outDir: String): Unit = {
+    require(!dirs.contains(outDir),
+      "compactSegments: outDir must be a NEW dir, not an input segment")
+    writeIndex(readSegments(spark, dirs), outDir)
+  }
 }

@@ -72,6 +72,11 @@ class LlmOpsSpec extends SparkSpec {
       SparseSim.readSegments(spark, Seq(segBase, segDelta)),
       k = 3, maxDf = 4L))
     assert(simIdx == simFull && simIdx.nonEmpty)
+    // compaction rewrites the segment list as ONE value-identical segment
+    val compacted = java.nio.file.Files.createTempDirectory("bm25cmp").toString
+    SparseSim.compactSegments(spark, Seq(segBase, segDelta), compacted)
+    assert(rows(SparseSim.queryIndex(SparseSim.readIndex(spark, compacted),
+      q, "doc_id", "text", k = 10, maxDf = 3L)) == full)
   }
 
   test("IVF index: delta-merge ≡ one-shot ivfTopK; parquet round-trip") {
