@@ -96,12 +96,14 @@ object KMeansOps {
     * By default (`materializePoints = None`) the choice is made from the
     * optimizer's size estimate: materialize when the points plan's
     * sizeInBytes fits in half the JVM heap (headroom for the per-round
-    * assignment checkpoints and execution memory). Parquet-backed plans
-    * estimate from file sizes; a derived plan with no stats inherits the
-    * scan estimate through Catalyst's per-operator propagation, which is
-    * the right order of magnitude for the projections callers feed here.
-    * Single-round callers always skip the cut — materialization would
-    * cost more than it saves.
+    * assignment checkpoints and execution memory). Parquet-backed
+    * projections estimate from file sizes — the callers this library
+    * ships. Plans with NO credible estimate (LogicalRDD, prior
+    * checkpoints, join-inflated products report ~Long.MaxValue) default
+    * to MATERIALIZE — unknown means "keep the r9 fix", not "skip it";
+    * the opt-out for genuinely unholdable corpora is explicit
+    * `Some(false)`. Single-round callers always skip the cut —
+    * materialization would cost more than it saves.
     *
     * Early stop composes with fixed-round replay verification: once at
     * the fixed point, further rounds are the identity, so a verifier
@@ -115,8 +117,19 @@ object KMeansOps {
       s"lloydTrain needs maxIter >= 1 (got $maxIter): the result is the " +
         "last completed lloydStep, so zero iterations has no output")
     val doMaterialize = materializePoints.getOrElse {
-      points.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        BigInt(Runtime.getRuntime.maxMemory) / 2
+      // A plan with NO real statistics (LogicalRDD, a prior checkpoint,
+      // join-inflated products) reports spark.sql.defaultSizeInBytes ≈
+      // Long.MaxValue — that is "unknown", not "huge", and treating it
+      // as huge would silently reinstate the 199.9 s recompute-per-round
+      // regression the checkpoint exists to fix. So: materialize unless
+      // the estimate is CREDIBLE and actually exceeds the budget. The
+      // budget is half this JVM's heap — correct for local[n] (the
+      // deployment this library benches, where driver heap IS storage
+      // memory); on a multi-executor cluster pass an explicit
+      // materializePoints instead of relying on the heuristic.
+      val est = points.queryExecution.optimizedPlan.stats.sizeInBytes
+      val credible = est < BigInt(Long.MaxValue) / 4
+      !credible || est <= BigInt(Runtime.getRuntime.maxMemory) / 2
     }
     val pts =
       if (doMaterialize && maxIter > 1) points.localCheckpoint()

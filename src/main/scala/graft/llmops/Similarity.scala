@@ -352,26 +352,12 @@ object Similarity {
     * inverted-file trade: recall bounded by cell spill, cost bounded by
     * |cells probed| / |cells| of the corpus instead of all of it. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int, dim: Int = 0): DataFrame = {
-    val assigned = graft.operators.EvalBarrier(
-      ivfAssignments(candidates, idCol, vecCol, centroids, dim)
-        .select(col(idCol).as("cand_id"), col("_v").as("_cv"),
-          col("_n").as("_cn"), col("cell_id")),
-      "_cv", "_cn")
-    // probe selection is map-side like the assignment: see probeCells
-    val probes = probeCells(
-        prepped(queries, idCol, vecCol, "query_id", "_qv", "_qn", dim),
-        centroids, nProbe, dim)
-      .select("query_id", "_qv", "_qn", "cell_id")
-    val rankW = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("cand_id").asc)
-    probes.join(assigned, Seq("cell_id"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", pairCosine(dim))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select("query_id", "cell_id", "cand_id", "cosine", "rank")
-  }
+      idCol: String, vecCol: String, k: Int, nProbe: Int, dim: Int = 0): DataFrame =
+    // one definition of the probe/score/rank tree: the one-shot form IS
+    // the stored form over a just-built index ([[ivfQueryIndex]]), so
+    // the two can never silently diverge
+    ivfQueryIndex(ivfBuildIndex(candidates, idCol, vecCol, centroids, dim),
+      queries, idCol, vecCol, k, nProbe, dim)
 
   /** A stored, mergeable IVF index — the vector-search member of the
     * round-10 registry family ([[SparseSim.Bm25Index]],

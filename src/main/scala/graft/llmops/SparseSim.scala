@@ -59,45 +59,12 @@ object SparseSim {
     * Output: (id, neighbor, score_num, cosine, rank) — `score_num` is
     * the exact integer numerator, kept for auditability. */
   def cosineTopK(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDf: Long, ngram: Int = 1): DataFrame = {
-    require(k >= 1 && maxDf >= 2)
-    val post = tfPostings(docs, idCol, textCol, ngram)
-    val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
-    // Three consumers (both join sides + norms) each re-derive the
-    // weighted postings otherwise, and the derivation includes a
-    // corpus-sized shuffle (the tf groupBy) — materialize-once applies
-    // (measured at 64× sf0.1 on the unigram form: 27.5 s unmaterialized
-    // → 11.1 s; the bigram form keeps the same three-consumer shape).
-    val wpost = post.join(df_, "term").localCheckpoint(true)
-    // self-norms over the SAME df-pruned weighted postings the pair
-    // scores use — cosine is then exact over the pruned vector space
-    val norms = wpost.groupBy("id")
-      .agg(sum(col("tf") * col("tf") * col("w")).as("s2"))
-    val a = wpost.select(col("term"), col("id").as("id_a"),
-      col("tf").as("tf_a"), col("w"))
-    val b = wpost.select(col("term"), col("id").as("id_b"),
-      col("tf").as("tf_b"))
-    val pairs = a.join(b, "term")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("tf_a") * col("tf_b") * col("w")).as("score_num"))
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("neighbor"),
-        col("score_num"))
-      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("neighbor"),
-        col("score_num")))
-    val scored = sym
-      .join(norms.select(col("id"), col("s2").as("sa")), "id")
-      .join(norms.select(col("id").as("neighbor"), col("s2").as("sb")), "neighbor")
-      .withColumn("cosine", col("score_num").cast("double")
-        / sqrt(col("sa").cast("double") * col("sb").cast("double")))
-    val top = Window.partitionBy("id")
-      .orderBy(col("cosine").desc, col("neighbor"))
-    scored.withColumn("rank", row_number().over(top))
-      .filter(col("rank") <= k)
-      .select("id", "neighbor", "score_num", "cosine", "rank")
-  }
+      k: Int, maxDf: Long, ngram: Int = 1): DataFrame =
+    // one definition of the scoring tree: the one-shot form IS the
+    // stored form over a just-built index (buildIndex's lens/stats are
+    // lazy and unconsumed here — no extra work materializes), so a
+    // tie-break or weighting change can never diverge between the two
+    cosineTopKIndex(buildIndex(docs, idCol, textCol, ngram), k, maxDf)
 
   /** BM25-style query→corpus retrieval, log-free: the standard tf
     * saturation and length normalization with the rational IDF weight
@@ -198,12 +165,24 @@ object SparseSim {
     * ([[writeIndex]]/[[readIndex]]) and the index survives sessions —
     * `postings` and `docLens` are append-only under merge (no shuffle:
     * union of scans), `termDf`/`corpusStats` merge through a
-    * vocabulary-sized (never corpus-sized) aggregation. */
+    * vocabulary-sized (never corpus-sized) aggregation.
+    *
+    * The build-time `ngram` travels WITH the index (in-memory as a case
+    * field, on disk inside corpus_stats): query-time tokenization always
+    * uses the index's own ngram, so the "built bigram, queried unigram →
+    * silently empty join" trap is unrepresentable. corpus_stats also
+    * carries the doc-id watermark ([min_id, max_id]) so the stored-
+    * segment open ([[readSegments]]) can REJECT a double-ingested or
+    * overlapping segment instead of silently double-counting df — the
+    * in-memory [[mergeIndex]] stays lazy (a watermark check there would
+    * force an extra corpus pass on un-written deltas) and trusts the
+    * caller's disjoint-ids contract, which the oracle protects. */
   final case class Bm25Index(
       postings: DataFrame,    // (id, term, tf)   one row per doc-term
       docLens: DataFrame,     // (id, len)        docs with ≥1 term
       termDf: DataFrame,      // (term, df)       UNFILTERED document freq
-      corpusStats: DataFrame) // (n_docs, total_tokens) exactly one row
+      corpusStats: DataFrame, // (n_docs, total_tokens, min_id, max_id) one row
+      ngram: Int)
 
   /** Index a corpus from scratch (also the delta builder: index the new
     * batch alone, then [[mergeIndex]] it into the registry). */
@@ -215,24 +194,30 @@ object SparseSim {
       .filter(col("len") > 0)
     val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum("len").as("total_tokens"))
-    Bm25Index(post, lens, df_, stats)
+      sum("len").as("total_tokens"),
+      min("id").as("min_id"), max("id").as("max_id"))
+    Bm25Index(post, lens, df_, stats, ngram)
   }
 
   /** Merge a delta index (a NEW batch of documents, ids disjoint from
     * the base — the caller's contract, same as `incrementalDedup`'s
-    * registry) into the base. The base's postings are never re-scanned:
-    * per-doc rows union, per-term/corpus sums add. */
+    * registry; [[readSegments]] enforces it for stored segments) into
+    * the base. The base's postings are never re-scanned: per-doc rows
+    * union, per-term/corpus sums add. */
   def mergeIndex(base: Bm25Index, delta: Bm25Index): Bm25Index = {
+    require(base.ngram == delta.ngram,
+      s"mergeIndex: ngram mismatch (base ${base.ngram}, delta " +
+        s"${delta.ngram}) - the indexes tokenize different term spaces")
     val df_ = base.termDf.unionAll(delta.termDf)
       .groupBy("term").agg(sum("df").as("df"))
     val stats = base.corpusStats.unionAll(delta.corpusStats)
       .agg(sum("n_docs").as("n_docs"),
-        sum("total_tokens").as("total_tokens"))
+        sum("total_tokens").as("total_tokens"),
+        min("min_id").as("min_id"), max("max_id").as("max_id"))
     Bm25Index(
       base.postings.unionAll(delta.postings),
       base.docLens.unionAll(delta.docLens),
-      df_, stats)
+      df_, stats, base.ngram)
   }
 
   /** [[bm25Retrieve]]'s exact scoring tree served from a stored index:
@@ -242,11 +227,13 @@ object SparseSim {
     * the tokenize/tf-shuffle build cost the registry amortizes. */
   def queryIndex(index: Bm25Index, queries: DataFrame,
       qIdCol: String, qTextCol: String,
-      k: Int, maxDf: Long, ngram: Int = 1,
+      k: Int, maxDf: Long,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1 && maxDf >= 1)
+    // tokenize queries with the INDEX's ngram — not a caller parameter,
+    // so a build/query term-space mismatch cannot exist
     val qterms = queries.select(col(qIdCol).as("qid"),
-        explode(termsExpr(col(qTextCol), ngram)).as("term"))
+        explode(termsExpr(col(qTextCol), index.ngram)).as("term"))
       .distinct()
     val df_ = index.termDf.filter(col("df") <= maxDf)
       .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
@@ -257,7 +244,8 @@ object SparseSim {
     val scored = index.postings.join(broadcast(qterms), "term")
       .join(df_, "term")
       .join(index.docLens, "id")
-      .crossJoin(broadcast(index.corpusStats))
+      .crossJoin(broadcast(index.corpusStats
+        .select("n_docs", "total_tokens")))
       .withColumn("_ts", round(col("w").cast("double") * sat).cast("long"))
       .groupBy("qid", "id")
       .agg(sum("_ts").as("score_scaled"), count(lit(1)).as("n_terms"))
@@ -283,8 +271,11 @@ object SparseSim {
     val df_ = index.termDf
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .withColumn("w", floor(lit(1000000.0) / col("df")).cast("long"))
-    // same three-consumer materialize-once as cosineTopK — and the
-    // df-PRUNED weighted postings stay the "cheap to HOLD" side
+    // Three consumers (both join sides + norms) each re-derive the
+    // weighted postings otherwise — materialize-once applies (measured
+    // at 64× sf0.1 on the unigram from-text form: 27.5 s unmaterialized
+    // → 11.1 s), and the df-PRUNED postings stay the "cheap to HOLD"
+    // side of the checkpoint rule
     val wpost = index.postings.join(df_, "term").localCheckpoint(true)
     val norms = wpost.groupBy("id")
       .agg(sum(col("tf") * col("tf") * col("w")).as("s2"))
@@ -337,26 +328,56 @@ object SparseSim {
       .write.mode("overwrite").parquet(s"$dir/doc_lens")
     post.groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/term_df")
+    // the one-row stats table carries the index metadata too: the
+    // build-time ngram (so readIndex restores the term space) and the
+    // doc-id watermark (so readSegments can reject overlapping segments)
     spark.read.parquet(s"$dir/doc_lens")
-      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_tokens"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .withColumn("ngram", lit(index.ngram))
       .write.mode("overwrite").parquet(s"$dir/corpus_stats")
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Bm25Index =
+      dir: String): Bm25Index = {
+    val stats = spark.read.parquet(s"$dir/corpus_stats")
+    // one-row parquet — collecting the metadata at open time is free
+    val ngram = stats.select("ngram").head().getInt(0)
     Bm25Index(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doc_lens"),
       spark.read.parquet(s"$dir/term_df"),
-      spark.read.parquet(s"$dir/corpus_stats"))
+      stats.drop("ngram"),
+      ngram)
+  }
 
   /** Open a segmented registry: fold [[mergeIndex]] over the segment
     * dirs. Postings/doc-lens merge as unions of scans (no shuffle);
     * term-df/corpus-stats re-merge through a vocabulary-sized (never
-    * corpus-sized) aggregation at open time. */
+    * corpus-sized) aggregation at open time.
+    *
+    * The open REJECTS overlapping doc-id watermarks: a retried ingest
+    * whose segment write already succeeded would otherwise double-count
+    * df/n_docs and duplicate postings SILENTLY (scores inflate, nothing
+    * errors). Disjoint [min_id, max_id] ranges are sufficient under the
+    * monotonic-ingest convention; interleaved-but-disjoint id schemes
+    * must open segments individually and merge in memory. */
   def readSegments(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String]): Bm25Index = {
     require(dirs.nonEmpty, "readSegments needs at least one segment dir")
+    val marks = dirs.flatMap { d =>
+      val r = spark.read.parquet(s"$d/corpus_stats")
+        .select("min_id", "max_id").head()
+      // an empty segment (0 docs) has null watermarks and can't overlap
+      if (r.isNullAt(0)) None else Some((d, r.getLong(0), r.getLong(1)))
+    }.sortBy(_._2)
+    marks.sliding(2).foreach {
+      case Seq((d1, _, hi1), (d2, lo2, _)) if lo2 <= hi1 =>
+        sys.error(s"readSegments: doc-id watermarks overlap between " +
+          s"$d1 (max_id $hi1) and $d2 (min_id $lo2) - same batch " +
+          "ingested twice, or non-monotonic ingest ids")
+      case _ => ()
+    }
     dirs.map(readIndex(spark, _)).reduce(mergeIndex)
   }
 

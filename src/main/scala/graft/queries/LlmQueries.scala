@@ -2567,7 +2567,7 @@ object LlmQueries extends QueryFamily {
           corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text", ngram = 2)
         SparseSim.queryIndex(SparseSim.mergeIndex(base, delta),
             docs.filter(col("doc_id") < 10), "doc_id", "text",
-            k = 5, maxDf = 50L, ngram = 2)
+            k = 5, maxDf = 50L)
           .orderBy("qid", "rank")
       },
       Some(bm25FullRebuildOracleSql)),

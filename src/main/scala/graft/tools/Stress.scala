@@ -449,7 +449,7 @@ object Stress {
     val docs = graft.model.Tables.documents(s, d)
     SparseSim.queryIndex(SparseSim.readIndex(s, bm25IndexDir(d)),
       docs.filter(col("doc_id") < 10), "doc_id", "text",
-      k = 5, maxDf = 50L, ngram = 2)
+      k = 5, maxDf = 50L)
   }
 
   private def stressBm25DeltaUpdate(s: SparkSession, d: String): DataFrame = {
@@ -475,10 +475,15 @@ object Stress {
   private def stressSparseQueryOnly(s: SparkSession, d: String): DataFrame = {
     import graft.llmops.SparseSim
     requireBm25Index(d)
+    // DETERMINISTIC registry state: always the base + delta segments, so
+    // the row means the same work at every scale and run order (a
+    // base-only open would silently time 63/64 of the corpus)
     val seg1 = s"${bm25IndexDir(d)}_seg1"
-    val dirs = Seq(bm25IndexDir(d)) ++
-      (if (new java.io.File(s"$seg1/postings").isDirectory) Seq(seg1) else Nil)
-    SparseSim.cosineTopKIndex(SparseSim.readSegments(s, dirs),
+    if (!new java.io.File(s"$seg1/postings").isDirectory)
+      sys.error(s"stress_sparse_query_only: missing delta segment $seg1 " +
+        "- run stress_bm25_delta_update at the SAME scale factor first")
+    SparseSim.cosineTopKIndex(
+      SparseSim.readSegments(s, Seq(bm25IndexDir(d), seg1)),
       k = 3, maxDf = 50L)
   }
 
@@ -569,7 +574,7 @@ object Stress {
     val lex = SparseSim.queryIndex(
         SparseSim.readIndex(s, bm25IndexDir(d)),
         docs.filter(col("doc_id") < 10), "doc_id", "text",
-        k = 20, maxDf = 50L, ngram = 2)
+        k = 20, maxDf = 50L)
       .select(col("qid"), col("id"), col("rank"))
     val dense = Similarity.ivfQueryIndex(
         Similarity.ivfReadIndex(s, ivfIndexDir(d)),

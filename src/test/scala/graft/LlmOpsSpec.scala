@@ -77,6 +77,17 @@ class LlmOpsSpec extends SparkSpec {
     SparseSim.compactSegments(spark, Seq(segBase, segDelta), compacted)
     assert(rows(SparseSim.queryIndex(SparseSim.readIndex(spark, compacted),
       q, "doc_id", "text", k = 10, maxDf = 3L)) == full)
+    // guard rails: an ngram mismatch refuses to merge (the indexes
+    // tokenize different term spaces), and a double-ingested segment
+    // refuses to OPEN (overlapping doc-id watermarks) instead of
+    // silently double-counting df
+    intercept[IllegalArgumentException] {
+      SparseSim.mergeIndex(SparseSim.buildIndex(base, "doc_id", "text"),
+        SparseSim.buildIndex(delta, "doc_id", "text", ngram = 2))
+    }
+    intercept[RuntimeException] {
+      SparseSim.readSegments(spark, Seq(segBase, segBase))
+    }
   }
 
   test("IVF index: delta-merge ≡ one-shot ivfTopK; parquet round-trip") {
