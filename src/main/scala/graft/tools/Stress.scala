@@ -431,13 +431,25 @@ object Stress {
       sys.error(s"no stored BM25 index at ${bm25IndexDir(d)} for input $d " +
         "- run stress_bm25_index_build at the SAME scale factor first")
 
+  /** The base/delta boundary: a MONOTONIC id split (delta = the top
+    * 1/64 of the id range — the daily-crawl shape readSegments'
+    * watermark check enforces; the earlier interleaved doc_id % 64
+    * split tripped that check by construction). Exact percentile over
+    * the id column — deterministic, so both rows compute the same cut. */
+  private def bm25DeltaCut(s: SparkSession, d: String): Long =
+    graft.model.Tables.documents(s, d)
+      .filter(col("doc_id") >= 10)
+      .agg(expr("percentile(doc_id, 0.984375)"))
+      .head().getDouble(0).toLong
+
   private def stressBm25IndexBuild(s: SparkSession, d: String): DataFrame = {
     import graft.llmops.SparseSim
     val docs = graft.model.Tables.documents(s, d)
-    // the registry holds everything but the delta slice (doc_id % 64 == 0),
-    // so the delta-update row below measures a genuinely new batch
+    // the registry holds the HISTORY (ids below the cut); the delta-
+    // update row below ingests the genuinely-new top slice
+    val cut = bm25DeltaCut(s, d)
     val base = SparseSim.buildIndex(
-      docs.filter(col("doc_id") >= 10 && col("doc_id") % 64 =!= 0),
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < cut),
       "doc_id", "text", ngram = 2)
     SparseSim.writeIndex(base, bm25IndexDir(d))
     s.read.parquet(s"${bm25IndexDir(d)}/corpus_stats")
@@ -460,8 +472,9 @@ object Stress {
     // batch's segment (O(batch) work and I/O — history untouched), then
     // opens the two-segment registry and forces the merged corpus stats,
     // proving the open path against the freshly-grown registry
+    val cut = bm25DeltaCut(s, d)
     val delta = SparseSim.buildIndex(
-      docs.filter(col("doc_id") >= 10 && col("doc_id") % 64 === 0),
+      docs.filter(col("doc_id") >= cut),
       "doc_id", "text", ngram = 2)
     val segDir = s"${bm25IndexDir(d)}_seg1"
     SparseSim.writeIndex(delta, segDir)
