@@ -110,6 +110,15 @@ object KMeansOps {
     * replaying exactly `maxIter` rounds (the DuckDB oracle) lands on the
     * same table whether or not the loop cut out early.
     */
+  /** Source-compat overload: r9 shipped `materializePoints: Boolean` and
+    * named-argument callers (`materializePoints = true`) must keep
+    * compiling after the r10 move to the Option-typed heuristic form. */
+  def lloydTrain(points: DataFrame, idCol: String, vecCol: String,
+      seed: DataFrame, dim: Int, maxIter: Int,
+      materializePoints: Boolean): DataFrame =
+    lloydTrain(points, idCol, vecCol, seed, dim, maxIter,
+      Some(materializePoints))
+
   def lloydTrain(points: DataFrame, idCol: String, vecCol: String,
       seed: DataFrame, dim: Int, maxIter: Int,
       materializePoints: Option[Boolean] = None): DataFrame = {

@@ -163,6 +163,29 @@ object Pipelines {
       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
       nearDupThreshold: Double, decontamN: Int,
       registry: CurationRegistry): (DataFrame, CurationRegistry) = {
+    val (kept, delta) = curateIngest(batch, idCol, textCol,
+      benchmark, benchTextCol, stopwords, minQuality,
+      shingleSize, numHashes, rowsPerBand, nearDupThreshold, decontamN,
+      registry)
+    (kept, mergeRegistry(registry, delta))
+  }
+
+  /** [[curateIncremental]]'s working form, returning the batch's registry
+    * DELTA instead of the merged whole — the segmented-persistence entry
+    * point: the delta is O(batch)-sized, so
+    * [[writeRegistrySegment]](delta, dir) persists one ingest in
+    * O(batch) I/O where [[writeRegistry]] of the merged registry rewrites
+    * all accumulated history (the [[SparseSim.writeIndex]] segment
+    * convention applied to curation state). The delta reuses
+    * [[CurationRegistry]]'s shape — its tables union into the base by
+    * [[mergeRegistry]], which is exactly what the merged-return form
+    * does. */
+  def curateIngest(batch: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      stopwords: Seq[String], minQuality: Double,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int,
+      nearDupThreshold: Double, decontamN: Int,
+      registry: CurationRegistry): (DataFrame, CurationRegistry) = {
     // 1. quality gate (all input columns pass through)
     val scored = batch
       .withColumn("n_tokens", TextStats.tokenCount(col(textCol)).cast("long"))
@@ -174,8 +197,7 @@ object Pipelines {
     val exact = Dedup.incrementalDedup(scored, idCol,
         TextStats.fingerprint(col(textCol)), registry.keys, "dedup_key")
       .localCheckpoint()
-    val newKeys = registry.keys
-      .unionAll(exact.select(col("dedup_key")))
+    val deltaKeys = exact.select(col("dedup_key"))
     val exactDocs = exact.drop("dedup_key", "group_size")
     // 3. decontamination (static benchmark; per-doc, so registry-free).
     // Checkpointed: feeds the within-batch pair search, the cross-
@@ -199,23 +221,54 @@ object Pipelines {
     // (kept or near-dup-dropped — see CurationRegistry), new keys.
     val eligible = clean.filter(
       size(split(col(textCol), " ")) >= shingleSize)
-    val newSigs = registry.sigs.unionAll(
-      Dedup.minhashSignatureArray(
-        Dedup.shingleSets(eligible, idCol, textCol, shingleSize),
-        idCol, numHashes))
-    val newTexts = registry.texts.unionAll(
-      eligible.select(col(idCol), col(textCol)))
-    (kept, CurationRegistry(newKeys, newSigs, newTexts))
+    val deltaSigs = Dedup.minhashSignatureArray(
+      Dedup.shingleSets(eligible, idCol, textCol, shingleSize),
+      idCol, numHashes)
+    val deltaTexts = eligible.select(col(idCol), col(textCol))
+    (kept, CurationRegistry(deltaKeys, deltaSigs, deltaTexts))
   }
 
-  /** Persist / load the curation registry (three parquet tables — the
-    * [[SparseSim.writeIndex]] convention; one dir per registry
-    * generation, the caller appends batches by writing the UPDATED
-    * registry to a new dir or segmenting per ingest). */
-  def writeRegistry(reg: CurationRegistry, dir: String): Unit = {
+  /** Union a registry delta (one ingest's contributions, as returned by
+    * [[curateIngest]]) into the base — per-table unions, no shuffle
+    * anywhere. Key rows may duplicate across merges of the SAME content
+    * re-fingerprinted (membership semantics are unchanged under
+    * duplicates); sig/text rows never should, which is what the
+    * segmented open's watermark guard protects. */
+  def mergeRegistry(base: CurationRegistry,
+      delta: CurationRegistry): CurationRegistry =
+    CurationRegistry(base.keys.unionAll(delta.keys),
+      base.sigs.unionAll(delta.sigs),
+      base.texts.unionAll(delta.texts))
+
+  /** Persist the WHOLE registry as one dir (three parquet tables).
+    * This is the O(history) rewrite: every accumulated key/sig/text row
+    * is written again. Deployments that ingest daily should instead
+    * persist each ingest's DELTA with [[writeRegistrySegment]] — O(batch)
+    * I/O — and open via [[readRegistrySegments]]; writing a merged
+    * registry through here is compaction, legal at compaction's full-
+    * rewrite cost (see [[compactRegistrySegments]]). Publishes
+    * atomically (temp dir + rename, [[SegmentIO.publish]]). */
+  def writeRegistry(reg: CurationRegistry, dir: String): Unit =
+    SegmentIO.publish(reg.keys.sparkSession, dir)(writeRegistryTables(reg, _))
+
+  private def writeRegistryTables(reg: CurationRegistry, dir: String): Unit = {
     reg.keys.write.mode("overwrite").parquet(s"$dir/keys")
     reg.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
     reg.texts.write.mode("overwrite").parquet(s"$dir/texts")
+    // one-row stats: the ingest-id watermark readRegistrySegments needs
+    // to reject a double-ingested segment. Marks cover the stage-4
+    // participants (sigs/texts rows — the tables that INFLATE under
+    // double-ingest); key rows are membership sets, semantically
+    // idempotent under duplication. Derived from the WRITTEN parquet
+    // (the SparseSim.writeIndex rule — one execution of the sig
+    // pipeline, into the write).
+    val spark = reg.keys.sparkSession
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val idCol = sigs.columns.head
+    sigs.agg(count(lit(1)).as("n_sigs"),
+        min(col(idCol)).cast("long").as("min_id"),
+        max(col(idCol)).cast("long").as("max_id"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   def readRegistry(spark: org.apache.spark.sql.SparkSession,
@@ -224,6 +277,58 @@ object Pipelines {
       spark.read.parquet(s"$dir/keys"),
       spark.read.parquet(s"$dir/sigs"),
       spark.read.parquet(s"$dir/texts"))
+
+  /** Persist one ingest's registry DELTA (as returned by
+    * [[curateIngest]]) as a segment dir — O(batch) I/O, history
+    * untouched; the registry is the segment LIST, re-merged at open by
+    * [[readRegistrySegments]]. Same layout as [[writeRegistry]] (a
+    * segment IS a registry dir), so the name only marks intent. */
+  def writeRegistrySegment(delta: CurationRegistry, dir: String): Unit =
+    writeRegistry(delta, dir)
+
+  /** Open a segmented curation registry: per-table unions across the
+    * segment dirs (no shuffle — unions of scans). The open REJECTS
+    * overlapping ingest-id watermarks: a retried ingest whose segment
+    * write already succeeded would otherwise duplicate every stored
+    * signature and text row SILENTLY — each batch doc then near-dup-
+    * matches the duplicate registry rows, and candidate volume doubles.
+    * Disjoint [min_id, max_id] ranges are sufficient under the
+    * monotonic-ingest-id contract curateIncremental's equivalence
+    * already assumes; a sig-less segment (every doc shorter than the
+    * shingle size) has null marks and cannot overlap. */
+  def readRegistrySegments(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): CurationRegistry = {
+    require(dirs.nonEmpty,
+      "readRegistrySegments needs at least one segment dir")
+    val marks = dirs.flatMap { d =>
+      val r = spark.read.parquet(s"$d/stats")
+        .select(col("min_id").cast("long"), col("max_id").cast("long"))
+        .head()
+      if (r.isNullAt(0)) None else Some((d, r.getLong(0), r.getLong(1)))
+    }.sortBy(_._2)
+    marks.sliding(2).foreach {
+      case Seq((d1, _, hi1), (d2, lo2, _)) if lo2 <= hi1 =>
+        sys.error(s"readRegistrySegments: ingest-id watermarks overlap " +
+          s"between $d1 (max_id $hi1) and $d2 (min_id $lo2) - same batch " +
+          "ingested twice, or non-monotonic ingest ids")
+      case _ => ()
+    }
+    dirs.map(readRegistry(spark, _)).reduce(mergeRegistry)
+  }
+
+  /** Compact a segment list into one segment at `outDir` (which must not
+    * alias an input — canonical-path guarded; parquet cannot overwrite
+    * its own scan). Costs one full registry rewrite — run it when the
+    * per-open union fan outweighs the rewrite, the Lucene merge-policy
+    * trade [[SparseSim.compactSegments]] documents with measurements. */
+  def compactRegistrySegments(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], outDir: String): Unit = {
+    require(!dirs.map(SegmentIO.canonicalPath)
+        .contains(SegmentIO.canonicalPath(outDir)),
+      "compactRegistrySegments: outDir must be a NEW dir, not an input " +
+        "segment")
+    writeRegistry(readRegistrySegments(spark, dirs), outDir)
+  }
 
   /** [[curate]]'s stages 1–4 with EXPLICIT banding — the full-corpus
     * form [[curateIncremental]] is equivalent to (restricted to the

@@ -375,19 +375,64 @@ object Similarity {
       centroids: DataFrame, // (cell_id, centroid) — frozen
       assigned: DataFrame)  // (cand_id, vec, norm, cell_id)
 
-  /** Index a corpus (also the delta builder) against FROZEN centroids. */
+  /** Index a corpus (also the delta builder) against FROZEN centroids.
+    * Vector ids must be integral (normalized to long) — the stored-
+    * segment watermark guard ([[ivfReadSegments]]) orders them, the
+    * same convention as [[SparseSim.buildIndex]]. */
   def ivfBuildIndex(candidates: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, dim: Int): IvfIndex =
+      centroids: DataFrame, dim: Int): IvfIndex = {
+    import org.apache.spark.sql.types._
+    val idType = candidates.schema(idCol).dataType
+    require(Seq[DataType](LongType, IntegerType, ShortType, ByteType)
+        .contains(idType),
+      s"ivfBuildIndex: id column '$idCol' must be integral (got $idType)" +
+        " - the segment watermark convention orders ids as longs")
     IvfIndex(centroids,
       ivfAssignments(candidates, idCol, vecCol, centroids, dim)
-        .select(col(idCol).as("cand_id"), col("_v").as("vec"),
+        .select(col(idCol).cast("long").as("cand_id"), col("_v").as("vec"),
           col("_n").as("norm"), col("cell_id")))
+  }
+
+  /** Driver-side fingerprint of a centroid table — the identity of a
+    * centroid GENERATION. Centroid tables are small by the IVF contract
+    * (cells ≪ corpus; they broadcast in every probe plan), so one
+    * sorted collect + md5 is free next to any index operation, and it
+    * buys merge/open a hard guard against the silent-misuse trap:
+    * segments assigned against DIFFERENT centroid generations merge
+    * without error but mis-place every delta vector (queries probe the
+    * base's cells, the delta's assignments mean the delta's cells).
+    * Rendering is the JVM's shortest-roundtrip float/double toString —
+    * deterministic for equal values, and any real retrain changes many
+    * coordinates, not last-ulp noise. */
+  def centroidFingerprint(centroids: DataFrame): String = {
+    val rows = centroids.select(col("cell_id"), col("centroid"))
+      .orderBy("cell_id").collect()
+    val repr = rows.map { r =>
+      s"${r.get(0)}:${r.getSeq[Any](1).map(String.valueOf).mkString(",")}"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Merge a delta (new vectors, assigned against the SAME frozen
-    * centroid table — the caller's contract) into the base: pure
-    * append, no recomputation anywhere. */
-  def ivfMergeIndex(base: IvfIndex, delta: IvfIndex): IvfIndex =
+    * centroid table) into the base: pure append, no recomputation
+    * anywhere — but the same-generation contract is ENFORCED, not
+    * trusted: mismatched centroid fingerprints refuse to merge (the
+    * failure is otherwise silent — every delta vector lands in a cell
+    * the base's probe geometry doesn't mean). The common same-object
+    * case (base and delta built from one centroids val) short-circuits
+    * the two collects. */
+  def ivfMergeIndex(base: IvfIndex, delta: IvfIndex): IvfIndex = {
+    if (!(base.centroids eq delta.centroids)) {
+      val (fb, fd) = (centroidFingerprint(base.centroids),
+        centroidFingerprint(delta.centroids))
+      require(fb == fd,
+        s"ivfMergeIndex: centroid generations differ (base $fb, delta " +
+          s"$fd) - merging would mis-assign every delta vector; retrain " +
+          "produces a NEW index generation, never a merge")
+    }
     IvfIndex(base.centroids, base.assigned.unionAll(delta.assigned))
+  }
 
   /** [[ivfTopK]]'s probe+search served from a stored index: queries
     * probe their nProbe cells map-side and join only the stored
@@ -415,14 +460,29 @@ object Similarity {
       .select("query_id", "cell_id", "cand_id", "cosine", "rank")
   }
 
-  /** Persist / load an IVF index segment (two parquet tables). The
-    * assignment pipeline executes exactly once — into the `assigned`
-    * write; the segmented-registry convention is
-    * [[SparseSim.writeIndex]]'s (one segment per ingest, merged at open
-    * time via [[ivfMergeIndex]]). */
+  /** Persist an IVF index segment: the two tables plus a one-row `stats`
+    * table carrying the centroid-generation fingerprint and the vector-id
+    * watermark — the metadata [[ivfReadSegments]] needs to REJECT the two
+    * silent-misuse traps (cross-generation merge, double ingest) its BM25
+    * sibling's guards already reject. The assignment pipeline executes
+    * exactly once — into the `assigned` write; stats derive from the
+    * WRITTEN parquet (the [[SparseSim.writeIndex]] rule), and the whole
+    * segment publishes via [[SegmentIO.publish]] (temp dir + one
+    * rename), so a crash mid-write can't leave assignments beside a
+    * stale fingerprint. */
   def ivfWriteIndex(index: IvfIndex, dir: String): Unit = {
-    index.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
-    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val spark = index.assigned.sparkSession
+    SegmentIO.publish(spark, dir) { tmp =>
+      index.assigned.write.mode("overwrite").parquet(s"$tmp/assigned")
+      index.centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+      spark.read.parquet(s"$tmp/assigned")
+        .agg(count(lit(1)).as("n_vectors"),
+          min("cand_id").cast("long").as("min_id"),
+          max("cand_id").cast("long").as("max_id"))
+        .withColumn("centroid_fp",
+          lit(centroidFingerprint(spark.read.parquet(s"$tmp/centroids"))))
+        .write.mode("overwrite").parquet(s"$tmp/stats")
+    }
   }
 
   def ivfReadIndex(spark: org.apache.spark.sql.SparkSession,
@@ -430,6 +490,52 @@ object Similarity {
     IvfIndex(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/assigned"))
+
+  /** Open a segmented IVF registry (one segment dir per ingest — the
+    * [[SparseSim.readSegments]] convention). The open REJECTS, loudly:
+    *
+    *  - segments whose stored centroid fingerprints differ — built
+    *    against different centroid generations, their cell ids don't
+    *    mean the same geometry and a merged open would silently
+    *    mis-place every vector of the minority generation;
+    *  - overlapping vector-id watermarks — a retried ingest whose write
+    *    already succeeded would double-count its vectors (each appears
+    *    twice in every probed cell, k slots burn on duplicates).
+    *
+    * Disjoint [min_id, max_id] ranges are sufficient under monotonic
+    * ingest ids; interleaved-but-disjoint schemes must open segments
+    * individually and merge in memory. */
+  def ivfReadSegments(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): IvfIndex = {
+    require(dirs.nonEmpty, "ivfReadSegments needs at least one segment dir")
+    val metas = dirs.map { d =>
+      val r = spark.read.parquet(s"$d/stats")
+        .select(col("centroid_fp"), col("min_id").cast("long"),
+          col("max_id").cast("long")).head()
+      (d, r.getString(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))
+    }
+    metas.foreach { case (d, fp, _) =>
+      require(fp == metas.head._2,
+        s"ivfReadSegments: centroid generations differ between " +
+          s"${metas.head._1} (${metas.head._2}) and $d ($fp) - segments " +
+          "from different generations cannot serve one probe geometry")
+    }
+    val marks = metas.collect { case (d, _, Some((lo, hi))) => (d, lo, hi) }
+      .sortBy(_._2)
+    marks.sliding(2).foreach {
+      case Seq((d1, _, hi1), (d2, lo2, _)) if lo2 <= hi1 =>
+        sys.error(s"ivfReadSegments: vector-id watermarks overlap between " +
+          s"$d1 (max_id $hi1) and $d2 (min_id $lo2) - same batch " +
+          "ingested twice, or non-monotonic ingest ids")
+      case _ => ()
+    }
+    // fingerprints verified equal above, so the fold's own guard passes
+    // on the first segment's centroid table without re-collecting per
+    // pair (centroids is the same object through every merge)
+    dirs.map(ivfReadIndex(spark, _))
+      .reduce((a, b) => IvfIndex(a.centroids, a.assigned.unionAll(b.assigned)))
+  }
 
   /** Recall@k report: score an APPROXIMATE top-k result (LSH, IVF, PQ,
     * quantized — any (query_id, cand_id) table) against the EXACT one —

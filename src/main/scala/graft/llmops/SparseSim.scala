@@ -178,18 +178,43 @@ object SparseSim {
     * force an extra corpus pass on un-written deltas) and trusts the
     * caller's disjoint-ids contract, which the oracle protects. */
   final case class Bm25Index(
-      postings: DataFrame,    // (id, term, tf)   one row per doc-term
+      postings: DataFrame,    // (id, term, tf, len) one row per doc-term
       docLens: DataFrame,     // (id, len)        docs with ≥1 term
       termDf: DataFrame,      // (term, df)       UNFILTERED document freq
       corpusStats: DataFrame, // (n_docs, total_tokens, min_id, max_id) one row
       ngram: Int)
 
   /** Index a corpus from scratch (also the delta builder: index the new
-    * batch alone, then [[mergeIndex]] it into the registry). */
+    * batch alone, then [[mergeIndex]] it into the registry).
+    *
+    * Doc ids must be an integral type — the watermark convention
+    * ([min_id, max_id] ordering, [[readSegments]]' overlap guard) is
+    * meaningless over strings, and the guard reads the stored marks as
+    * longs; ids are normalized to LONG here so an int-id corpus can't
+    * surface later as an opaque ClassCastException at segment open. */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
       ngram: Int = 1): Bm25Index = {
-    val post = tfPostings(corpus, idCol, textCol, ngram)
-    val lens = corpus.select(col(idCol).as("id"),
+    import org.apache.spark.sql.types._
+    val idType = corpus.schema(idCol).dataType
+    require(Seq[DataType](LongType, IntegerType, ShortType, ByteType)
+        .contains(idType),
+      s"buildIndex: doc-id column '$idCol' must be integral (got $idType)" +
+        " - the segment watermark convention orders ids as longs")
+    val docs = corpus.withColumn(idCol, col(idCol).cast("long"))
+    // `len` is DENORMALIZED onto every posting row (8 bytes/row): it is
+    // a per-doc constant computed map-side before the explode (the
+    // `_terms` projection evaluates the tokenizer ONCE; size and explode
+    // both read the array column), and carrying it through the tf
+    // shuffle deletes queryIndex's id-keyed docLens join — which at
+    // deployment scale is a corpus-wide (id, len) shuffle per query
+    // batch (locally AQE broadcasts it; at 100 TB it doesn't fit).
+    val post = docs
+      .select(col(idCol).as("id"), termsExpr(col(textCol), ngram).as("_terms"))
+      .select(col("id"), size(col("_terms")).cast("long").as("len"),
+        explode(col("_terms")).as("term"))
+      .groupBy("id", "term", "len").agg(count(lit(1)).as("tf"))
+      .select("id", "term", "tf", "len")
+    val lens = docs.select(col(idCol).as("id"),
         size(termsExpr(col(textCol), ngram)).cast("long").as("len"))
       .filter(col("len") > 0)
     val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))
@@ -241,9 +266,12 @@ object SparseSim {
       col("total_tokens").cast("double")
     val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * lenRatio))
+    // no docLens join: `len` rides on the posting rows themselves
+    // (denormalized at build time), so the only id-keyed relation in the
+    // query plan is the postings scan — at corpus scale the (id, len)
+    // side was the one join AQE couldn't always broadcast
     val scored = index.postings.join(broadcast(qterms), "term")
       .join(df_, "term")
-      .join(index.docLens, "id")
       .crossJoin(broadcast(index.corpusStats
         .select("n_docs", "total_tokens")))
       .withColumn("_ts", round(col("w").cast("double") * sat).cast("long"))
@@ -276,7 +304,10 @@ object SparseSim {
     // at 64× sf0.1 on the unigram from-text form: 27.5 s unmaterialized
     // → 11.1 s), and the df-PRUNED postings stay the "cheap to HOLD"
     // side of the checkpoint rule
-    val wpost = index.postings.join(df_, "term").localCheckpoint(true)
+    // len is not part of this operator's math — drop it before the
+    // checkpoint so the held table stays (id, term, tf, w)-narrow
+    val wpost = index.postings.select("id", "term", "tf")
+      .join(df_, "term").localCheckpoint(true)
     val norms = wpost.groupBy("id")
       .agg(sum(col("tf") * col("tf") * col("w")).as("s2"))
     val a = wpost.select(col("term"), col("id").as("id_a"),
@@ -319,10 +350,22 @@ object SparseSim {
     * ([[readSegments]] re-merges at open time) — a delta update is
     * O(batch) I/O, never a rewrite of accumulated history. Writing a
     * MERGED index through here is compaction: legal, costs the full
-    * rewrite compaction costs. */
+    * rewrite compaction costs.
+    *
+    * The write publishes via [[SegmentIO.publish]] (temp dir + one
+    * rename): the four tables are written sequentially with stats
+    * derived from the postings, so a crash or retried ingest mid-write
+    * would otherwise leave NEW postings beside STALE stats from a
+    * previous attempt — a segment the watermark guard can still pass
+    * and [[readIndex]] would serve with silently wrong df/scores. */
   def writeIndex(index: Bm25Index, dir: String): Unit = {
-    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
     val spark = index.postings.sparkSession
+    SegmentIO.publish(spark, dir)(writeIndexTables(index, _, spark))
+  }
+
+  private def writeIndexTables(index: Bm25Index, dir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
     val post = spark.read.parquet(s"$dir/postings")
     post.groupBy("id").agg(sum("tf").as("len"))
       .write.mode("overwrite").parquet(s"$dir/doc_lens")
@@ -330,10 +373,12 @@ object SparseSim {
       .write.mode("overwrite").parquet(s"$dir/term_df")
     // the one-row stats table carries the index metadata too: the
     // build-time ngram (so readIndex restores the term space) and the
-    // doc-id watermark (so readSegments can reject overlapping segments)
+    // doc-id watermark (so readSegments can reject overlapping segments;
+    // cast pins the stored marks to LONG — the type the guard reads)
     spark.read.parquet(s"$dir/doc_lens")
       .agg(count(lit(1)).as("n_docs"), sum("len").as("total_tokens"),
-        min("id").as("min_id"), max("id").as("max_id"))
+        min("id").cast("long").as("min_id"),
+        max("id").cast("long").as("max_id"))
       .withColumn("ngram", lit(index.ngram))
       .write.mode("overwrite").parquet(s"$dir/corpus_stats")
   }
@@ -343,9 +388,14 @@ object SparseSim {
     val stats = spark.read.parquet(s"$dir/corpus_stats")
     // one-row parquet — collecting the metadata at open time is free
     val ngram = stats.select("ngram").head().getInt(0)
-    Bm25Index(
-      spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/doc_lens"),
+    val post0 = spark.read.parquet(s"$dir/postings")
+    val lens = spark.read.parquet(s"$dir/doc_lens")
+    // a segment written before len was denormalized onto postings rows
+    // re-attaches it here via the join the denormalization deletes —
+    // paid once per OLD segment, never on the current write path
+    val post = if (post0.columns.contains("len")) post0
+      else post0.join(lens, "id").select("id", "term", "tf", "len")
+    Bm25Index(post, lens,
       spark.read.parquet(s"$dir/term_df"),
       stats.drop("ngram"),
       ngram)
@@ -366,8 +416,12 @@ object SparseSim {
       dirs: Seq[String]): Bm25Index = {
     require(dirs.nonEmpty, "readSegments needs at least one segment dir")
     val marks = dirs.flatMap { d =>
+      // explicit long cast: buildIndex normalizes ids to long and
+      // writeIndex pins the stored marks, but a segment written by an
+      // older build may still carry int marks — read both shapes
       val r = spark.read.parquet(s"$d/corpus_stats")
-        .select("min_id", "max_id").head()
+        .select(col("min_id").cast("long"), col("max_id").cast("long"))
+        .head()
       // an empty segment (0 docs) has null watermarks and can't overlap
       if (r.isNullAt(0)) None else Some((d, r.getLong(0), r.getLong(1)))
     }.sortBy(_._2)
@@ -391,7 +445,11 @@ object SparseSim {
     * stats are pure functions of them. */
   def compactSegments(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String], outDir: String): Unit = {
-    require(!dirs.contains(outDir),
+    // canonical-path compare: a trailing slash, './seg', or symlink alias
+    // of an input would pass a literal string check and the lazy
+    // postings scan would then read the segment the write is truncating
+    require(!dirs.map(SegmentIO.canonicalPath)
+        .contains(SegmentIO.canonicalPath(outDir)),
       "compactSegments: outDir must be a NEW dir, not an input segment")
     writeIndex(readSegments(spark, dirs), outDir)
   }

@@ -540,12 +540,18 @@ object LlmQueries extends QueryFamily {
     // against the ACCUMULATED registry — quality gate, exact dedup vs the
     // key registry, decontamination, near-dup vs the stored signature
     // registry plus within-batch — never rescanning history
-    // (Pipelines.curateIncremental). The oracle replays the FULL-CORPUS
-    // filter pipeline (stages 1-4 composed from the four independently-
-    // oracled stage SQLs) restricted to the batch ids: a hash match IS
-    // the batch-over-registry ≡ full-corpus-curate equivalence proof,
-    // which holds because ingest ids are monotonic (see the
-    // curateIncremental scaladoc for the stage-by-stage argument).
+    // (Pipelines.curateIncremental). The registry state between the two
+    // ingests travels THROUGH THE SEGMENTED PERSISTENCE PATH: ingest 1's
+    // delta is written as a segment (writeRegistrySegment — the O(batch)
+    // daily persistence) and re-opened through the watermark-guarded
+    // readRegistrySegments before ingest 2, so the hash also proves the
+    // store/open round-trip changes nothing. The oracle replays the
+    // FULL-CORPUS filter pipeline (stages 1-4 composed from the four
+    // independently-oracled stage SQLs) restricted to the batch ids: a
+    // hash match IS the batch-over-registry ≡ full-corpus-curate
+    // equivalence proof, which holds because ingest ids are monotonic
+    // (see the curateIncremental scaladoc for the stage-by-stage
+    // argument).
     ("q_curate_incremental",
       (s: SparkSession, d: String) => {
         import graft.llmops.Pipelines
@@ -553,13 +559,17 @@ object LlmQueries extends QueryFamily {
         val bench = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
         def ingest(b: DataFrame, reg: Pipelines.CurationRegistry) =
-          Pipelines.curateIncremental(b, "doc_id", "text", bench, "text",
+          Pipelines.curateIngest(b, "doc_id", "text", bench, "text",
             stopwords = Stopwords, minQuality = 0.5, shingleSize = 3,
             numHashes = 16, rowsPerBand = 4, nearDupThreshold = 0.8,
             decontamN = 3, registry = reg)
-        val (_, reg1) = ingest(docs.filter(col("doc_id") < 300),
+        val (_, delta1) = ingest(docs.filter(col("doc_id") < 300),
           Pipelines.CurationRegistry.empty(s, "doc_id", "text"))
-        val (kept, _) = ingest(docs.filter(col("doc_id") >= 300), reg1)
+        val seg1 = java.nio.file.Files
+          .createTempDirectory("graft_curseg").toString + "/seg1"
+        Pipelines.writeRegistrySegment(delta1, seg1)
+        val (kept, _) = ingest(docs.filter(col("doc_id") >= 300),
+          Pipelines.readRegistrySegments(s, Seq(seg1)))
         kept.select("doc_id", "n_tokens", "quality").orderBy("doc_id")
       },
       Some(s"""WITH t AS (

@@ -501,16 +501,25 @@ object Stress {
   }
 
   /** The incremental-curation cost split, same protocol as the BM25
-    * rows: `stress_curate_registry_build` ingests the history (all but
-    * the 1/64 delta slice) from an empty registry and STORES the
-    * resulting registry; `stress_curate_delta` ingests the 1/64 batch
-    * against the stored registry — the daily cost, expected ≪ the full
-    * pipeline. Fixed 64×-sized banding via minhashParamsForCorpus on the
+    * rows: `stress_curate_registry_build` ingests the history (ids below
+    * the monotonic 1/64 cut) from an empty registry and STORES the
+    * resulting registry; `stress_curate_delta` ingests the top-slice
+    * batch against the stored registry — the daily cost, expected ≪ the
+    * full pipeline. The split is MONOTONIC (same percentile device as
+    * [[bm25DeltaCut]]) because that is curateIncremental's equivalence
+    * contract — an interleaved `id % 64` split silently violates the
+    * "registry ids are all smaller" premise its near-dup drop rule
+    * assumes. Fixed 64×-sized banding via minhashParamsForCorpus on the
     * fixture count (both rows use the same params — the
     * curateIncremental contract). */
   private def curateRegDir(d: String): String =
     "/tmp/stress_curate_reg_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
+
+  private def curateDeltaCut(s: SparkSession, d: String): Long =
+    graft.model.Tables.documents(s, d)
+      .agg(expr("percentile(doc_id, 0.984375)"))
+      .head().getDouble(0).toLong
 
   private def curateParams(s: SparkSession, d: String): (Int, Int) = {
     val n = graft.model.Tables.documents(s, d).count()
@@ -525,7 +534,7 @@ object Stress {
       .filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
     val (h, r) = curateParams(s, d)
     val (kept, reg) = Pipelines.curateIncremental(
-      docs.filter(col("doc_id") % 64 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") < curateDeltaCut(s, d)), "doc_id", "text",
       bench, "text", stopwords = Seq("the", "a", "of", "and", "in", "to"),
       minQuality = 0.5, shingleSize = 3, numHashes = h, rowsPerBand = r,
       nearDupThreshold = 0.8, decontamN = 3,
@@ -544,7 +553,7 @@ object Stress {
       .filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
     val (h, r) = curateParams(s, d)
     val (kept, _) = Pipelines.curateIncremental(
-      docs.filter(col("doc_id") % 64 === 0), "doc_id", "text",
+      docs.filter(col("doc_id") >= curateDeltaCut(s, d)), "doc_id", "text",
       bench, "text", stopwords = Seq("the", "a", "of", "and", "in", "to"),
       minQuality = 0.5, shingleSize = 3, numHashes = h, rowsPerBand = r,
       nearDupThreshold = 0.8, decontamN = 3,

@@ -88,6 +88,26 @@ class LlmOpsSpec extends SparkSpec {
     intercept[RuntimeException] {
       SparseSim.readSegments(spark, Seq(segBase, segBase))
     }
+    // a path ALIAS of an input segment (trailing slash, ./, symlink)
+    // must not slip past compaction's self-overwrite guard — the lazy
+    // postings scan would read the segment the write truncates
+    intercept[IllegalArgumentException] {
+      SparseSim.compactSegments(spark, Seq(segBase, segDelta), segBase + "/")
+    }
+    // string doc ids have no watermark order — rejected at build, not
+    // as a ClassCastException at segment open
+    intercept[IllegalArgumentException] {
+      SparseSim.buildIndex(Seq(("a", "x y")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    // the stored-index query plan carries len ON the posting rows: no
+    // id-keyed join on doc_lens anywhere (the corpus-sized join the
+    // denormalization deletes); doc_lens itself stays a table for the
+    // stats derivation
+    val qplan = SparseSim.queryIndex(SparseSim.readIndex(spark, dir),
+      q, "doc_id", "text", k = 10, maxDf = 3L)
+      .queryExecution.executedPlan.toString
+    assert(!qplan.contains("doc_lens"), qplan)
   }
 
   test("IVF index: delta-merge ≡ one-shot ivfTopK; parquet round-trip") {
@@ -121,6 +141,50 @@ class LlmOpsSpec extends SparkSpec {
       Similarity.ivfReadIndex(spark, dir), q,
       "vec_id", "embedding", k = 2, nProbe = 1, dim = 2))
     assert(reread == full)
+    // segmented registry: base and delta written as SEPARATE segments
+    // (the O(batch) ingest path), watermark- and fingerprint-guarded at
+    // open, value-identical to the in-memory merge
+    val seg0 = java.nio.file.Files.createTempDirectory("ivfseg0").toString
+    val seg1 = java.nio.file.Files.createTempDirectory("ivfseg1").toString
+    val baseIdx = Similarity.ivfBuildIndex(corpus.filter(col("vec_id") < 13),
+      "vec_id", "embedding", cents, dim = 2)
+    val deltaIdx = Similarity.ivfBuildIndex(corpus.filter(col("vec_id") >= 13),
+      "vec_id", "embedding", cents, dim = 2)
+    Similarity.ivfWriteIndex(baseIdx, seg0)
+    Similarity.ivfWriteIndex(deltaIdx, seg1)
+    val segs = rows(Similarity.ivfQueryIndex(
+      Similarity.ivfReadSegments(spark, Seq(seg0, seg1)), q,
+      "vec_id", "embedding", k = 2, nProbe = 1, dim = 2))
+    assert(segs == full)
+    // guard rails, the BM25 standard: (1) a DIFFERENT centroid
+    // generation refuses to merge — the silent trap where every delta
+    // vector lands in a cell the base's probe geometry doesn't mean;
+    // (2) a double-ingested segment refuses to OPEN (overlapping
+    // vector-id watermarks); (3) segments from different generations
+    // refuse to open together
+    val cents2 = Seq((0L, Seq(0.7f, 0.3f)), (1L, Seq(0.3f, 0.7f)))
+      .toDF("cell_id", "centroid")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMergeIndex(baseIdx,
+        Similarity.ivfBuildIndex(corpus.filter(col("vec_id") >= 13),
+          "vec_id", "embedding", cents2, dim = 2))
+    }
+    intercept[RuntimeException] {
+      Similarity.ivfReadSegments(spark, Seq(seg0, seg0))
+    }
+    val segX = java.nio.file.Files.createTempDirectory("ivfsegx").toString
+    Similarity.ivfWriteIndex(
+      Similarity.ivfBuildIndex(corpus.filter(col("vec_id") >= 13),
+        "vec_id", "embedding", cents2, dim = 2), segX)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfReadSegments(spark, Seq(seg0, segX))
+    }
+    // string vector ids rejected at build (watermarks order longs)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfBuildIndex(
+        Seq(("a", Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, dim = 2)
+    }
   }
 
   test("SparseSim: identical docs cosine exactly 1; df-1 terms prune; top-k order") {
@@ -1555,6 +1619,48 @@ class LlmOpsSpec extends SparkSpec {
     // (the five stage-2 survivors: 120, 130, 140, 150, 151)
     assert(reg2.keys.as[String].collect().length ==
       reg1.keys.as[String].collect().length + 5)
+    // SEGMENTED persistence: each ingest's DELTA written as its own
+    // segment dir (O(batch) I/O — the daily path), re-merged at open;
+    // ingest 2 against the segment-opened registry keeps the same docs
+    val (_, delta1) = Pipelines.curateIngest(history, "doc_id", "text",
+      bench, "text", stopwords = Seq("the", "a"), minQuality = 0.3,
+      shingleSize = 3, numHashes = 16, rowsPerBand = 1,
+      nearDupThreshold = 0.5, decontamN = 3, registry = reg0)
+    val seg1 = java.nio.file.Files.createTempDirectory("curseg1").toString
+    Pipelines.writeRegistrySegment(delta1, seg1)
+    val segReg = Pipelines.readRegistrySegments(spark, Seq(seg1))
+    assert(segReg.sigs.select("doc_id").as[Long].collect().toSet ==
+      reg1.sigs.select("doc_id").as[Long].collect().toSet)
+    val (kept2seg, delta2) = Pipelines.curateIngest(batch, "doc_id",
+      "text", bench, "text", stopwords = Seq("the", "a"), minQuality = 0.3,
+      shingleSize = 3, numHashes = 16, rowsPerBand = 1,
+      nearDupThreshold = 0.5, decontamN = 3, registry = segReg)
+    assert(rows(kept2seg) == rows(kept2))
+    val seg2 = java.nio.file.Files.createTempDirectory("curseg2").toString
+    Pipelines.writeRegistrySegment(delta2, seg2)
+    // two-segment open ≡ the in-memory accumulated registry
+    val reg12 = Pipelines.readRegistrySegments(spark, Seq(seg1, seg2))
+    assert(reg12.sigs.select("doc_id").as[Long].collect().toSet ==
+      reg2.sigs.select("doc_id").as[Long].collect().toSet)
+    assert(reg12.keys.as[String].collect().sorted.toSeq ==
+      reg2.keys.as[String].collect().sorted.toSeq)
+    // guard rails: a double-ingested segment refuses to OPEN (its
+    // duplicated sigs would double every future candidate volume
+    // silently); compaction refuses an outDir that ALIASES an input
+    intercept[RuntimeException] {
+      Pipelines.readRegistrySegments(spark, Seq(seg1, seg1))
+    }
+    intercept[IllegalArgumentException] {
+      Pipelines.compactRegistrySegments(spark, Seq(seg1, seg2), seg1 + "/")
+    }
+    // compaction rewrites the list as ONE value-identical segment
+    val cmp = java.nio.file.Files.createTempDirectory("curcmp").toString
+    Pipelines.compactRegistrySegments(spark, Seq(seg1, seg2), cmp)
+    val regC = Pipelines.readRegistrySegments(spark, Seq(cmp))
+    assert(regC.sigs.select("doc_id").as[Long].collect().toSet ==
+      reg2.sigs.select("doc_id").as[Long].collect().toSet)
+    assert(regC.texts.select("doc_id").as[Long].collect().toSet ==
+      reg2.texts.select("doc_id").as[Long].collect().toSet)
   }
 
   test("shard manifest flips on any edit, reorder, or loss") {
