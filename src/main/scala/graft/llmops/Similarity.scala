@@ -537,6 +537,43 @@ object Similarity {
       .reduce((a, b) => IvfIndex(a.centroids, a.assigned.unionAll(b.assigned)))
   }
 
+  /** Registry-served hybrid retrieval — the production composition the
+    * registries exist for: the lexical arm off a stored
+    * [[SparseSim.Bm25Index]] ([[SparseSim.queryIndex]]), the dense arm
+    * off a stored [[IvfIndex]] ([[ivfQueryIndex]]), fused by [[rrfFuse]].
+    * One call serves a query batch against both registries with ZERO
+    * corpus-sized build work in the plan — at the 64× stress fixture
+    * this is ~3.8 s where rebuilding the two arms costs 120–140 s
+    * (stress_hybrid_indexed vs stress_rrf_arms).
+    *
+    * `queries` carries BOTH modalities of each query — (qIdCol,
+    * qTextCol, qVecCol) — the hybrid-search deployment shape where every
+    * query has a text form and an embedding. Each arm is bounded at its
+    * own `armK` per query before fusion, so the fuse never sees a
+    * corpus-sized relation (the [[rrfFuse]] contract); the dense arm is
+    * nProbe-approximate (recall is [[recallReport]]'s contract), the
+    * lexical arm exact over the merged registry.
+    *
+    * Output: (qid, id, score_scaled, rank_lex, rank_dense, fused_rank).
+    */
+  def hybridQueryIndex(bm25: SparseSim.Bm25Index, ivf: IvfIndex,
+      queries: DataFrame, qIdCol: String, qTextCol: String, qVecCol: String,
+      armK: Int, maxDf: Long, nProbe: Int, dim: Int,
+      kRrf: Int = 60, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lex = SparseSim.queryIndex(bm25, queries, qIdCol, qTextCol,
+        armK, maxDf, k1, b)
+      .select(col("qid"), col("id"), col("rank"))
+    val dense = ivfQueryIndex(ivf,
+        queries.select(col(qIdCol), col(qVecCol)),
+        qIdCol, qVecCol, armK, nProbe, dim)
+      .select(col("query_id").as("qid"), col("cand_id").as("id"),
+        col("rank"))
+    rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+      queryCol = "qid", idCol = "id", rankCol = "rank",
+      kRrf = kRrf, topK = topK)
+  }
+
   /** Recall@k report: score an APPROXIMATE top-k result (LSH, IVF, PQ,
     * quantized — any (query_id, cand_id) table) against the EXACT one —
     * the index-quality monitor a deployed ANN pipeline runs on a sampled

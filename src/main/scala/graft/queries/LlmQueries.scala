@@ -2672,6 +2672,114 @@ object LlmQueries extends QueryFamily {
            |FROM rr WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
       }),
 
+    // Hybrid retrieval SERVED FROM THE REGISTRIES, as one public call
+    // (Similarity.hybridQueryIndex): lexical arm off a Bm25Index, dense
+    // arm off an IvfIndex (nProbe-bounded — the production approximate
+    // trade), fused by RRF. Each query carries both modalities (text +
+    // embedding — the shared doc_id/vec_id entity space). The oracle
+    // composes the three proven devices: q_bm25's rebuild SQL for the
+    // lexical arm (at the arm's top-20), q_ann_ivf's probe/assign SQL
+    // for the dense arm, and q_hybrid_rrf's quantized-sum fusion — a
+    // hash match proves the one-call composition changes nothing about
+    // any arm.
+    ("q_hybrid_indexed",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+        val bm25 = SparseSim.buildIndex(
+          docs.filter(col("doc_id") >= 10), "doc_id", "text", ngram = 2)
+        val ivf = Similarity.ivfBuildIndex(
+          emb.filter(col("vec_id") >= 10), "vec_id", "embedding",
+          centroids, dim = 64)
+        val queries = docs.filter(col("doc_id") < 10)
+          .select(col("doc_id"), col("text"))
+          .join(emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        Similarity.hybridQueryIndex(bm25, ivf, queries,
+            "doc_id", "text", "embedding",
+            armK = 20, maxDf = 50L, nProbe = 2, dim = 64,
+            kRrf = 60, topK = 10)
+          .orderBy("qid", "fused_rank")
+      },
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        val (k1p1, oneMb) = ((k1 + 1.0).toString, (1.0 - b).toString)
+        s"""WITH post AS (
+           |  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+           |    SELECT doc_id AS id, unnest(list_transform(
+           |      range(1, greatest(len(string_split(text, ' ')), 1)),
+           |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
+           |    FROM documents WHERE doc_id >= 10) t
+           |  GROUP BY id, term),
+           |lens AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS len FROM post GROUP BY id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(len) AS BIGINT) AS total_tokens FROM lens),
+           |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+           |w AS (SELECT term, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w
+           |  FROM d WHERE df <= 50),
+           |q AS (SELECT DISTINCT qid, term FROM (
+           |    SELECT doc_id AS qid, unnest(list_transform(
+           |      range(1, greatest(len(string_split(text, ' ')), 1)),
+           |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS term
+           |    FROM documents WHERE doc_id < 10) t),
+           |cand AS (
+           |  SELECT q.qid, p.id, CAST(round(CAST(w.w AS DOUBLE) *
+           |      ((CAST(p.tf AS DOUBLE) * $k1p1) /
+           |       (CAST(p.tf AS DOUBLE) + $k1 * ($oneMb + $b *
+           |        (CAST(l.len * s.n_docs AS DOUBLE)
+           |         / CAST(s.total_tokens AS DOUBLE)))))) AS BIGINT) AS ts
+           |  FROM post p JOIN w USING (term) JOIN q USING (term)
+           |    JOIN lens l ON p.id = l.id, stats s),
+           |bsc AS (SELECT qid, id, CAST(SUM(ts) AS BIGINT) AS bscore FROM cand
+           |  GROUP BY qid, id),
+           |lr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+           |  ORDER BY bscore DESC, id) AS INT) AS rank FROM bsc
+           |  QUALIFY rank <= 20),
+           |n AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)) AS nrm
+           |  FROM embeddings),
+           |c AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 8),
+           |assign AS (
+           |  SELECT vec_id AS cand_id, cell_id FROM (
+           |    SELECT v.vec_id, c.cell_id,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        list_reduce(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]), (x,y) -> x+y)
+           |          / (v.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+           |    FROM n v, c WHERE v.vec_id >= 10) WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS query_id, cell_id FROM (
+           |    SELECT v.vec_id, c.cell_id,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        list_reduce(list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.ce[i]), (x,y) -> x+y)
+           |          / (v.nrm * c.cnrm) DESC, c.cell_id ASC) AS rn
+           |    FROM n v, c WHERE v.vec_id < 10) WHERE rn <= 2),
+           |dsc AS (
+           |  SELECT p.query_id AS qid, a.cand_id AS id,
+           |    list_reduce(list_transform(range(1, len(q2.e)+1), i -> q2.e[i]*x.e[i]), (x2,y2) -> x2+y2)
+           |      / (q2.nrm * x.nrm) AS cosine
+           |  FROM probes p
+           |  JOIN assign a ON a.cell_id = p.cell_id AND a.cand_id <> p.query_id
+           |  JOIN n q2 ON q2.vec_id = p.query_id
+           |  JOIN n x ON x.vec_id = a.cand_id),
+           |dr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+           |  ORDER BY cosine DESC, id ASC) AS INT) AS rank FROM dsc
+           |  QUALIFY rank <= 20),
+           |fused AS (
+           |  SELECT COALESCE(l.qid, dn.qid) AS qid, COALESCE(l.id, dn.id) AS id,
+           |    CAST(COALESCE(CAST(FLOOR(1000000000000.0 / (60 + l.rank)) AS BIGINT), 0)
+           |       + COALESCE(CAST(FLOOR(1000000000000.0 / (60 + dn.rank)) AS BIGINT), 0)
+           |      AS BIGINT) AS score_scaled,
+           |    l.rank AS rank_lex, dn.rank AS rank_dense
+           |  FROM lr l FULL OUTER JOIN dr dn ON l.qid = dn.qid AND l.id = dn.id),
+           |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+           |  ORDER BY score_scaled DESC, id ASC) AS INT) AS fused_rank FROM fused)
+           |SELECT qid, id, score_scaled, rank_lex, rank_dense, fused_rank
+           |FROM rr WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
+      }),
+
     // Sequence packing, concat-and-chunk (GPT-style pretraining): each
     // shard's token stream concatenated in doc_id order and cut every
     // 512 tokens; docs may SPLIT across example boundaries, padding is

@@ -568,8 +568,10 @@ object Stress {
     * stress_bm25_index_build), the dense arm off a stored
     * [[graft.llmops.Similarity.IvfIndex]] (built here), fused by RRF.
     * The dense arm is approximate (nProbe-bounded — the production
-    * trade; recall is q_ann_recall's contract), so this row is a COST
-    * row, not an oracle. */
+    * trade; recall is q_ann_recall's contract). Since r11 the
+    * composition is the PUBLIC Similarity.hybridQueryIndex call, whose
+    * arms and fusion are hash-oracled by q_hybrid_indexed at sf0.01 —
+    * this row times the same API at 64×. */
   private def ivfIndexDir(d: String): String =
     "/tmp/stress_ivf_index_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
@@ -593,18 +595,18 @@ object Stress {
         "- run stress_ivf_index_build at the SAME scale factor first")
     val docs = graft.model.Tables.documents(s, d)
     val emb = graft.model.Tables.embeddings(s, d)
-    val lex = SparseSim.queryIndex(
-        SparseSim.readIndex(s, bm25IndexDir(d)),
-        docs.filter(col("doc_id") < 10), "doc_id", "text",
-        k = 20, maxDf = 50L)
-      .select(col("qid"), col("id"), col("rank"))
-    val dense = Similarity.ivfQueryIndex(
-        Similarity.ivfReadIndex(s, ivfIndexDir(d)),
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 20, nProbe = 2, dim = 64)
-      .select(col("query_id").as("qid"), col("cand_id").as("id"), col("rank"))
-    Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
-      queryCol = "qid", idCol = "id", rankCol = "rank", kRrf = 60, topK = 10)
+    // the PUBLIC one-call composition (Similarity.hybridQueryIndex —
+    // correctness carried by q_hybrid_indexed's composed oracle at
+    // sf0.01); queries carry both modalities per the deployment shape
+    val queries = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+      .join(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    Similarity.hybridQueryIndex(
+      SparseSim.readIndex(s, bm25IndexDir(d)),
+      Similarity.ivfReadIndex(s, ivfIndexDir(d)),
+      queries, "doc_id", "text", "embedding",
+      armK = 20, maxDf = 50L, nProbe = 2, dim = 64)
   }
 
   /** Multi-source BFS over the full 64× purchase graph (the unbounded
