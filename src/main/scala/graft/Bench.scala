@@ -192,7 +192,10 @@ object Bench {
         val a = Timebox.run(spark, "stream_attribution", Timebox.defaultSeconds) {
           graft.streaming.StreamBench.attributionThroughput(spark)
         }
-        s""","streaming":{"task_states_rows_per_sec":${num(t, 0)},"funnel_rows_per_sec":${num(f, 0)},"attribution_rows_per_sec":${num(a, 0)}}"""
+        val r = Timebox.run(spark, "stream_registry_ingest", Timebox.defaultSeconds) {
+          graft.streaming.StreamBench.registryIngestThroughput(spark)
+        }
+        s""","streaming":{"task_states_rows_per_sec":${num(t, 0)},"funnel_rows_per_sec":${num(f, 0)},"attribution_rows_per_sec":${num(a, 0)},"registry_ingest_rows_per_sec":${num(r, 0)}}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")

@@ -28,8 +28,15 @@ object StreamBench {
 
   private def measure(out: Dataset[_], name: String, seconds: Int): Double = {
     val dir = Files.createTempDirectory(s"graft-sbench-$name").toString
-    val q = out.writeStream.format("noop")
-      .option("checkpointLocation", dir).start()
+    measureStarted(out.writeStream.format("noop")
+      .option("checkpointLocation", dir).start(), seconds)
+  }
+
+  /** Post-warmup rows/s of an already-started query — the shared
+    * accounting for both the noop-sink operators and sinks that do their
+    * own per-batch work ([[registryIngestThroughput]]'s foreachBatch). */
+  private def measureStarted(q: org.apache.spark.sql.streaming.StreamingQuery,
+      seconds: Int): Double = {
     try {
       // batch 0 swallows the accumulated backlog plus source/state-store
       // cold start, so it's excluded; wait (bounded) until ≥3 post-warmup
@@ -136,6 +143,43 @@ object StreamBench {
       "attribution", seconds)
   }
 
+  /** Rate rows → synthetic crawl documents for [[RegistryIngest]]:
+    * doc_id is the rate source's global monotonic counter (the crawl
+    * contract for free), text is 12 hash-derived pseudo-words over a
+    * 500-word vocabulary — long-tailed enough that the minhash/banding
+    * stages do real work while chance near-dups stay rare. */
+  def docStream(spark: SparkSession, rowsPerSec: Long): org.apache.spark.sql.DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSec)
+      .option("numPartitions", 8).load()
+      .select(col("value").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("value"), lit(i)), lit(500)))): _*)
+          .as("text"))
+
+  /** Sustained rows/s of the streaming ingest → registry loop
+    * ([[RegistryIngest]]): every micro-batch runs the full curateIngest
+    * stage chain against the ACCUMULATED registry and persists two
+    * O(batch) segments — so unlike the noop-sink rows this measures
+    * ingest-to-durable-registry capacity, per-batch segment writes and
+    * re-opens included. Correctness of the loop is the StreamingSpec
+    * parity test (streamed ≡ batch mode); this row is its capacity. */
+  def registryIngestThroughput(spark: SparkSession, seconds: Int = 20,
+      rowsPerSec: Long = 20000L): Double = {
+    val root = Files.createTempDirectory("graft-sbench-reging").toString
+    val cp = Files.createTempDirectory("graft-sbench-reging-cp").toString
+    import spark.implicits._
+    val cfg = RegistryIngest.Config("doc_id", "text",
+      benchmark = Seq("benchmark leak phrase").toDF("text"),
+      benchTextCol = "text",
+      stopwords = Seq("w1", "w2", "w3"), minQuality = 0.1,
+      shingleSize = 3, numHashes = 16, rowsPerBand = 4,
+      nearDupThreshold = 0.8, decontamN = 3, ngram = 1)
+    measureStarted(
+      RegistryIngest.start(docStream(spark, rowsPerSec), cfg, root, cp),
+      seconds)
+  }
+
   /** Standalone entry: prints one JSON line with both throughputs. */
   def main(args: Array[String]): Unit = {
     val seconds = if (args.length > 0) args(0).toInt else 12
@@ -153,7 +197,8 @@ object StreamBench {
     // (see attributionThroughput's 2.5× window note) — the no-args
     // default of 12 s would print a meaningless 0-sample rate
     val a = attributionThroughput(spark, math.max(seconds, 30))
-    println(f"""{"task_states_rows_per_sec": $t%.0f, "funnel_rows_per_sec": $f%.0f, "attribution_rows_per_sec": $a%.0f}""")
+    val r = registryIngestThroughput(spark, math.max(seconds, 20))
+    println(f"""{"task_states_rows_per_sec": $t%.0f, "funnel_rows_per_sec": $f%.0f, "attribution_rows_per_sec": $a%.0f, "registry_ingest_rows_per_sec": $r%.0f}""")
     spark.stop()
   }
 }

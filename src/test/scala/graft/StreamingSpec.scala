@@ -452,4 +452,74 @@ class StreamingSpec extends SparkSpec {
       case None => sp.conf.unset(key)
     }
   }
+
+  test("registry ingest stream ≡ the same batches applied in batch mode") {
+    import org.apache.spark.sql.functions.col
+    import graft.llmops.{Pipelines, SparseSim}
+    import graft.streaming.RegistryIngest
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // the incremental-curate fixture: every registry stage has a victim,
+    // ids monotonic across the two batches (the crawl contract)
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (10L, "one two three four five six seven eight nine ten eleven twelve"),
+      (20L, "red orange yellow green blue indigo violet cyan magenta teal maroon navy"),
+      (21L, "red orange yellow green blue indigo violet cyan magenta teal maroon olive"))
+    val b2 = Seq(
+      (100L, "the the the the"),
+      (110L, "one two three four five six seven eight nine ten eleven twelve"),
+      (120L, "red orange yellow green blue indigo violet cyan magenta teal maroon pine"),
+      (130L, "contaminated trigram leak plus filler words here now okay fine good yes"),
+      (140L, "sun moon star cloud rain snow wind storm mist frost dew hail"),
+      (150L, "north south east west up down left right front back inner outer"),
+      (151L, "north south east west up down left right front back inner void"))
+    val bench = Seq("contaminated trigram leak").toDF("text")
+    val cfg = RegistryIngest.Config("doc_id", "text", bench, "text",
+      stopwords = Seq("the", "a"), minQuality = 0.3, shingleSize = 3,
+      numHashes = 16, rowsPerBand = 1, nearDupThreshold = 0.5,
+      decontamN = 3, ngram = 1)
+    val root = java.nio.file.Files.createTempDirectory("reging").toString
+    val cp = java.nio.file.Files.createTempDirectory("regingcp").toString
+    val input = MemoryStream[(Long, String)]
+    val q = RegistryIngest.start(input.toDF().toDF("doc_id", "text"),
+      cfg, root, cp)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch-mode replay with the same batch boundaries
+    def ingest(rows: Seq[(Long, String)], reg: Pipelines.CurationRegistry) =
+      Pipelines.curateIngest(rows.toDF("doc_id", "text"), "doc_id", "text",
+        bench, "text", Seq("the", "a"), 0.3, 3, 16, 1, 0.5, 3, reg)
+    val reg0 = Pipelines.CurationRegistry.empty(sp, "doc_id", "text")
+    val (kept1, d1) = ingest(b1, reg0)
+    val reg1 = Pipelines.mergeRegistry(reg0, d1)
+    val (kept2, d2) = ingest(b2, reg1)
+    val batchReg = Pipelines.mergeRegistry(reg1, d2)
+    // curation-registry parity: identical tables
+    val streamed = RegistryIngest.openRegistry(sp, root, "doc_id", "text")
+    def sigRows(r: Pipelines.CurationRegistry) =
+      r.sigs.select(col("doc_id"), col("sig"))
+        .as[(Long, Seq[Long])].collect().toSet
+    assert(sigRows(streamed) == sigRows(batchReg) && sigRows(streamed).nonEmpty)
+    assert(streamed.keys.as[String].collect().sorted.toSeq ==
+      batchReg.keys.as[String].collect().sorted.toSeq)
+    assert(streamed.texts.as[(Long, String)].collect().toSet ==
+      batchReg.texts.as[(Long, String)].collect().toSet)
+    // BM25-registry parity: the streamed segments open to the same index
+    // the batch-mode kept docs build
+    val bmStream = RegistryIngest.openBm25(sp, root)
+    val bmBatch = SparseSim.mergeIndex(
+      SparseSim.buildIndex(kept1, "doc_id", "text", cfg.ngram),
+      SparseSim.buildIndex(kept2, "doc_id", "text", cfg.ngram))
+    def postRows(i: SparseSim.Bm25Index) =
+      i.postings.select(col("id"), col("term"), col("tf"), col("len"))
+        .as[(Long, String, Long, Long)].collect().toSet
+    assert(postRows(bmStream) == postRows(bmBatch) && postRows(bmStream).nonEmpty)
+    // two segments landed per registry — the O(batch) layout
+    assert(RegistryIngest.registrySegments(root).length == 2)
+    assert(RegistryIngest.bm25Segments(root).length == 2)
+  }
 }
