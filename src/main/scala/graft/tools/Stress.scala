@@ -561,6 +561,113 @@ object Stress {
     kept.groupBy().agg(count(lit(1)).as("n_kept"))
   }
 
+  /** The curate PERSISTENCE cost split (the r10 gap: the delta's compute
+    * was measured, its write wasn't): `stress_curate_delta_persist` does
+    * the daily thing — ingest the 1/64 batch against the stored registry
+    * and persist ONLY the batch's delta segment (O(batch) write);
+    * `stress_curate_registry_rewrite` persists the same ingest the
+    * pre-r11 way — the full merged registry rewritten (O(history)
+    * write). Same ingest compute in both rows, so the difference IS the
+    * persistence model. */
+  private def stressCurateDeltaPersist(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.Pipelines
+    if (!new java.io.File(s"${curateRegDir(d)}/keys").isDirectory)
+      sys.error(s"no stored curation registry at ${curateRegDir(d)} for " +
+        s"input $d - run stress_curate_registry_build at the SAME scale first")
+    val docs = graft.model.Tables.documents(s, d).select("doc_id", "text")
+    val bench = graft.model.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
+    val (h, r) = curateParams(s, d)
+    val (kept, delta) = Pipelines.curateIngest(
+      docs.filter(col("doc_id") >= curateDeltaCut(s, d)), "doc_id", "text",
+      bench, "text", stopwords = Seq("the", "a", "of", "and", "in", "to"),
+      minQuality = 0.5, shingleSize = 3, numHashes = h, rowsPerBand = r,
+      nearDupThreshold = 0.8, decontamN = 3,
+      registry = Pipelines.readRegistry(s, curateRegDir(d)))
+    Pipelines.writeRegistrySegment(delta, s"${curateRegDir(d)}_seg1")
+    kept.groupBy().agg(count(lit(1)).as("n_kept"))
+  }
+
+  private def stressCurateRegistryRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.Pipelines
+    if (!new java.io.File(s"${curateRegDir(d)}/keys").isDirectory)
+      sys.error(s"no stored curation registry at ${curateRegDir(d)} for " +
+        s"input $d - run stress_curate_registry_build at the SAME scale first")
+    val docs = graft.model.Tables.documents(s, d).select("doc_id", "text")
+    val bench = graft.model.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
+    val (h, r) = curateParams(s, d)
+    val reg = Pipelines.readRegistry(s, curateRegDir(d))
+    val (kept, delta) = Pipelines.curateIngest(
+      docs.filter(col("doc_id") >= curateDeltaCut(s, d)), "doc_id", "text",
+      bench, "text", stopwords = Seq("the", "a", "of", "and", "in", "to"),
+      minQuality = 0.5, shingleSize = 3, numHashes = h, rowsPerBand = r,
+      nearDupThreshold = 0.8, decontamN = 3, registry = reg)
+    Pipelines.writeRegistry(Pipelines.mergeRegistry(reg, delta),
+      s"${curateRegDir(d)}_rewrite")
+    kept.groupBy().agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** The compaction-policy trade, measured (the Lucene merge-policy
+    * question "when to compact"): per-query cost as a function of
+    * segment COUNT over the SAME corpus slice (the base index's), plus
+    * the compaction cost that resets the count to 1. The 1-segment
+    * point is `stress_bm25_query_only`. Splits are monotonic value
+    * ranges (exact percentile cuts), so every segment list passes the
+    * watermark guard. */
+  private def bm25SegRoot(d: String, n: Int): String =
+    s"${bm25IndexDir(d)}_nseg$n"
+
+  private def writeBm25Segments(s: SparkSession, d: String, n: Int): Unit = {
+    import graft.llmops.SparseSim
+    val docs = graft.model.Tables.documents(s, d)
+    val cut = bm25DeltaCut(s, d)
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") < cut)
+    val qs = (1 until n).map(i => i.toDouble / n)
+    val cuts: Seq[Long] =
+      if (n == 1) Seq.empty
+      else corpus.agg(expr(
+          s"percentile(doc_id, array(${qs.mkString(",")}))"))
+        .head().getSeq[Double](0).map(_.toLong)
+    val bounds = (10L +: cuts) :+ Long.MaxValue
+    (0 until n).foreach { i =>
+      SparseSim.writeIndex(
+        SparseSim.buildIndex(
+          corpus.filter(col("doc_id") >= bounds(i) &&
+            col("doc_id") < bounds(i + 1)),
+          "doc_id", "text", ngram = 2),
+        s"${bm25SegRoot(d, n)}/seg$i")
+    }
+  }
+
+  private def bm25SegDirs(d: String, n: Int): Seq[String] = {
+    val dirs = (0 until n).map(i => s"${bm25SegRoot(d, n)}/seg$i")
+    if (!new java.io.File(s"${dirs.head}/postings").isDirectory)
+      sys.error(s"no $n-segment BM25 registry at ${bm25SegRoot(d, n)} for " +
+        s"input $d - run stress_bm25_segments_build$n at the SAME scale first")
+    dirs
+  }
+
+  private def stressBm25SegmentsBuild(n: Int)(s: SparkSession, d: String): DataFrame = {
+    writeBm25Segments(s, d, n)
+    s.read.parquet(s"${bm25SegRoot(d, n)}/seg0/corpus_stats")
+  }
+
+  private def stressBm25QuerySeg(n: Int)(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.SparseSim
+    val docs = graft.model.Tables.documents(s, d)
+    SparseSim.queryIndex(SparseSim.readSegments(s, bm25SegDirs(d, n)),
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      k = 5, maxDf = 50L)
+  }
+
+  private def stressBm25Compact(n: Int)(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.SparseSim
+    val out = s"${bm25SegRoot(d, n)}_compacted"
+    SparseSim.compactSegments(s, bm25SegDirs(d, n), out)
+    s.read.parquet(s"$out/corpus_stats")
+  }
+
   /** Hybrid retrieval with BOTH arms served from stored registries —
     * the registry-family endgame next to `stress_rrf_arms`' ~140 s
     * build-both-arms-per-run cost: the lexical arm off the stored
@@ -667,8 +774,15 @@ object Stress {
         "stress_sparse_query_only" -> (stressSparseQueryOnly _),
         "stress_curate_registry_build" -> (stressCurateRegistryBuild _),
         "stress_curate_delta" -> (stressCurateDelta _),
+        "stress_curate_delta_persist" -> (stressCurateDeltaPersist _),
+        "stress_curate_registry_rewrite" -> (stressCurateRegistryRewrite _),
         "stress_ivf_index_build" -> (stressIvfIndexBuild _),
-        "stress_hybrid_indexed" -> (stressHybridIndexed _))
+        "stress_hybrid_indexed" -> (stressHybridIndexed _),
+        "stress_bm25_segments_build8" -> (stressBm25SegmentsBuild(8) _),
+        "stress_bm25_segments_build32" -> (stressBm25SegmentsBuild(32) _),
+        "stress_bm25_query_seg8" -> (stressBm25QuerySeg(8) _),
+        "stress_bm25_query_seg32" -> (stressBm25QuerySeg(32) _),
+        "stress_bm25_compact32" -> (stressBm25Compact(32) _))
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = all.filter { case (n, _) => only.forall(_.contains(n)) }
