@@ -208,10 +208,22 @@ object SparseSim {
     // shuffle deletes queryIndex's id-keyed docLens join — which at
     // deployment scale is a corpus-wide (id, len) shuffle per query
     // batch (locally AQE broadcasts it; at 100 TB it doesn't fit).
+    //
+    // explode_OUTER + isNotNull, not explode: InferFiltersFromGenerate
+    // fires only on a non-outer Explode whose child is a bare attribute
+    // — exactly the `_terms` alias this shape introduces — and the
+    // inferred `size(_terms) > 0 AND isnotnull(_terms)` filter is then
+    // pushed below the aliasing Project, INLINING the full tokenizer
+    // into the filter. Measured at 64×: 287 s vs 119 s for the postings
+    // build (the tokenizer runs 3× per row instead of once). The outer
+    // explode is outside the rule's pattern; empty/null docs surface as
+    // one term=NULL row each, dropped by a filter on the generated
+    // OUTPUT column (per-posting-row, no tokenizer re-eval).
     val post = docs
       .select(col(idCol).as("id"), termsExpr(col(textCol), ngram).as("_terms"))
       .select(col("id"), size(col("_terms")).cast("long").as("len"),
-        explode(col("_terms")).as("term"))
+        explode_outer(col("_terms")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy("id", "term", "len").agg(count(lit(1)).as("tf"))
       .select("id", "term", "tf", "len")
     val lens = docs.select(col(idCol).as("id"),
