@@ -561,14 +561,21 @@ object Stress {
     kept.groupBy().agg(count(lit(1)).as("n_kept"))
   }
 
-  /** The curate PERSISTENCE cost split (the r10 gap: the delta's compute
-    * was measured, its write wasn't): `stress_curate_delta_persist` does
-    * the daily thing — ingest the 1/64 batch against the stored registry
-    * and persist ONLY the batch's delta segment (O(batch) write);
-    * `stress_curate_registry_rewrite` persists the same ingest the
-    * pre-r11 way — the full merged registry rewritten (O(history)
-    * write). Same ingest compute in both rows, so the difference IS the
-    * persistence model. */
+  /** The curate PERSISTENCE cost split (the r10 gap: the delta's
+    * compute was measured, its write wasn't). `stress_curate_delta_persist`
+    * is the daily TOTAL — ingest the 1/64 batch against the stored
+    * registry and persist the batch's delta segment; read next to
+    * `stress_curate_delta` (same ingest, no write) it shows the O(batch)
+    * segment write adds ~nothing over the compute. The two WRITE-ONLY
+    * rows then isolate the persistence models with no ingest compute in
+    * the timed path at all: `stress_curate_segment_write` re-persists
+    * the stored delta segment (pure O(batch) read+write — what a daily
+    * ingest pays since r11), `stress_curate_registry_rewrite` opens
+    * history + delta, merges, and rewrites the whole registry (pure
+    * O(history) read+write — what every ingest paid before segmentation;
+    * at a fixed fixture this is history/batch ≈ 63× the bytes, and in a
+    * real deployment it GROWS with age while the segment write stays
+    * batch-sized). */
   private def stressCurateDeltaPersist(s: SparkSession, d: String): DataFrame = {
     import graft.llmops.Pipelines
     if (!new java.io.File(s"${curateRegDir(d)}/keys").isDirectory)
@@ -588,24 +595,30 @@ object Stress {
     kept.groupBy().agg(count(lit(1)).as("n_kept"))
   }
 
+  private def stressCurateSegmentWrite(s: SparkSession, d: String): DataFrame = {
+    import graft.llmops.Pipelines
+    val seg1 = s"${curateRegDir(d)}_seg1"
+    if (!new java.io.File(s"$seg1/keys").isDirectory)
+      sys.error(s"no stored delta segment at $seg1 for input $d - run " +
+        "stress_curate_delta_persist at the SAME scale factor first")
+    Pipelines.writeRegistrySegment(Pipelines.readRegistrySegments(s, Seq(seg1)),
+      s"${curateRegDir(d)}_segcopy")
+    s.read.parquet(s"${curateRegDir(d)}_segcopy/keys")
+  }
+
   private def stressCurateRegistryRewrite(s: SparkSession, d: String): DataFrame = {
     import graft.llmops.Pipelines
-    if (!new java.io.File(s"${curateRegDir(d)}/keys").isDirectory)
-      sys.error(s"no stored curation registry at ${curateRegDir(d)} for " +
-        s"input $d - run stress_curate_registry_build at the SAME scale first")
-    val docs = graft.model.Tables.documents(s, d).select("doc_id", "text")
-    val bench = graft.model.Tables.documents(s, d)
-      .filter(pmod(col("doc_id"), lit(97)) === 0).select("text")
-    val (h, r) = curateParams(s, d)
-    val reg = Pipelines.readRegistry(s, curateRegDir(d))
-    val (kept, delta) = Pipelines.curateIngest(
-      docs.filter(col("doc_id") >= curateDeltaCut(s, d)), "doc_id", "text",
-      bench, "text", stopwords = Seq("the", "a", "of", "and", "in", "to"),
-      minQuality = 0.5, shingleSize = 3, numHashes = h, rowsPerBand = r,
-      nearDupThreshold = 0.8, decontamN = 3, registry = reg)
-    Pipelines.writeRegistry(Pipelines.mergeRegistry(reg, delta),
+    val seg1 = s"${curateRegDir(d)}_seg1"
+    if (!new java.io.File(s"${curateRegDir(d)}/keys").isDirectory ||
+        !new java.io.File(s"$seg1/keys").isDirectory)
+      sys.error("stress_curate_registry_rewrite: needs the stored registry " +
+        s"and delta segment for input $d - run stress_curate_registry_build " +
+        "and stress_curate_delta_persist at the SAME scale factor first")
+    Pipelines.writeRegistry(
+      Pipelines.mergeRegistry(Pipelines.readRegistry(s, curateRegDir(d)),
+        Pipelines.readRegistrySegments(s, Seq(seg1))),
       s"${curateRegDir(d)}_rewrite")
-    kept.groupBy().agg(count(lit(1)).as("n_kept"))
+    s.read.parquet(s"${curateRegDir(d)}_rewrite/keys")
   }
 
   /** The compaction-policy trade, measured (the Lucene merge-policy
@@ -775,6 +788,7 @@ object Stress {
         "stress_curate_registry_build" -> (stressCurateRegistryBuild _),
         "stress_curate_delta" -> (stressCurateDelta _),
         "stress_curate_delta_persist" -> (stressCurateDeltaPersist _),
+        "stress_curate_segment_write" -> (stressCurateSegmentWrite _),
         "stress_curate_registry_rewrite" -> (stressCurateRegistryRewrite _),
         "stress_ivf_index_build" -> (stressIvfIndexBuild _),
         "stress_hybrid_indexed" -> (stressHybridIndexed _),
