@@ -460,24 +460,65 @@ object Dedup {
     val dfc = inst.groupBy("shingle").agg(count(lit(1)).as("_dfc"))
     // per-doc ascending (df, shingle) order, sorted and sliced map-side
     // after one id-keyed groupBy; prefix keeps the rarest
-    // sz − ⌈τ·sz⌉ + 1 shingles
+    // sz − ⌈τ·sz⌉ + 1 shingles. posexplode keeps each kept shingle's
+    // 1-based rank in the FULL per-doc order (the prefix is a prefix of
+    // it) — the input to the positional filter below.
     val prefixLen = (col("_sz") - ceil(lit(threshold) * col("_sz")) + 1).cast("int")
     val prefix = inst.join(dfc, Seq("shingle"))
       .groupBy("_id")
       .agg(sort_array(collect_list(struct(col("_dfc"), col("shingle")))).as("_ord"))
       .select(col("_id"), size(col("_ord")).cast("long").as("_sz"), col("_ord"))
       .select(col("_id"), col("_sz"),
-        explode(transform(slice(col("_ord"), lit(1), prefixLen),
-          s => s.getField("shingle"))).as("shingle"))
+        posexplode(transform(slice(col("_ord"), lit(1), prefixLen),
+          s => s.getField("shingle"))))
+      .select(col("_id"), col("_sz"), (col("pos") + 1).cast("long").as("_rk"),
+        col("col").as("shingle"))
     val candA = prefix.select(col("shingle"),
-      col("_id").as("id_a"), col("_sz").as("_la"))
+      col("_id").as("id_a"), col("_sz").as("_la"), col("_rk").as("_rka"))
     val candB = prefix.select(col("shingle"),
-      col("_id").as("id_b"), col("_sz").as("_lb"))
-    val cand = candA.join(candB, Seq("shingle"))
+      col("_id").as("id_b"), col("_sz").as("_lb"), col("_rk").as("_rkb"))
+    // merge-hint the prefix self-join: both sides are the SAME prefix
+    // index, so forcing the shuffle form makes the two exchanges
+    // canonicalize equal and the whole prefix subtree (tokenize → df
+    // count → per-doc sort) is computed ONCE (ReusedExchange) — where
+    // the unhinted plan BROADCAST one side and executed the subtree
+    // twice (measured: the verify-stage codegen pipeline carried two
+    // full prefix builds). Also the only viable shape at corpus scale:
+    // a prefix index is corpus-sized and must never broadcast.
+    //
+    // Per-instance filters, both sound (no true pair ≥ τ lost):
+    //  - length filter: J ≥ τ forces min(a,b) ≥ τ·max(a,b);
+    //  - POSITIONAL filter (PPJoin's second lemma): a shared prefix
+    //    shingle at ranks (rka, rkb) bounds the overlap by
+    //    1 + min(a−rka, b−rkb), and J ≥ τ needs O ≥ τ/(1+τ)·(a+b);
+    //    instances that can't reach the bound are dropped BEFORE the
+    //    pair-distinct exchange (a pair survives iff ANY shared prefix
+    //    shingle passes — identical to filtering on the per-pair max;
+    //    measured at sf0.1: 596 550 → 325 362 verify pairs, −45%).
+    //    The 1e-9 slack only ever KEEPS a borderline pair.
+    val cand = candA.hint("merge").join(candB.hint("merge"), Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
         least(col("_la"), col("_lb")).cast("double") >=
-          lit(threshold) * greatest(col("_la"), col("_lb")).cast("double"))
+          lit(threshold) * greatest(col("_la"), col("_lb")).cast("double") &&
+        (lit(1L) + least(col("_la") - col("_rka"), col("_lb") - col("_rkb")))
+          .cast("double") >=
+          lit(threshold / (1.0 + threshold)) *
+            (col("_la") + col("_lb")).cast("double") - lit(1e-9))
       .select("id_a", "id_b").distinct()
+      // AQE right-sizes the distinct's exchange by BYTES (a few MB of id
+      // pairs → 1-2 coalesced partitions), which starves the verify
+      // projection below of parallelism: its per-row cost is an
+      // array_intersect over two ~doc-length string arrays, ~10⁴× the
+      // width of the pair row it reads (measured: the verify codegen
+      // pipeline carried ~25 s of CPU on 2 post-coalesce partitions).
+      // Re-spread the candidate pairs across the session's cores —
+      // scale-adaptive (defaultParallelism), not a tuned constant; the
+      // exchange moves only (id_a, id_b) longs.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // verify joins stay strategy-unhinted: the sets side is per-doc
+    // arrays keyed by id — locally it broadcasts (arrays never shuffle);
+    // at corpus scale the optimizer falls back to a shuffle join, the
+    // only viable shape there.
     val sets = shingleSets(eligible, idCol, textCol, n)
     cand
       .join(sets.select(col(idCol).as("id_a"), col("shingles").as("_sa")), Seq("id_a"))
