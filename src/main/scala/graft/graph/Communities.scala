@@ -39,7 +39,7 @@ object Communities {
   /** Symmetrized, de-duplicated, self-loop-free directed edge list —
     * the canonical form [[labelPropagation]] and [[modularity]] share,
     * so a labeling is always scored on exactly the graph that voted. */
-  private def symmetrize(edges: DataFrame, srcCol: String,
+  private[graft] def symmetrize(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =
     edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
@@ -51,23 +51,50 @@ object Communities {
     * @return (node, label) after `rounds` synchronous votes; labels are
     *         initial vertex ids, so equal label = same community. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame =
+    labelPropagationOn(symmetrize(edges, srcCol, dstCol).localCheckpoint(true),
+      rounds)
+
+  /** [[labelPropagation]] over an ALREADY-symmetrized (and ideally
+    * materialized) edge list — exposed so a caller that also scores the
+    * labeling ([[modularityOn]]) shares ONE symmetrize/checkpoint instead
+    * of re-deriving the edge construction per consumer. */
+  private[graft] def labelPropagationOn(sym: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"need at least one round, got $rounds")
-    val sym = symmetrize(edges, srcCol, dstCol).localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
+    // (An order-preserving dense-long recode of string vertex ids was
+    // measured here and REVERTED: at sf0.1 the dict build + the four
+    // translate joins cost ~2–3 s against ~1 s saved in the narrower
+    // rounds. The vote loop stays in the caller's id domain.)
+    val symI = sym
+    var labels = symI.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    val argmax = Window.partitionBy("node")
-      .orderBy(col("_c").desc, col("label"))
-    (1 to rounds).foreach { _ =>
-      labels = sym
+    (1 to rounds).foreach { r =>
+      // per-vertex argmax as a SECOND aggregation, not a window: the
+      // deterministic tie-break (count DESC, label ASC) is exactly
+      // min(struct(-count, label)) under struct ordering, and the
+      // aggregate form partial-aggregates map-side and skips WindowExec's
+      // per-partition sort — one less full-width sort per round, and the
+      // node-keyed exchange carries one row per (node, distinct label)
+      // partial instead of every (node, label, count) row.
+      labels = symI
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("_c"))
-        .withColumn("_rn", row_number().over(argmax))
-        .filter(col("_rn") === 1)
-        .select("node", "label")
-        .localCheckpoint(true)
+        .groupBy("node")
+        .agg(min(struct((-col("_c")).as("_nc"), col("label"))).as("_best"))
+        .select(col("node"), col("_best.label").as("label"))
+      // UNLIKE PageRank's ranks (read twice per round — must materialize
+      // every round or the lineage doubles), each LPA round's labels
+      // feed exactly ONE consumer (the next round's join), so the
+      // lineage is linear and a materialization barrier per round buys
+      // nothing but job-scheduling stalls. Checkpoint on an INTERVAL
+      // purely to bound plan/optimizer size on long budgets (the
+      // "100-round run doesn't replan a 100-join tree" rule, at 1/8 the
+      // materialization cost); symI is a checkpointed leaf, so the
+      // un-checkpointed rounds replay nothing.
+      if (r % 8 == 0 && r < rounds) labels = labels.localCheckpoint(true)
     }
     labels
   }
@@ -96,8 +123,15 @@ object Communities {
     *
     * Output: one row (two_m, e_in, sum_deg_sq, modularity). */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
-      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
-    val sym = symmetrize(edges, srcCol, dstCol)
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame =
+    modularityOn(symmetrize(edges, srcCol, dstCol), labels, nodeCol, labelCol)
+
+  /** [[modularity]] over an ALREADY-symmetrized edge list — pair to
+    * [[labelPropagationOn]]: a vote-then-score caller passes the same
+    * materialized `sym` to both and the edge construction (join +
+    * distinct + union) executes once instead of once per consumer. */
+  private[graft] def modularityOn(sym: DataFrame, labels: DataFrame,
+      nodeCol: String, labelCol: String): DataFrame = {
     val l = labels.select(col(nodeCol).as("node"), col(labelCol).as("label"))
     val e = sym
       .join(l.select(col("node").as("src"), col("label").as("_la")), Seq("src"))

@@ -63,7 +63,15 @@ object Knn {
       s"cellSize must be a positive finite number, got $cellSize " +
         "(see cellSizeForDensity for a density-scaled starting point)")
     val d = coordCols.size
-    def base(idAs: String, prefix: String) = points.select(
+    // FanOut: a small spatial input (one 0.8 MB scan partition at the
+    // bench fixture) otherwise pins the WHOLE 3^d-fanout join + distance
+    // + per-source top-k to the scan's task count (measured: 3.5 M
+    // candidate pairs computed and group-limited on one task). Inputs
+    // already wider than the session's parallelism pass through, so a
+    // 100 TB points table never pays an extra exchange. Both join sides
+    // derive from this one subtree, so the exchange plans once.
+    val pts = graft.operators.FanOut(points)
+    def base(idAs: String, prefix: String) = pts.select(
       (col(idCol).as(idAs) +:
         coordCols.zipWithIndex.map { case (c, i) =>
           col(c).cast("double").as(s"$prefix$i") }): _*)

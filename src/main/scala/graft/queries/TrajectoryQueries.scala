@@ -350,8 +350,17 @@ object TrajectoryQueries extends QueryFamily {
         val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
           .select(concat(lit("c"), col("o_custkey")).as("a"),
             concat(lit("s"), col("l_suppkey")).as("b")).distinct()
-        val labels = Communities.labelPropagation(pairs, "a", "b", rounds = 3)
-        Communities.modularity(pairs, "a", "b", labels, "node", "label")
+        // ONE symmetrize/materialize shared by the vote and the score:
+        // the labels the propagation returns are checkpointed, so without
+        // this the modularity side re-derived the whole edge construction
+        // (join + distinct + union) from the base tables a second time
+        val sym = Communities.symmetrize(pairs, "a", "b").localCheckpoint(true)
+        // materialize the labeling: modularity joins it on BOTH edge
+        // endpoints, and un-checkpointed the full vote loop would
+        // execute once per join side
+        val labels = Communities.labelPropagationOn(sym, rounds = 3)
+          .localCheckpoint(true)
+        Communities.modularityOn(sym, labels, "node", "label")
       },
       Some("""WITH p AS (
              |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
