@@ -374,8 +374,15 @@ object Dedup {
     * passes (~35 s each) plus seconds of pair work.
     * No all-pairs stage anywhere; skew bounded by maxDf by construction.
     */
-  def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
+  def containmentNearDups(df0: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Int, threshold: Double, minShared: Int = 2): DataFrame = {
+    // FanOut the corpus once for the four tokenizer passes below (inst
+    // for dfc, inst re-exploded into the bucket join, and the two
+    // verify-side shingleSets): the fixture's one-file corpus otherwise
+    // runs each as a single task (measured: 4 × 0.5–0.9 s serial stages
+    // inside this plan at sf0.1). No-op for inputs already wider than
+    // the session, so a corpus-sized table never pays the exchange.
+    val df = graft.operators.FanOut(df0)
     def inst = withToks(df, textCol)
       .select(col(idCol),
         explode(array_distinct(shingleArray(col("_toks"), n))).as("shingle"))

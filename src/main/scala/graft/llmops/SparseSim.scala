@@ -96,7 +96,15 @@ object SparseSim {
     // map-side instead (no postings consumer), leaving two consumers
     // that each re-run the corpus shuffle — measured cheaper than
     // holding 300M rows hostage.
-    val post = tfPostings(corpus, idCol, textCol, ngram)
+    // FanOut the corpus once for all three tokenizer passes below (df
+    // build, query-pruned scoring branch, lengths): the bench fixture
+    // ships the corpus as one sub-MB parquet file, so each explode
+    // pipeline otherwise runs as ONE task however many cores the
+    // session has (measured: 2–2.7 s single-task stages inside the
+    // hybrid plans). No-op for inputs already wider than the session —
+    // a 100 TB corpus never pays the exchange.
+    val c = graft.operators.FanOut(corpus)
+    val post = tfPostings(c, idCol, textCol, ngram)
     // len > 0 keeps term-less docs out of n_docs/avg-len, exactly as the
     // postings-derived form did (they can't match anything anyway)
     val qterms = queries.select(col(qIdCol).as("qid"),
@@ -111,11 +119,11 @@ object SparseSim {
     // ONCE (in the df_ index build), not twice. Locally the explode CPU
     // dominates (measured 64×: 133.8 → 124.4 s, ~7%); on a real cluster
     // the deleted shuffle is the network-bound half, which is the point.
-    val postQ = corpus.select(col(idCol).as("id"),
+    val postQ = c.select(col(idCol).as("id"),
         explode(termsExpr(col(textCol), ngram)).as("term"))
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val lens = corpus.select(col(idCol).as("id"),
+    val lens = c.select(col(idCol).as("id"),
         size(termsExpr(col(textCol), ngram)).cast("long").as("len"))
       .filter(col("len") > 0)
     val stats = lens.agg(count(lit(1)).as("n_docs"),
@@ -200,7 +208,11 @@ object SparseSim {
         .contains(idType),
       s"buildIndex: doc-id column '$idCol' must be integral (got $idType)" +
         " - the segment watermark convention orders ids as longs")
-    val docs = corpus.withColumn(idCol, col(idCol).cast("long"))
+    // FanOut before the two tokenizer passes (postings + lens): see
+    // bm25Retrieve — the fixture's one-file corpus otherwise serializes
+    // the whole explode/tf pipeline onto a single task; no-op at scale.
+    val docs = graft.operators.FanOut(
+      corpus.withColumn(idCol, col(idCol).cast("long")))
     // `len` is DENORMALIZED onto every posting row (8 bytes/row): it is
     // a per-doc constant computed map-side before the explode (the
     // `_terms` projection evaluates the tokenizer ONCE; size and explode

@@ -39,6 +39,22 @@ object StageProfile {
     p.subqueries.foreach(walk(_, depth + 1, sb))
   }
 
+  /** Stage-level tap: (callsite name, wall ms, Σ executor run ms, tasks)
+    * per completed stage — the only attribution that sees work done in
+    * eager localCheckpoints during query CONSTRUCTION, which never
+    * appears in the returned DataFrame's plan. */
+  private final class StageTap extends org.apache.spark.scheduler.SparkListener {
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Int)]
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val i = sc.stageInfo
+      val wall = (for (a <- i.completionTime; b <- i.submissionTime)
+        yield a - b).getOrElse(0L)
+      rows.add((i.name.takeWhile(_ != '\n'), wall,
+        i.taskMetrics.executorRunTime, i.numTasks))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -69,6 +85,8 @@ object StageProfile {
     // QueryExecution (a noop write would wrap it in a fresh write plan
     // and strand the metrics there); row deserialization at the sink
     // boundary is billed to this rep but not to any operator metric
+    val tap = new StageTap
+    spark.sparkContext.addSparkListener(tap)
     val t0 = System.nanoTime()
     df = fn(spark, sfDir)
     // executes THIS queryExecution's plan (Dataset.foreachPartition goes
@@ -76,6 +94,16 @@ object StageProfile {
     // metrics empty/initial)
     df.queryExecution.toRdd.foreachPartition(_ => ())
     println(f"[prof] $name metrics rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // listener events are posted async — give the bus a moment to drain
+    // (listenerBus.waitUntilEmpty is private[spark]; a bounded sleep is
+    // enough for a dev tool)
+    Thread.sleep(1000)
+    import scala.jdk.CollectionConverters._
+    val stages = tap.rows.asScala.toSeq.sortBy(-_._2)
+    println(s"[prof] top stages of the metrics rep (wall ms | exec ms | tasks | site):")
+    stages.take(20).foreach { case (n, w, e, t) =>
+      println(f"[stage] $w%6d | $e%7d | $t%4d | $n")
+    }
     val sb = new StringBuilder
     walk(df.queryExecution.executedPlan, 0, sb)
     println(sb.result())
