@@ -63,24 +63,35 @@ object PageRank {
     val nTot = nodes.agg(count(lit(1)).as("n_nodes"))
     // r0 = scale div N; base = ((dDen - dNum) · (scale div N)) div dDen.
     // Both use the SAME scale-div-N quantum so the oracle replays exactly.
-    var ranks = nodes.crossJoin(F.broadcast(nTot))
+    // nodesBase is STATIC across rounds (base is a per-node constant) and
+    // multiply-consumed (every round's left join + the init), so it is
+    // the one table that must materialize.
+    val nodesBase = nodes.crossJoin(F.broadcast(nTot))
       .select(col("node"),
         expr(s"CAST($scale AS BIGINT) div n_nodes").as("rank"),
         expr(s"((${dDen - dNum}) * (CAST($scale AS BIGINT) div n_nodes)) div $dDen")
           .as("base"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var ranks = nodesBase
+    for (r <- 1 to iters) {
       val sums = ranks.join(withDeg, col("node") === col("src"))
         .select(col("dst"), expr("rank div out_deg").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("in_sum"))
-      ranks = ranks
+      // the damping step joins sums back onto the STATIC nodesBase, not
+      // onto the previous ranks — identical values (base rides through
+      // rounds unchanged), but it makes each round's ranks SINGLE-
+      // consumer (only the next round's contribution join reads it), so
+      // the lineage is linear and the per-round materialization barrier
+      // goes away (the LPA rule); checkpoint on an interval purely to
+      // bound plan depth on long budgets.
+      ranks = nodesBase
         .join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           (col("base") +
             expr(s"($dNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dDen"))
             .as("rank"),
           col("base"))
-        .localCheckpoint()
+      if (r % 4 == 0 && r < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -134,7 +145,10 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(seedSet.select(col("node"))).distinct()
-    var ranks = nodes
+    // static across rounds (restart mass is a per-node constant) and
+    // multiply-consumed — the one table that must materialize (the
+    // [[pageRank]] single-consumer-rounds rule)
+    val nodesBase = nodes
       .join(seedSet.withColumn("_is_seed", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("_is_seed").isNotNull,
@@ -144,18 +158,19 @@ object PageRank {
             expr(s"((${dDen - dNum}) * (CAST($scale AS BIGINT) div CAST($nSeeds AS BIGINT))) div $dDen"))
           .otherwise(lit(0L)).as("base"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var ranks = nodesBase
+    for (r <- 1 to iters) {
       val sums = ranks.join(withDeg, col("node") === col("src"))
         .select(col("dst"), expr("rank div out_deg").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("in_sum"))
-      ranks = ranks
+      ranks = nodesBase
         .join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           (col("base") +
             expr(s"($dNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dDen"))
             .as("rank"),
           col("base"))
-        .localCheckpoint()
+      if (r % 4 == 0 && r < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("rank"))
   }
